@@ -1,0 +1,114 @@
+"""End-to-end partition-recommendation pipeline (the reference's CLI flow).
+
+Parity target: the main pipeline of reference src/cli.py:22-133 —
+catalog scan → DDL mining → query-log mining → usage/cardinality/
+performance stats → composite scores → top-N → transform selection →
+DDL scripts — with the §8.4 fix (stats computed ONCE, passed as
+DataFrames, instead of recomputed inside script generation).
+
+Every stage is lazy DataFrame algebra; calling code decides what to
+materialize. The only driver-side work is schema introspection (parquet
+footers) to enumerate candidate columns — O(tables), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import fixtures, tables
+from . import mining, scoring, stats, transforms
+
+
+def view_columns_df(
+    spark: SparkSession, sf_dir: str, views_df: DataFrame
+) -> DataFrame:
+    """(view, table, column) candidate rows from real parquet schemas.
+
+    Replaces the reference's per-view information_schema.columns round
+    trips (src/cli.py:43-57) with metadata-only schema reads.
+    """
+    view_rows = [
+        (f"{r['table_schema']}.{r['table_name']}", r["table_name"])
+        for r in views_df.select("table_schema", "table_name").collect()
+    ]
+    rows = []
+    for view, table in view_rows:
+        if table in tables.TABLES:
+            for c in tables.table_columns(spark, sf_dir, table):
+                rows.append((view, table, c))
+    schema = T.StructType(
+        [
+            T.StructField("view", T.StringType(), False),
+            T.StructField("table", T.StringType(), False),
+            T.StructField("column", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def run_analysis(
+    spark: SparkSession,
+    sf_dir: str,
+    logs_df: DataFrame | None = None,
+    views_df: DataFrame | None = None,
+    time_filter=None,
+    exact_stats: bool = False,
+) -> dict[str, DataFrame]:
+    """Run the full analysis; returns every intermediate as a DataFrame.
+
+    `time_filter` is a pyspark Column predicate over the log (the
+    reference splices a raw SQL string — an injection surface, SURVEY
+    §8.5; we require a Column expression).
+    """
+    logs = logs_df if logs_df is not None else fixtures.query_logs_df(spark)
+    views = views_df if views_df is not None else fixtures.catalog_views_df(spark)
+    views = views.where(F.col("table_type") == "MATERIALIZED VIEW")
+    if time_filter is not None:
+        logs = logs.where(time_filter)
+
+    mined_logs = mining.mine_query_log(logs).cache()
+    candidates = view_columns_df(spark, sf_dir, views)
+
+    table_names = sorted(
+        {r["table"] for r in candidates.select("table").distinct().collect()}
+    )
+    profiled = stats.profile_tables(
+        {t: tables.load_table(spark, sf_dir, t) for t in table_names},
+        exact=exact_stats,
+    )
+
+    usage = scoring.weighted_column_usage(
+        candidates.select("view", "column"), views, logs, mined_logs
+    )
+    col_perf = scoring.column_performance(logs, mined_logs)
+    tab_perf = scoring.table_performance(logs, mined_logs)
+    resource = scoring.resource_scores(logs)
+    classified = scoring.classify_queries(logs, mined_logs)
+
+    scored = scoring.partition_scores(candidates, usage, profiled, col_perf)
+    top = scoring.top_candidates(scored)
+    transformed = transforms.with_transforms(top)
+    scripts = transforms.partition_scripts(transformed, views)
+
+    return {
+        "query_logs": logs,
+        "views": views,
+        "mined_logs": mined_logs,
+        "candidates": candidates,
+        "profiles": profiled,
+        "usage": usage,
+        "column_performance": col_perf,
+        "table_performance": tab_perf,
+        "resource_scores": resource,
+        "classified_queries": classified,
+        "column_scores": scored,
+        "top_candidates": top,
+        "recommendations": scripts,
+    }
+
+
+def recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship result: one recommendation row per catalog view."""
+    return run_analysis(spark, sf_dir)["recommendations"]

@@ -1,0 +1,315 @@
+"""Advisor-pipeline queries: the analytics the reference tool ITSELF
+computes (SURVEY.md §2 layer 1), driven by the deterministic fixtures in
+sources/fixtures.py so every stage is DuckDB-checkable.
+
+The oracle SQL reproduces the fixture rows via a VALUES CTE rendered from
+the SAME Python literals the Spark side reads — one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import scoring, stats, transforms
+from ..sources import fixtures, tables
+from .registry import register
+
+_LOGS_CTE = fixtures.query_logs_values_cte()
+_VIEWS_CTE = fixtures.catalog_views_values_cte()
+_VIEW_COLS_CTE = fixtures.view_columns_values_cte()
+
+# tables the mention-rollup greps the log for (matches fixture workload)
+_MENTION_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents",
+)
+
+
+# ---------------------------------------------------------------------------
+# A3 — composite resource score, 40/30/15/15 max-normalized
+# ---------------------------------------------------------------------------
+@register(
+    "resource_scores",
+    oracle=f"""
+    WITH {_LOGS_CTE},
+    m AS (
+      SELECT
+        MAX(execution_time_ms) AS max_exec,
+        MAX(cpu_time_ms)       AS max_cpu,
+        MAX(input_bytes)       AS max_input,
+        MAX(peak_memory_bytes) AS max_mem
+      FROM query_logs
+    )
+    SELECT
+      query_id,
+      ROUND(
+        COALESCE(CAST(execution_time_ms AS DOUBLE) / max_exec * 40, 0)
+        + COALESCE(CAST(cpu_time_ms AS DOUBLE) / max_cpu * 30, 0)
+        + COALESCE(CAST(input_bytes AS DOUBLE) / max_input * 15, 0)
+        + COALESCE(CAST(peak_memory_bytes AS DOUBLE) / max_mem * 15, 0),
+      4) AS resource_score
+    FROM query_logs, m
+    """,
+)
+def resource_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = fixtures.query_logs_df(spark)
+    return scoring.resource_scores(logs).select(
+        "query_id", F.round("resource_score", 4).alias("resource_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — top-5 queries by resource score
+# ---------------------------------------------------------------------------
+@register(
+    "top_resource_queries",
+    oracle=f"""
+    WITH {_LOGS_CTE},
+    m AS (
+      SELECT
+        MAX(execution_time_ms) AS max_exec,
+        MAX(cpu_time_ms)       AS max_cpu,
+        MAX(input_bytes)       AS max_input,
+        MAX(peak_memory_bytes) AS max_mem
+      FROM query_logs
+    )
+    SELECT query_id, ROUND(
+        COALESCE(CAST(execution_time_ms AS DOUBLE) / max_exec * 40, 0)
+        + COALESCE(CAST(cpu_time_ms AS DOUBLE) / max_cpu * 30, 0)
+        + COALESCE(CAST(input_bytes AS DOUBLE) / max_input * 15, 0)
+        + COALESCE(CAST(peak_memory_bytes AS DOUBLE) / max_mem * 15, 0),
+      4) AS resource_score
+    FROM query_logs, m
+    ORDER BY resource_score DESC, query_id
+    LIMIT 5
+    """,
+)
+def top_resource_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = fixtures.query_logs_df(spark)
+    return (
+        scoring.resource_scores(logs)
+        .select(
+            "query_id", F.round("resource_score", 4).alias("resource_score")
+        )
+        .orderBy(F.col("resource_score").desc(), "query_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query classification — interactive (<10s or LIMIT) vs batch, F2 parity
+# (text-grep form, matching the reference's `"LIMIT" in query.upper()`)
+# ---------------------------------------------------------------------------
+@register(
+    "query_classification",
+    oracle=f"""
+    WITH {_LOGS_CTE}
+    SELECT
+      query_id,
+      (COALESCE(execution_time_ms < 10000, FALSE)
+       OR upper(query) LIKE '%LIMIT%') AS is_interactive,
+      CASE WHEN COALESCE(execution_time_ms < 10000, FALSE)
+             OR upper(query) LIKE '%LIMIT%'
+           THEN 2.0 ELSE 1.0 END AS partition_priority
+    FROM query_logs
+    """,
+)
+def query_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = fixtures.query_logs_df(spark)
+    interactive = (
+        F.coalesce(F.col("execution_time_ms") < 10000, F.lit(False))
+        | F.upper(F.col("query")).contains("LIMIT")
+    )
+    return logs.select(
+        "query_id",
+        interactive.alias("is_interactive"),
+        F.when(interactive, F.lit(2.0)).otherwise(F.lit(1.0)).alias(
+            "partition_priority"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 view-usage leg — each view column weighted by the view's query_count
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_view_usage",
+    oracle=f"""
+    WITH {_VIEWS_CTE},
+    {_VIEW_COLS_CTE}
+    SELECT
+      vc.column_name AS column_name,
+      CAST(SUM(cv.query_count) AS BIGINT) AS weighted_frequency
+    FROM view_columns vc
+    JOIN catalog_views cv
+      ON vc.view_name = cv.table_schema || '.' || cv.table_name
+    WHERE cv.table_type = 'MATERIALIZED VIEW'
+    GROUP BY vc.column_name
+    """,
+)
+def weighted_view_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = fixtures.catalog_views_df(spark).where(
+        F.col("table_type") == "MATERIALIZED VIEW"
+    )
+    vcols = fixtures.view_columns_fixture_df(spark)
+    return (
+        vcols.join(
+            F.broadcast(
+                views.select(
+                    F.concat_ws(".", "table_schema", "table_name").alias("view"),
+                    "query_count",
+                )
+            ),
+            "view",
+        )
+        .groupBy(F.col("column").alias("column_name"))
+        .agg(F.sum("query_count").alias("weighted_frequency"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/J3 — per-table exec-time attribution. SQL-expressible form: a table is
+# "referenced" when the log text word-matches its name (the miner's
+# token-level result is checked separately, rows-only).
+# ---------------------------------------------------------------------------
+@register(
+    "table_exec_rollup",
+    oracle=f"""
+    WITH {_LOGS_CTE},
+    tabs(table_name) AS (VALUES {", ".join(f"('{t}')" for t in _MENTION_TABLES)})
+    SELECT
+      table_name,
+      CAST(SUM(execution_time_ms) AS BIGINT) AS execution_time_ms,
+      COUNT(*) AS query_count
+    FROM query_logs, tabs
+    WHERE regexp_matches(lower(query), '\\b' || table_name || '\\b')
+    GROUP BY table_name
+    """,
+)
+def table_exec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = fixtures.query_logs_df(spark)
+    tabs = F.array(*[F.lit(t) for t in _MENTION_TABLES])
+    return (
+        logs.select(
+            "query_id", "execution_time_ms", F.explode(tabs).alias("table_name"),
+            "query",
+        )
+        .where(
+            F.regexp_like(
+                F.lower(F.col("query")),
+                F.concat(F.lit("\\b"), F.col("table_name"), F.lit("\\b")),
+            )
+        )
+        .groupBy("table_name")
+        .agg(
+            F.sum("execution_time_ms").alias("execution_time_ms"),
+            F.count(F.lit(1)).alias("query_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 — Iceberg transform selection from EXACT per-column stats, the
+# full policy as one CASE expression on both sides.
+# ---------------------------------------------------------------------------
+# (table, column, kind) — kind selects the policy branch at SQL-generation
+# time (DuckDB binds every CASE branch, so a runtime typeof() dispatch
+# can't mix interval and integer comparisons). Schemas are fixed
+# (FIXTURES.md group A); a unit test keeps this map honest.
+_TRANSFORM_COLUMNS = [
+    ("orders", "o_orderdate", "date"),
+    ("orders", "o_custkey", "int"),
+    ("orders", "o_orderstatus", "str"),
+    ("customer", "c_mktsegment", "str"),
+    ("customer", "c_acctbal", "other"),
+    ("lineitem", "l_partkey", "int"),
+    ("lineitem", "l_shipdate", "date"),
+    ("lineitem", "l_linenumber", "int"),
+    ("events", "ts", "date"),
+    ("events", "user_id", "int"),
+    ("part", "p_brand", "str"),
+    ("supplier", "s_suppkey", "int"),
+]
+
+
+def _transform_oracle() -> str:
+    """Per-column stats subqueries + the reference's §2.11 CASE policy
+    (varchar bucket>10000→bucket(16); int card>1000→bucket(clamp(card/500,
+    4,32)) else range>10000→truncate(col,100); date→granularity probe)."""
+    legs = []
+    for table, col, kind in _TRANSFORM_COLUMNS:
+        if kind == "date":
+            expr = f"""(SELECT CASE
+                 WHEN COUNT(DISTINCT CAST({col} AS DATE)) > 20 * COUNT(DISTINCT date_trunc('month', {col}))
+                   THEN 'day({col})'
+                 WHEN COUNT(DISTINCT date_trunc('month', {col})) > 8 * COUNT(DISTINCT year({col}))
+                   THEN 'month({col})'
+                 ELSE 'year({col})'
+               END FROM {table})"""
+        elif kind == "str":
+            expr = f"""(SELECT CASE WHEN COUNT(DISTINCT {col}) > 10000
+                 THEN 'bucket(16, {col})' ELSE '{col}' END FROM {table})"""
+        elif kind == "int":
+            expr = f"""(SELECT CASE
+                 WHEN COUNT(DISTINCT {col}) > 1000 THEN
+                   'bucket(' || CAST(LEAST(GREATEST(CAST(FLOOR(COUNT(DISTINCT {col}) / 500.0) AS INTEGER), 4), 32) AS VARCHAR) || ', {col})'
+                 WHEN MAX({col}) - MIN({col}) > 10000 THEN 'truncate({col}, 100)'
+                 ELSE '{col}'
+               END FROM {table})"""
+        else:
+            expr = f"'{col}'"
+        legs.append(
+            f"SELECT '{table}' AS table_name, '{col}' AS column_name,\n"
+            f"       {expr} AS transform"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+@register("transform_selection", oracle=_transform_oracle())
+def transform_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-stats profile → transform policy, via the SAME production code
+    path (stats.column_profiles + transforms.transform_expr)."""
+    out: DataFrame | None = None
+    by_table: dict[str, list[str]] = {}
+    for table, col, _kind in _TRANSFORM_COLUMNS:
+        by_table.setdefault(table, []).append(col)
+    for table, cols in by_table.items():
+        df = tables.load_table(spark, sf_dir, table)
+        prof = stats.with_date_granularity(
+            stats.column_profiles(df, table, columns=cols, exact=True)
+        )
+        leg = prof.select(
+            F.col("table").alias("table_name"),
+            F.col("column").alias("column_name"),
+            transforms.transform_expr(
+                F.col("column"),
+                F.col("data_type"),
+                F.col("distinct_count"),
+                F.col("value_range"),
+                F.col("granularity"),
+            ).alias("transform"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    assert out is not None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rows-only checks (miner + full pipeline — not ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+@register("mined_workload")
+def mined_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level SQL mining of the fixture log (J1/J2 parity)."""
+    from ..operators import mining
+
+    logs = fixtures.query_logs_df(spark)
+    return mining.mine_query_log(logs)
+
+
+@register("partition_recommendations")
+def partition_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end pipeline at the given scale factor."""
+    from ..operators import recommend
+
+    return recommend.recommendations(spark, sf_dir)

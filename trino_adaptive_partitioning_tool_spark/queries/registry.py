@@ -1,0 +1,46 @@
+"""Query registry backing the driver contract (__spark_entry__.py).
+
+Each implemented operator from SURVEY.md §2 registers a named PySpark
+callable `(spark, sf_dir) -> DataFrame` and, when the semantics are
+ANSI-SQL-expressible, a DuckDB oracle string computing the identical
+result (same column names — the driver sorts columns by name and
+hash-compares values). Non-SQL-expressible ops (sketch-based, stateful
+streaming) register Spark-only and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(
+    name: str, oracle: str | None = None
+) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
+    def deco(fn: Callable[..., Any]) -> Callable[..., Any]:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # import for registration side effects
+    from . import advisor, core_sql, dedup, similarity, text  # noqa: F401
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Replaces the reference's DBAPI connection bootstrap
+(reference: src/trino_client.py:7-20 get_connection) — in the rebuild the
+"connection" is a SparkSession and Spark SQL is the execution engine.
+
+Tuned for the driver's local[32] harness but with cluster-safe defaults:
+AQE (runtime re-plan, skew-join splitting, partition coalescing) is always
+on, shuffle partitions default to the local core count instead of 200, and
+Arrow is enabled for every pandas hand-off.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "trino-adaptive-partitioning-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    On a real cluster `spark.sql.shuffle.partitions` should be ~2-3x total
+    executor cores (AQE coalesces down); locally we match the core count so
+    tiny test shuffles don't fan out into 200 empty tasks.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata writes TIMESTAMP(NANOS) parquet (events.ts), which Spark
+        # rejects by default; read as long and cast back in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,91 @@
+"""Parquet table sources.
+
+Replaces the reference's catalog scans over Trino information_schema
+(reference: src/trino_client.py:22-36, src/cli.py:43-53) — here the
+"catalog" is the driver-provided parquet directory and Spark's own
+catalog/schema introspection (`df.schema`, `spark.catalog.listColumns`).
+
+All reads are plain `spark.read.parquet`, so Catalyst predicate pushdown,
+column pruning and vectorized scans apply end-to-end. At 100 TB the same
+code path works against a partitioned table root; nothing here assumes
+single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=None)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
+    long under spark.sql.legacy.parquet.nanosAsLong (footer-only probe)."""
+    try:
+        schema = _pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name for f in schema if str(f.type) == "timestamp[ns]"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        # must work with ANY caller-provided session (the driver builds its
+        # own), so set the legacy nanos conf at runtime, not session build
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # ns-as-long → µs → timestamp; sub-µs precision is dropped, same
+        # as every engine that stores µs timestamps (DuckDB included).
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so SQL-surface queries can run."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def table_columns(spark: SparkSession, sf_dir: str, name: str) -> list[str]:
+    """Schema introspection without reading data (parquet footer only).
+
+    Replaces the reference's per-view information_schema.columns round-trip
+    (src/cli.py:43-53) with a metadata-only schema read.
+    """
+    return load_table(spark, sf_dir, name).schema.fieldNames()
