@@ -1,0 +1,169 @@
+"""Text-analysis operators for LLM-training-data pipelines (extensions).
+
+All hot paths are JVM-side `pyspark.sql.functions` expressions — no
+Python UDFs: these run per-document over the full corpus, exactly where a
+row-at-a-time UDF would dominate cost at 100 TB.
+
+  token_stats        whitespace + regex token counting, char stats
+  quality_scores     length / punctuation / stopword / repetition ratios
+                     → composite 0-100 quality score
+  language_id        stopword-profile n-gram heuristic over a per-language
+                     marker list (deterministic, data-independent)
+  fingerprints       md5 content fingerprint + winnowing-style rolling
+                     shingle-hash fingerprint for containment checks
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_expr, tokens_expr
+
+# small function-word marker lists per language (public common words)
+LANGUAGE_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "por"),
+    "fr": ("le", "la", "les", "des", "et", "que", "une", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
+}
+
+STOPWORDS = LANGUAGE_MARKERS["en"]
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = tokens_expr(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("char_count"),
+        F.size(toks).cast("bigint").alias("token_count"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.round(num / F.greatest(den, F.lit(1).cast("double")), 4)
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality profile + 0-100 composite.
+
+    Signals (all cheap column expressions):
+      stopword_ratio   share of tokens that are common function words
+      punct_ratio      punctuation chars / total chars
+      repetition_ratio 1 - distinct/total tokens (near-1 = loopy text)
+      length_score     saturating credit for longer documents
+    composite = 40*stopword + 20*(1-punct) + 20*(1-repetition)
+              + 20*length_score  (echoes the reference's weighted
+              composite style, src/partitioning.py:159-164)
+    """
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    )
+    n_punct = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("double")
+    n_char = F.length(text_col).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    length_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+
+    out = docs.select(
+        F.col(id_col),
+        _ratio(n_stop, n_tok).alias("stopword_ratio"),
+        _ratio(n_punct, n_char).alias("punct_ratio"),
+        F.round(1.0 - distinct_ratio, 4).alias("repetition_ratio"),
+        F.round(length_score, 4).alias("length_score"),
+    )
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            F.col("stopword_ratio") * 40
+            + (1.0 - F.col("punct_ratio")) * 20
+            + (1.0 - F.col("repetition_ratio")) * 20
+            + F.col("length_score") * 20,
+            2,
+        ),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-profile language guess: count marker-word hits per
+    language, pick the argmax (ties → lexicographically first language —
+    deterministic). Returns (id, predicted_lang, marker_hits)."""
+    toks = F.array_distinct(tokens_expr(text_col))
+
+    def _hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.array_intersect(toks, arr)).cast("bigint")
+
+    scores = [
+        F.struct(_hits(markers).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, markers in sorted(LANGUAGE_MARKERS.items())
+    ]
+    # array_max on struct(hits, lang) orders by hits then lang; we want
+    # ties to pick the FIRST lang, so invert: take max of (hits, reversed
+    # rank) — simpler: sort desc by hits asc by lang via sort_array on
+    # (negated hits, lang), take element 1.
+    best = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-s["hits"]).alias("neg_hits"), s["lang"].alias("lang"),
+                    s["hits"].alias("hits"),
+                )
+                for s in scores
+            ]
+        )
+    )[0]
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 4,
+    keep_every: int = 8,
+) -> DataFrame:
+    """Document fingerprints:
+      content_md5   md5 of normalized text (exact-dup key)
+      winnow_fp     sorted array of selected shingle hashes (hash % keep
+                    == 0 — a winnowing-style deterministic sample) for
+                    containment / overlap estimation
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    sh = shingles_expr(tokens_expr(text_col), shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    winnow = F.sort_array(
+        F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        winnow.alias("winnow_fp"),
+        F.size(winnow).cast("bigint").alias("winnow_size"),
+    )

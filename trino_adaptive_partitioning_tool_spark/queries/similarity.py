@@ -1,9 +1,72 @@
-"""Similarity-search operators over the `embeddings` table (extensions).
+"""Similarity-search queries over the `embeddings` table (extensions).
 
-Brute-force cosine top-k lands first; LSH/IVF-bucketed ANN variants are
-added in operators/similarity.py as they land.
+Brute-force cosine top-k is oracle-checked against DuckDB's
+list_cosine_similarity (both sides rank on ROUND(cosine, 6) with vec_id
+tie-break, so last-ulp float drift can't flip ranks). LSH-bucketed
+variants are Spark-hash-based → rows-only.
 """
 
 from __future__ import annotations
 
-from .registry import register  # noqa: F401  (entries added as ops land)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as ops
+from ..sources import tables
+from .registry import register
+
+_N_QUERIES = 5  # vec_id < 5 are the probe vectors
+_K = 5
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(
+               q.qvec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+      FROM q, embeddings e
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) t WHERE rank <= {_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × one corpus scan."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ops.cosine_topk(emb, queries, k=_K)
+
+
+@register("similarity_lsh_topk")
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (the 100 TB
+    scale path: candidates come from bucket joins, not full scans).
+    rows-only check."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ops.lsh_bucketed_topk(emb, queries, k=_K)
+
+
+@register("embedding_near_duplicates")
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) via LSH self-join.
+    rows-only check."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return ops.cosine_near_duplicates(emb, threshold=0.95)

@@ -1,38 +1,137 @@
-"""Text-analysis operators over the `documents` table (extensions).
+"""Text-analysis queries over the `documents` table (extensions layer).
 
-Token counting / quality scoring land first; language-ID and
-fingerprinting are added in operators/text.py as they land.
+Everything here is JVM-side column expressions on the Spark side; the
+oracles replicate the identical arithmetic with DuckDB list/regex
+functions (note: DuckDB regexp_replace needs the 'g' flag to match
+Spark's replace-all default).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
+from ..operators import text as ops
 from ..sources import tables
 from .registry import register
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
 
 
 @register(
     "text_token_stats",
-    oracle="""
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT
       doc_id,
       CAST(length(text) AS BIGINT) AS char_count,
-      CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
-           AS BIGINT) AS token_count
-    FROM documents
+      CAST(len(toks) AS BIGINT) AS token_count,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+      ROUND(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+            / GREATEST(len(toks), 1), 4) AS avg_token_len
+    FROM tok
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — all JVM-side string ops, no UDF."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("bigint").alias("char_count"),
-        (
-            F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))
-            + 1
-        ).cast("bigint").alias("token_count"),
+    return ops.token_stats(docs)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ),
+    sig AS (
+      SELECT
+        doc_id,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(toks,
+          t -> list_contains(['the','and','of','to','a','in','is','that'], t)
+        )) AS DOUBLE) AS n_stop,
+        CAST(length(text)
+             - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+        CAST(length(text) AS DOUBLE) AS n_char,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0)
+          AS distinct_ratio,
+        LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
+      FROM tok
+    ),
+    r AS (
+      SELECT
+        doc_id,
+        ROUND(n_stop / GREATEST(n_tok, 1.0), 4) AS stopword_ratio,
+        ROUND(n_punct / GREATEST(n_char, 1.0), 4) AS punct_ratio,
+        ROUND(1.0 - distinct_ratio, 4) AS repetition_ratio,
+        ROUND(length_score, 4) AS length_score
+      FROM sig
     )
+    SELECT
+      doc_id, stopword_ratio, punct_ratio, repetition_ratio, length_score,
+      ROUND(stopword_ratio * 40 + (1.0 - punct_ratio) * 20
+            + (1.0 - repetition_ratio) * 20 + length_score * 20, 2)
+        AS quality_score
+    FROM r
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.quality_scores(docs)
+
+
+def _lang_hits_legs() -> str:
+    legs = []
+    for lang, markers in sorted(ops.LANGUAGE_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        legs.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"CAST(len(list_intersect(toks, [{lst}])) AS BIGINT) AS hits FROM tok"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    hits AS (
+      {_lang_hits_legs()}
+    )
+    SELECT doc_id, lang AS predicted_lang, hits AS marker_hits FROM (
+      SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY hits DESC, lang
+             ) AS rn
+      FROM hits
+    ) t WHERE rn = 1
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.language_id(docs)
+
+
+@register(
+    "text_fingerprint_md5",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_md5
+    FROM documents
+    """,
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.fingerprints(docs).select("doc_id", "content_md5")
+
+
+@register("text_winnow_fingerprints")
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style shingle-hash fingerprints (xxhash64 → rows-only)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.fingerprints(docs).select("doc_id", "winnow_fp", "winnow_size")
