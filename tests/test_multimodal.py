@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism of the
+stubbed decode/feature/frame stages (the Spark-side contract is real even
+though the codec is faked — BASELINE.json extension requirement)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trino_adaptive_partitioning_tool_spark.operators import multimodal as mm
+
+
+def test_synth_assets_deterministic(spark):
+    a = mm.synth_assets(spark, n=64).collect()
+    b = mm.synth_assets(spark, n=64).collect()
+    assert len(a) == 64
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["media_type"] for r in a} == {"image", "audio", "video"}
+
+
+def test_decode_assets_schema_and_determinism(spark):
+    assets = mm.synth_assets(spark, n=48)
+    d1 = {r["asset_id"]: r for r in mm.decode_assets(assets).collect()}
+    d2 = {r["asset_id"]: r for r in mm.decode_assets(assets).collect()}
+    assert len(d1) == 48
+    for aid, row in d1.items():
+        assert row["decoded_width"] >= 1 and row["decoded_height"] >= 1
+        assert 0.0 <= row["mean_intensity"] <= 255.0
+        assert row["payload_bytes"] > 0
+        assert tuple(row) == tuple(d2[aid])
+
+
+def test_decode_requires_codec_raises(spark):
+    assets = mm.synth_assets(spark, n=4)
+    with pytest.raises(NotImplementedError):
+        mm.decode_assets(assets, require_codec=True)
+
+
+def test_extract_features_unit_norm_and_dim(spark):
+    assets = mm.synth_assets(spark, n=32)
+    feats = mm.extract_features(assets, dim=64).collect()
+    assert len(feats) == 32
+    for r in feats:
+        v = r["feature"]
+        assert len(v) == 64
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+
+
+def test_features_flow_into_similarity_ops(spark):
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators import similarity
+
+    assets = mm.synth_assets(spark, n=32)
+    feats = mm.extract_features(assets, dim=64).withColumnRenamed(
+        "feature", "embedding"
+    ).withColumnRenamed("asset_id", "vec_id")
+    queries = feats.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.cosine_topk(feats, queries, k=3).collect()
+    assert len(top) == 6
+    self_hits = [r for r in top if r["rank"] == 1]
+    assert all(r["query_id"] == r["vec_id"] for r in self_hits)
+
+
+def test_sample_frames_video_only_udtf_shape(spark):
+    assets = mm.synth_assets(spark, n=30)
+    frames = mm.sample_frames(assets, every_ms=10_000).collect()
+    assert frames, "expected at least one video frame"
+    video_ids = {
+        r["asset_id"]
+        for r in assets.where("media_type = 'video'").collect()
+    }
+    assert {r["asset_id"] for r in frames} <= video_ids
+    for r in frames:
+        assert r["frame_ms"] == r["frame_idx"] * 10_000
+        assert len(bytes(r["frame_payload"])) > 0

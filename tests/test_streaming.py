@@ -1,0 +1,59 @@
+"""Structured Streaming query-log tail: the windowed rollup over a file
+stream must match the equivalent batch aggregation on the same rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trino_adaptive_partitioning_tool_spark.sources import fixtures
+from trino_adaptive_partitioning_tool_spark.streaming import query_log_stream as qls
+
+
+def _write_log_files(spark, path: str) -> None:
+    fixtures.query_logs_df(spark).coalesce(2).write.mode("overwrite").json(path)
+
+
+def test_windowed_rollup_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt1")
+    _write_log_files(spark, in_dir)
+
+    stream = qls.stream_query_logs(spark, in_dir)
+    assert stream.isStreaming
+    result = qls.run_available_now(
+        qls.windowed_resource_rollup(stream, "1 day", "2 days"),
+        "rollup_test", ckpt,
+    ).collect()
+
+    batch = (
+        fixtures.query_logs_df(spark)
+        .groupBy(F.window("create_time", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("query_count"),
+            F.sum("execution_time_ms").alias("total_exec_ms"),
+        )
+        .collect()
+    )
+    got = {
+        (r["window_start"], r["query_count"], r["total_exec_ms"])
+        for r in result
+    }
+    want = {
+        (r["w"]["start"], r["query_count"], r["total_exec_ms"]) for r in batch
+    }
+    assert got == want
+
+
+def test_interactive_share_stream(spark, tmp_path):
+    in_dir = str(tmp_path / "logs2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_log_files(spark, in_dir)
+
+    stream = qls.stream_query_logs(spark, in_dir)
+    rows = qls.run_available_now(
+        qls.interactive_share_stream(stream, "1 day", "2 days"),
+        "share_test", ckpt,
+    ).collect()
+    total = sum(r["query_count"] for r in rows)
+    assert total == len(fixtures.QUERY_LOG_ROWS)
+    assert {r["is_interactive"] for r in rows} == {True, False}

@@ -61,7 +61,7 @@ _STATEMENT_HEADS = ("select", "with", "create")
 
 
 def tokenize(sql: str) -> list[str]:
-    return _TOKEN_RE.findall(sql)
+    return [t for t in _TOKEN_RE.findall(sql) if not t.isspace()]
 
 
 def _is_identifier(tok: str) -> bool:
@@ -173,6 +173,15 @@ def mine_statement(sql: str) -> dict[str, Any]:
                     while i < len(toks) and depth:
                         depth += toks[i] == "("
                         depth -= toks[i] == ")"
+                        i += 1
+                    # derived table: consume its [AS] alias (it is NOT a
+                    # base table) before continuing the FROM list
+                    if i < len(low) and low[i] == "as":
+                        i += 1
+                    if i < len(toks) and _is_identifier(toks[i]):
+                        aliases.add(low[i])
+                        i += 1
+                    if i < len(toks) and toks[i] == ",":
                         i += 1
                     continue
                 if _is_identifier(toks[i]):

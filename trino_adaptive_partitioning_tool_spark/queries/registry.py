@@ -33,7 +33,14 @@ def register(
 
 def _load_all() -> None:
     # import for registration side effects
-    from . import advisor, core_sql, dedup, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        advisor,
+        core_sql,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
