@@ -1,0 +1,61 @@
+"""Plan-shape assertions for the headline queries: pushdown, pruning,
+broadcast joins, codegen (the 100 TB efficiency contract, checked at
+sf0.001 where plan shape is identical)."""
+
+from __future__ import annotations
+
+from conftest import SMOKE_SF_DIR
+
+from trino_adaptive_partitioning_tool_spark.plans import inspect as pi
+from trino_adaptive_partitioning_tool_spark.queries import registry
+
+_QS = registry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _QS["scan_filter_sort_limit"](spark, SMOKE_SF_DIR)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "o_orderstatus" in pushed and "o_totalprice" in pushed
+
+
+def test_column_pruning_on_scan(spark):
+    df = _QS["scan_filter_sort_limit"](spark, SMOKE_SF_DIR)
+    schemas = pi.scan_read_schemas(df)
+    assert schemas, "expected a parquet FileScan"
+    # only the 4 referenced columns read, not all 6 of orders
+    assert all("o_orderdate" not in s and "o_orderpriority" not in s for s in schemas)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = _QS["region_revenue"](spark, SMOKE_SF_DIR)
+    strategies = pi.join_strategies(df)
+    assert strategies, "expected joins in the plan"
+    # all dims fit under the broadcast threshold → no sort-merge shuffles
+    assert all(s == "BroadcastHashJoin" for s in strategies)
+
+
+def test_pricing_summary_stays_in_codegen(spark):
+    df = _QS["pricing_summary"](spark, SMOKE_SF_DIR)
+    assert pi.has_partial_aggregation(df)  # map-side combine pre-shuffle
+    assert pi.shuffle_count(df) <= 1  # single agg shuffle, nothing else
+    assert pi.codegen_span_count(df) >= 1  # finalized AQE plan, codegen'd
+
+
+def test_date_filter_pushdown(spark):
+    df = _QS["pricing_summary"](spark, SMOKE_SF_DIR)
+    assert any("l_shipdate" in f for f in pi.pushed_filters(df))
+
+
+def test_referenced_columns_plan_mining(spark):
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    orders = tables.load_table(spark, SMOKE_SF_DIR, "orders")
+    customer = tables.load_table(spark, SMOKE_SF_DIR, "customer")
+    df = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .where("c_acctbal > 100.0")
+        .select("o_orderkey")
+    )
+    cols = pi.referenced_columns(df)
+    assert "c_acctbal" in cols["filter_columns"]
+    assert {"o_custkey", "c_custkey"} <= set(cols["join_columns"])
