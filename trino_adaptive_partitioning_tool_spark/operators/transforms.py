@@ -20,6 +20,8 @@ PARTITION SPEC", so keys always parsed empty).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -156,17 +158,71 @@ def partition_scripts(transformed_df: DataFrame, all_views: DataFrame) -> DataFr
     )
 
 
-def apply_recommendation(
-    df: DataFrame, path: str, partition_keys: list[str]
-) -> None:
-    """Spark-native "execute" path: rewrite the table partitioned by the
-    recommended identity keys (`df.write.partitionBy`). The reference
-    instead ships `ALTER TABLE ... REPLACE PARTITION SPEC` to Trino
-    (src/cli.py:124-133); plain Spark tables apply layout at write time.
-    Dry-run remains the default in the CLI (reference src/config.py:15).
+_TRANSFORM_RE = re.compile(
+    r"^(?:(day|month|year)\((\w+)\)|bucket\((\d+),\s*(\w+)\)"
+    r"|truncate\((\w+),\s*(\d+)\)|(\w+))$"
+)
+
+
+def transform_to_partition_column(transform: str) -> tuple[str, Column] | None:
+    """Iceberg transform string → (partition column name, expression).
+
+    day(c)→to_date, month(c)→'yyyy-MM', year(c)→year, bucket(n,c)→
+    pmod(xxhash64(c), n), truncate(c,w)→floor(c/w)*w, identity→the column.
+    Mirrors how Iceberg derives partition values from its transforms, so
+    the written layout matches what the emitted DDL would produce.
     """
-    keys = [k for k in partition_keys if k in df.columns]
-    writer = df.write.mode("overwrite")
+    m = _TRANSFORM_RE.match(transform.strip())
+    if not m:
+        return None
+    dpart, dcol, bn, bcol, tcol, tw, ident = m.groups()
+    if dpart:
+        expr = {
+            "day": F.to_date(F.col(dcol)).cast("string"),
+            "month": F.date_format(F.col(dcol), "yyyy-MM"),
+            "year": F.year(F.col(dcol)).cast("string"),
+        }[dpart]
+        return f"{dcol}_{dpart}", expr
+    if bn:
+        return f"{bcol}_bucket", F.pmod(F.xxhash64(F.col(bcol)), int(bn))
+    if tcol:
+        w = int(tw)
+        return f"{tcol}_trunc", (F.floor(F.col(tcol) / w) * w).cast("bigint")
+    return ident, F.col(ident)
+
+
+def apply_recommendation(
+    df: DataFrame,
+    path: str,
+    transforms_list: list[str],
+    max_keys: int = 1,
+) -> list[str]:
+    """Spark-native "execute" path: rewrite the table partitioned by the
+    recommended transform(s). The reference ships `ALTER TABLE ... REPLACE
+    PARTITION SPEC` to Trino (src/cli.py:124-133); plain Spark applies
+    layout at write time. Dry-run remains the CLI default (reference
+    src/config.py:15).
+
+    `max_keys=1` applies the top transform only — nesting all top-N specs
+    multiplies leaf directories, and a repartition by the partition
+    column(s) precedes the write so each leaf gets one file instead of
+    one per task (the classic small-files trap at scale).
+    Returns the partition column names used.
+    """
+    derived: list[tuple[str, Column]] = []
+    for t in transforms_list[:max_keys]:
+        pc = transform_to_partition_column(t)
+        if pc is not None and (pc[0] in df.columns or pc[1] is not None):
+            derived.append(pc)
+    out = df
+    keys = []
+    for name, expr in derived:
+        out = out.withColumn(name, expr)
+        keys.append(name)
+    writer = (
+        out.repartition(*[F.col(k) for k in keys]) if keys else out
+    ).write.mode("overwrite")
     if keys:
         writer = writer.partitionBy(*keys)
     writer.parquet(path)
+    return keys
