@@ -1,0 +1,334 @@
+"""Advanced relational operators (SURVEY §2.4-2.7 gaps + Spark-native
+extensions the reference lacks): full window-function suite, cube /
+grouping sets, conditional & correlated aggregation, range and as-of
+joins, session windows, multiset set-ops, null-safe semantics.
+
+Shared-dialect queries run the same SQL text on Spark and DuckDB;
+engine-specific ones (as-of via union-window, session_window) pair a
+Spark-first implementation with an independently-written oracle — the
+strongest correctness check, since the two engines compute the result by
+different algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import fixtures, tables
+from .core_sql import _shared_sql
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions: ranking, offsets, frames
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "window_functions_suite",
+    """
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(RANK() OVER w AS BIGINT) AS price_rank,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+      ROUND(LAG(o_totalprice, 1, 0.0) OVER w2, 2) AS prev_price,
+      ROUND(LEAD(o_totalprice, 1, 0.0) OVER w2, 2) AS next_price,
+      ROUND(SUM(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      ROUND(SUM(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3
+    FROM orders
+    WINDOW
+      w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 cube / grouping sets
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "cube_aggregation",
+    """
+    SELECT
+      COALESCE(o_orderstatus, '(all)')   AS orderstatus,
+      COALESCE(o_orderpriority, '(all)') AS orderpriority,
+      COUNT(*) AS n_orders,
+      ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+_shared_sql(
+    "grouping_sets_agg",
+    """
+    SELECT
+      COALESCE(l_returnflag, '(all)') AS returnflag,
+      COALESCE(l_linestatus, '(all)') AS linestatus,
+      ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# pivot via conditional aggregation (dialect-neutral form of PIVOT)
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "pivot_status_by_priority",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+      ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "correlated_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# HAVING over grouped sum (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "having_large_orders",
+    """
+    SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 250
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# conditional aggregation share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "conditional_revenue_share",
+    """
+    SELECT ROUND(
+      100.0 * SUM(CASE WHEN p_type LIKE 'SMALL%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      / SUM(l_extendedprice * (1 - l_discount)), 4) AS small_type_share_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# IN (subquery) semi-filter
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "in_subquery_filter",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN (SELECT r_name FROM region ORDER BY r_name LIMIT 2)
+    )
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# range (interval) join — ship-date within 90 days of order date
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "range_interval_join",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS lines_shipped_90d,
+      ROUND(SUM(l_extendedprice), 2) AS revenue_90d
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# multiset set operations
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "multiset_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join: for each purchase, the most recent click at-or-before it per
+# user. Spark side: tagged-union + running max over one window (single
+# shuffle on user_id — the scalable as-of pattern, no per-row subquery).
+# Oracle: DuckDB's native ASOF JOIN — an independent algorithm.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT
+      p.user_id,
+      epoch_us(p.ts) AS purchase_us,
+      epoch_us(c.ts) AS last_click_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tables.load_table(spark, sf_dir, "events")
+    tagged = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    # clicks sort before purchases at identical ts → an equal-ts click
+    # counts as "at-or-before", matching ASOF's >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_purchase"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.max(
+        F.when(~F.col("is_purchase"), F.col("ts"))
+    ).over(w)
+    return (
+        tagged.withColumn("last_click_ts", last_click)
+        .where(F.col("is_purchase") & F.col("last_click_ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("last_click_ts").alias("last_click_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session windows: 30-minute-gap sessionization per user.
+# Spark side: native session_window aggregation (the streaming-capable
+# operator, run in batch). Oracle: gaps-and-islands (lag + cumulative sum)
+# — again an independent algorithm computing the same sessions.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT
+      user_id,
+      epoch_us(MIN(ts)) AS session_start_us,
+      COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tables.load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# null-safe semantics over the fixture log (the only NULL-bearing source)
+# ---------------------------------------------------------------------------
+@register(
+    "null_safe_aggregation",
+    oracle=f"""
+    WITH {fixtures.query_logs_values_cte()}
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(execution_time_ms) AS n_with_exec,
+      CAST(COALESCE(SUM(execution_time_ms), 0) AS BIGINT) AS total_exec_ms,
+      COUNT(CASE WHEN execution_time_ms IS NULL THEN 1 END) AS n_null_exec,
+      CAST(SUM(CASE WHEN cpu_time_ms IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cpu
+    FROM query_logs
+    """,
+)
+def null_safe_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = fixtures.query_logs_df(spark)
+    return logs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("execution_time_ms").alias("n_with_exec"),
+        F.coalesce(F.sum("execution_time_ms"), F.lit(0)).alias("total_exec_ms"),
+        F.count(
+            F.when(F.col("execution_time_ms").isNull(), F.lit(1))
+        ).alias("n_null_exec"),
+        F.sum(
+            F.when(F.col("cpu_time_ms").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_null_cpu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust central tendency: exact median + dispersion
+# ---------------------------------------------------------------------------
+@register(
+    "median_and_spread",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+      ROUND(AVG(c_acctbal), 4) AS mean_bal,
+      ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+      COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def median_and_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tables.load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

@@ -36,6 +36,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         advisor,
         core_sql,
+        core_sql2,
         dedup,
         multimodal,
         similarity,

@@ -60,8 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         # ns-as-long → µs → timestamp; sub-µs precision is dropped, same
         # as every engine that stores µs timestamps (DuckDB included).
+        # Integer `div`, not `/1000`: ns epochs exceed 2^53, so double
+        # division drifts by a few µs.
         df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
     return df
 
