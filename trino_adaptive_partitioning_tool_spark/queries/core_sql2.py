@@ -311,6 +311,23 @@ def null_safe_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # robust central tendency: exact median + dispersion
 # ---------------------------------------------------------------------------
+@register("approx_distinct_profile")
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5 approx variants — HLL approx_count_distinct + t-digest-style
+    percentile_approx, the sketches the reference pushes to Trino
+    (approx_distinct / approx_percentile). Sketch internals differ across
+    engines → rows-only check; exact twins are oracle-checked as
+    cardinality_profile / distribution_stats."""
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("price_percentiles"),
+    )
+
+
 @register(
     "median_and_spread",
     oracle="""
