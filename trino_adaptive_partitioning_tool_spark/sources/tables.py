@@ -84,6 +84,23 @@ def register_tables(
     return dfs
 
 
+def partition_layout(path: str) -> dict[str, list[str]]:
+    """Discover the partition spec of a written table from its directory
+    layout (`key=value` segments) — the Spark-side analog of the
+    reference's Iceberg `$metadata` partition-spec probe
+    (src/trino_client.py:95-107). Returns {partition_column: sorted
+    distinct values}. Local-FS walk; on a cluster the same listing comes
+    from the Hadoop FileSystem API / catalog."""
+    layout: dict[str, set[str]] = {}
+    for root, dirs, _files in os.walk(path):
+        del root
+        for d in dirs:
+            if "=" in d:
+                k, _, v = d.partition("=")
+                layout.setdefault(k, set()).add(v)
+    return {k: sorted(v) for k, v in layout.items()}
+
+
 def table_columns(spark: SparkSession, sf_dir: str, name: str) -> list[str]:
     """Schema introspection without reading data (parquet footer only).
 
