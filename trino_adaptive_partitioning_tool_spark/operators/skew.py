@@ -1,0 +1,62 @@
+"""Skew mitigation utilities (SURVEY §4.3 scale contract).
+
+Two mechanisms, composable with any join/agg in the engine:
+
+  * AQE skew-join splitting is ON by default in session.get_spark
+    (spark.sql.adaptive.skewJoin.enabled) — handles runtime-detected
+    skew with zero code changes.
+  * Explicit salting below, for when the skewed key set is known (or for
+    aggregations, which AQE skew-join doesn't cover): fan hot keys out
+    over N salt buckets, aggregate partially per salted key, then merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic row salt in [0, n_salts) — hash of all columns, not
+    rand(), so retries/recomputation see stable values."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salts)
+    )
+
+
+def salted_groupby_count(
+    df: DataFrame, key: str | Column, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase count for skewed group keys: groupBy(key, salt) partial
+    counts (spreads a hot key over n_salts reducers), then groupBy(key)
+    final merge — the same partial/final split Spark applies map-side,
+    extended across the shuffle boundary."""
+    keyc = F.col(key) if isinstance(key, str) else key
+    salted = df.select(keyc.alias("key")).transform(
+        lambda d: with_salt(d, n_salts)
+    )
+    partial = salted.groupBy("key", "__salt").agg(
+        F.count(F.lit(1)).alias("partial_count")
+    )
+    return partial.groupBy("key").agg(
+        F.sum("partial_count").alias("count")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the dim
+    side n_salts times, join on (key, salt). Shuffle spreads each hot key
+    over n_salts partitions at the cost of replicating the (small) dim.
+    Prefer broadcast() when the dim fits; this is for mid-size dims with
+    a skewed fact key."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(key)), n_salts)
+    )
+    dim_s = dim.select("*", salts)
+    return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")
