@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--execute", action="store_true")
     p.add_argument("--top-n", type=int, default=3)
+    p.add_argument(
+        "--report", action="store_true",
+        help="also write a markdown analysis report to <out>/report.md",
+    )
     return p
 
 
@@ -77,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
 
     paths = results_io.save_analysis_results(results, out_dir=args.out)
     print(f"\nResults written: {sorted(paths)} -> {args.out}/")
+
+    if args.report:
+        from .sources.report import render_report
+
+        report_path = f"{args.out}/report.md"
+        with open(report_path, "w") as fh:
+            fh.write(render_report(results))
+        print(f"Report written: {report_path}")
 
     if args.execute:
         for r in recs:

@@ -311,6 +311,24 @@ def null_safe_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # robust central tendency: exact median + dispersion
 # ---------------------------------------------------------------------------
+@register(
+    "salted_group_count",
+    oracle="""
+    SELECT lang AS key, COUNT(*) AS count
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (salt → partial → merge) must
+    be semantically IDENTICAL to the plain group-by — the oracle is the
+    plain form, so the hash check proves the salting is transparent."""
+    from ..operators import skew
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return skew.salted_groupby_count(docs, "lang", n_salts=16)
+
+
 @register("approx_distinct_profile")
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A5 approx variants — HLL approx_count_distinct + t-digest-style
