@@ -312,6 +312,57 @@ def null_safe_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # robust central tendency: exact median + dispersion
 # ---------------------------------------------------------------------------
 @register(
+    "pivot_api_segment_status",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+      CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+      CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_api_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API pivot (columns from data values) — the relational
+    PIVOT operator; oracle is the dialect-neutral CASE form."""
+    customer = tables.load_table(spark, sf_dir, "customer")
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): Spark's native unpivot/melt operator."""
+    part = tables.load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
     "salted_group_count",
     oracle="""
     SELECT lang AS key, COUNT(*) AS count

@@ -40,6 +40,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         similarity,
+        streaming_q,
         text,
     )
 

@@ -1,0 +1,45 @@
+"""Structured Streaming queries surfaced through the driver contract.
+
+Each call provisions a fresh file-stream source from the deterministic
+fixture log, drains it with an availableNow trigger, and returns the
+materialized result — a real streaming execution (watermark, windowed
+state), not a batch rewrite. rows-only checks: the stream==batch
+equivalence is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import fixtures
+from ..streaming import query_log_stream as qls
+from .registry import register
+
+
+def _drain(spark: SparkSession, build) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="tapt_stream_")
+    fixtures.query_logs_df(spark).coalesce(2).write.mode("overwrite").json(
+        f"{tmp}/logs"
+    )
+    stream = qls.stream_query_logs(spark, f"{tmp}/logs")
+    name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(build(stream), name, f"{tmp}/ckpt")
+
+
+@register("streaming_window_rollup")
+def streaming_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window resource rollup executed as a stream."""
+    return _drain(
+        spark, lambda s: qls.windowed_resource_rollup(s, "1 day", "2 days")
+    )
+
+
+@register("streaming_interactive_share")
+def streaming_interactive_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-vs-batch share per window, executed as a stream."""
+    return _drain(
+        spark, lambda s: qls.interactive_share_stream(s, "1 day", "2 days")
+    )
