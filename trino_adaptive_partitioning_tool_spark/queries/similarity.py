@@ -66,7 +66,15 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_duplicates")
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) via LSH self-join.
-    rows-only check."""
+    """Embedding-cosine near-dup pairs via LSH self-join. rows-only check.
+
+    Thresholds are tuned DOWN for the synthetic corpus (max pairwise
+    cosine is ~0.60 at every sf — there are no planted near-dups), so the
+    candidate-join + verify path actually produces rows: cos ≥ 0.35 with
+    5-plane buckets (59 true pairs ≥0.4 at sf0.01; LSH recall is partial
+    by design). Production defaults live on the operator (0.95 / 12
+    planes)."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return ops.cosine_near_duplicates(emb, threshold=0.95)
+    return ops.cosine_near_duplicates(
+        emb, threshold=0.35, n_planes=5, n_tables=6
+    )
