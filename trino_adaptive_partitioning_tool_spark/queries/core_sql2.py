@@ -312,6 +312,77 @@ def null_safe_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # robust central tendency: exact median + dispersion
 # ---------------------------------------------------------------------------
 @register(
+    "json_extract_rollup",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (F9 family) aggregated
+    per group — get_json_object stays JVM-side, no UDF."""
+    events = tables.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "array_agg_lines",
+    oracle="""
+    SELECT
+      l_orderkey,
+      list_sort(list(l_linenumber)) AS line_numbers,
+      CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    GROUP BY l_orderkey
+    """,
+)
+def array_agg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list) with deterministic ordering."""
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_orderkey") <= 1000)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "string_agg_brands",
+    oracle="""
+    SELECT
+      p_type,
+      string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands,
+      COUNT(DISTINCT p_brand) AS n_brands
+    FROM part
+    GROUP BY p_type
+    """,
+)
+def string_agg_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation (listagg/group_concat form)."""
+    part = tables.load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("p_brand")), ","
+        ).alias("brands"),
+        F.count_distinct("p_brand").alias("n_brands"),
+    )
+
+
+@register(
     "pivot_api_segment_status",
     oracle="""
     SELECT
