@@ -302,14 +302,19 @@ _shared_sql(
     SELECT c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%'
     )
     """,
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — customers with no orders."""
+    """Left-anti join (NOT EXISTS) — customers with no URGENT order.
+    (The unfiltered variant is empty at every sf — the synthetic data is
+    dense — which would make the hash check trivially true.)"""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").startswith("1")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
