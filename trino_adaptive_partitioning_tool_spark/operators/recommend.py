@@ -23,19 +23,25 @@ from . import mining, scoring, stats, transforms
 
 def view_columns_df(
     spark: SparkSession, sf_dir: str, views_df: DataFrame
-) -> DataFrame:
-    """(view, table, column) candidate rows from real parquet schemas.
+) -> tuple[DataFrame, list[str]]:
+    """((view, table, column) candidate rows, distinct table names) from
+    real parquet schemas.
 
     Replaces the reference's per-view information_schema.columns round
-    trips (src/cli.py:43-57) with metadata-only schema reads.
+    trips (src/cli.py:43-57) with metadata-only schema reads. The table
+    list is returned driver-side so callers don't need a second Spark
+    job (`distinct().collect()`) to recover it.
     """
     view_rows = [
         (f"{r['table_schema']}.{r['table_name']}", r["table_name"])
         for r in views_df.select("table_schema", "table_name").collect()
     ]
     rows = []
+    table_names: list[str] = []
     for view, table in view_rows:
         if table in tables.TABLES:
+            if table not in table_names:
+                table_names.append(table)
             for c in tables.table_columns(spark, sf_dir, table):
                 rows.append((view, table, c))
     schema = T.StructType(
@@ -45,7 +51,7 @@ def view_columns_df(
             T.StructField("column", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame(rows, schema=schema), sorted(table_names)
 
 
 def run_analysis(
@@ -69,11 +75,8 @@ def run_analysis(
         logs = logs.where(time_filter)
 
     mined_logs = mining.mine_query_log(logs).cache()
-    candidates = view_columns_df(spark, sf_dir, views)
+    candidates, table_names = view_columns_df(spark, sf_dir, views)
 
-    table_names = sorted(
-        {r["table"] for r in candidates.select("table").distinct().collect()}
-    )
     profiled = stats.profile_tables(
         {t: tables.load_table(spark, sf_dir, t) for t in table_names},
         exact=exact_stats,
