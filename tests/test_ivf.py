@@ -1,0 +1,50 @@
+"""IVF ANN: self-recall, determinism, and recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SMOKE_SF_DIR
+
+from trino_adaptive_partitioning_tool_spark.operators import ivf, similarity
+from trino_adaptive_partitioning_tool_spark.sources import tables
+
+
+def _queries(emb, n=5):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_ivf_self_match_and_recall(spark):
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    q = _queries(emb)
+    approx = ivf.ivf_topk(emb, q, k=5, n_cells=8, nprobe=3).collect()
+    # each query's own vector lives in its nearest cell → rank-1 self hit
+    self_hits = [r for r in approx if r["rank"] == 1]
+    assert all(r["query_id"] == r["vec_id"] for r in self_hits)
+
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, recall  # nprobe=3/8 cells on unclustered data
+
+
+def test_ivf_deterministic(spark):
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    q = _queries(emb, 3)
+    a = sorted(map(tuple, ivf.ivf_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, ivf.ivf_topk(emb, q, k=3).collect()))
+    assert a == b
+
+
+def test_inverted_file_is_partitionable(spark, tmp_path):
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    model = ivf.train_quantizer(emb, n_cells=8)
+    inverted = ivf.assign_cells(emb, model)
+    dest = str(tmp_path / "ivf_cells")
+    inverted.write.partitionBy("cell").parquet(dest)
+    layout = tables.partition_layout(dest)
+    assert set(layout) == {"cell"}
+    assert 1 < len(layout["cell"]) <= 8

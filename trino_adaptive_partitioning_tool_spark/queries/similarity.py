@@ -64,6 +64,21 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.lsh_bucketed_topk(emb, queries, k=_K)
 
 
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell) approximate top-k — the partition-pruned ANN
+    path: a query scans nprobe cells, not the corpus. rows-only check
+    (k-means assignment isn't SQL-reproducible); recall vs the oracle-
+    checked brute-force query is asserted in tests."""
+    from ..operators import ivf
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf.ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=4)
+
+
 @register("embedding_near_duplicates")
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH self-join. rows-only check.
