@@ -130,6 +130,85 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.fingerprints(docs).select("doc_id", "content_md5")
 
 
+@register(
+    "text_bpe_token_counts",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+        AS bpe_token_count,
+      CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+        AS ws_token_count,
+      CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT)
+        AS vowel_count
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization count: word pieces + standalone punctuation
+    (`\\w+|[^\\w\\s]`) — the pre-tokenizer regex family BPE vocabularies
+    train over — next to plain whitespace counts. All regexp_extract_all,
+    JVM-side."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    def _count(pattern: str, src=F.col("text")):
+        return F.size(F.regexp_extract_all(src, F.lit(pattern), F.lit(0))).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        _count(r"\w+|[^\w\s]").alias("bpe_token_count"),
+        _count(r"[^\s]+").alias("ws_token_count"),
+        _count(r"[aeiou]", F.lower(F.col("text"))).alias("vowel_count"),
+    )
+
+
+@register(
+    "dataset_quality_audit",
+    oracle="""
+    SELECT 'documents' AS table_name, 'text' AS column_name,
+           COUNT(*) AS total_rows,
+           COUNT(text) AS non_null,
+           ROUND(1.0 - CAST(COUNT(text) AS DOUBLE) / COUNT(*), 4) AS null_rate,
+           COUNT(DISTINCT text) AS distinct_values
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'lang', COUNT(*), COUNT(lang),
+           ROUND(1.0 - CAST(COUNT(lang) AS DOUBLE) / COUNT(*), 4),
+           COUNT(DISTINCT lang)
+    FROM documents
+    UNION ALL
+    SELECT 'events', 'value', COUNT(*), COUNT(value),
+           ROUND(1.0 - CAST(COUNT(value) AS DOUBLE) / COUNT(*), 4),
+           COUNT(DISTINCT value)
+    FROM events
+    """,
+)
+def dataset_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness audit (null rates, NDV) — the data-quality
+    gate a training pipeline runs before ingestion. One agg per table."""
+    from pyspark.sql import functions as F
+
+    def leg(table: str, col: str) -> DataFrame:
+        df = tables.load_table(spark, sf_dir, table)
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("total_rows"),
+            F.count(col).alias("non_null"),
+            F.round(
+                1.0 - F.count(col).cast("double") / F.count(F.lit(1)), 4
+            ).alias("null_rate"),
+            F.count_distinct(F.col(col)).alias("distinct_values"),
+        )
+
+    return (
+        leg("documents", "text")
+        .unionByName(leg("documents", "lang"))
+        .unionByName(leg("events", "value"))
+    )
+
+
 @register("text_winnow_fingerprints")
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style shingle-hash fingerprints (xxhash64 → rows-only)."""
