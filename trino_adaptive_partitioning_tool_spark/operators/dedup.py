@@ -91,13 +91,45 @@ def minhash_signatures(
     (constant x row) — measured 50x slower than this codegen'd aggregate
     form at sf0.1.
     """
+    from pyspark.sql import Window
+
     consts = _xor_family_constants(num_hashes)
-    shingled = docs.select(
+    # Shingle hashing entirely in codegen: hash each token once, then a
+    # k-token shingle hash is xxhash64 over k consecutive token hashes
+    # (lead() window per doc). No string concatenation, no interpreted
+    # array HOFs — the per-token shuffle this costs is the same magnitude
+    # as the minhash groupBy that follows anyway.
+    toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_expr(tokens_expr(text_col), shingle_k)).alias(
-            "shingle"
-        ),
-    ).select("id", F.xxhash64(F.col("shingle")).alias("h"))
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    th = F.xxhash64("token")
+    lead_hashes = [th] + [
+        F.xxhash64(F.lead("token", i).over(w)) for i in range(1, shingle_k)
+    ]
+    shingled = (
+        toks.select(
+            "id",
+            F.when(
+                F.lead("token", shingle_k - 1).over(w).isNotNull(),
+                F.xxhash64(*lead_hashes),
+            ).alias("h"),
+        )
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    # documents shorter than k tokens have no complete shingle — they
+    # contribute one whole-text hash so they still get a signature
+    short = docs.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("h"),
+    ).where(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) < shingle_k
+    )
+    shingled = shingled.unionByName(short)
     aggs = [
         F.min(F.col("h").bitwiseXOR(F.lit(c).cast("bigint"))).alias(f"h{i}")
         for i, c in enumerate(consts)
