@@ -131,6 +131,28 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lateral_explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-in-SQL surface: LATERAL VIEW explode (one row → many rows),
+    matching DuckDB's unnest multiset exactly."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    docs.where("doc_id < 50").createOrReplaceTempView("docs_lv")
+    return docs.sparkSession.sql(
+        r"""
+        SELECT doc_id, tok
+        FROM docs_lv
+        LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS tok
+        """
+    )
+
+
+@register(
     "text_bpe_token_counts",
     oracle="""
     SELECT
