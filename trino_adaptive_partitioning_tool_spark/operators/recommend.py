@@ -74,13 +74,19 @@ def run_analysis(
     if time_filter is not None:
         logs = logs.where(time_filter)
 
+    # Both stats frames are dimension-sized (one row per column / mined
+    # token) regardless of data scale; cache() makes every downstream
+    # consumer reuse one materialization of the expensive subtrees (the
+    # wide per-table aggregations, the Python mining UDF) instead of
+    # re-running them per join branch. At 100 TB the cached frames are
+    # still only O(columns) rows.
     mined_logs = mining.mine_query_log(logs).cache()
     candidates, table_names = view_columns_df(spark, sf_dir, views)
 
     profiled = stats.profile_tables(
         {t: tables.load_table(spark, sf_dir, t) for t in table_names},
         exact=exact_stats,
-    )
+    ).cache()
 
     usage = scoring.weighted_column_usage(
         candidates.select("view", "column"), views, logs, mined_logs

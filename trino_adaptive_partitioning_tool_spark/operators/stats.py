@@ -90,21 +90,28 @@ def column_profiles(
                     )
                 )
         if _is_datetime(dtypes[c]):
-            aggs.append(F.count_distinct(F.to_date(col)).alias(f"{c}__days"))
-            aggs.append(
-                F.count_distinct(F.date_trunc("month", col)).alias(f"{c}__months")
-            )
-            aggs.append(F.count_distinct(F.year(col)).alias(f"{c}__years"))
+            # exact path: COUNT(DISTINCT ...) like the reference probe; the
+            # approx path swaps in HLL so the agg stays Expand-free (three
+            # distinct aggregates per datetime column would multiply every
+            # input row through a Catalyst Expand — ruinous at 100 TB).
+            ndv = F.count_distinct if exact else F.approx_count_distinct
+            aggs.append(ndv(F.to_date(col)).alias(f"{c}__days"))
+            aggs.append(ndv(F.date_trunc("month", col)).alias(f"{c}__months"))
+            aggs.append(ndv(F.year(col)).alias(f"{c}__years"))
 
     wide = df.agg(*aggs)
 
     null_d = F.lit(None).cast("double")
     null_l = F.lit(None).cast("bigint")
+    null_a = F.lit(None).cast("array<double>")
+    # Keep the struct fields raw (min/max/pct array as-is); derived values
+    # (value_range, p10/p50/p90 extraction) are projected AFTER the explode
+    # so the analyzer sees ~12 expressions per column here instead of ~17
+    # with casts/arithmetic — plan-compile time scales with this tree.
     structs = []
     for c in cols:
         numeric = _is_numeric(dtypes[c])
         dt = _is_datetime(dtypes[c])
-        pct = F.col(f"{c}__pct") if numeric else None
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -115,13 +122,10 @@ def column_profiles(
                 (F.col(f"{c}__min") if numeric else null_d).alias("min_value"),
                 (F.col(f"{c}__max") if numeric else null_d).alias("max_value"),
                 (
-                    (F.col(f"{c}__max") - F.col(f"{c}__min"))
+                    F.col(f"{c}__pct").cast("array<double>")
                     if numeric
-                    else null_d
-                ).alias("value_range"),
-                (pct[0].cast("double") if numeric else null_d).alias("p10"),
-                (pct[1].cast("double") if numeric else null_d).alias("p50"),
-                (pct[2].cast("double") if numeric else null_d).alias("p90"),
+                    else null_a
+                ).alias("pct"),
                 (F.col(f"{c}__days") if dt else null_l).alias("day_count"),
                 (F.col(f"{c}__months") if dt else null_l).alias("month_count"),
                 (F.col(f"{c}__years") if dt else null_l).alias("year_count"),
@@ -132,6 +136,14 @@ def column_profiles(
         wide.select(F.explode(F.array(*structs)).alias("p"))
         .select(F.lit(table).alias("table"), "p.*")
     )
+    long = long.withColumns(
+        {
+            "value_range": F.col("max_value") - F.col("min_value"),
+            "p10": F.element_at("pct", 1),
+            "p50": F.element_at("pct", 2),
+            "p90": F.element_at("pct", 3),
+        }
+    ).drop("pct")
     return long.withColumns(
         {
             # skew_ratio = p90/p10, 1.0 when undefined (p10 == p90 or p10

@@ -49,6 +49,15 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+# Raw (pre-nanos-fix) schema per parquet path. Every schema-less
+# spark.read.parquet launches a footer-inference job; the advisor pipeline
+# loads each table several times (candidate enumeration + profiling +
+# scoring), so pay that job once per path and pass the schema explicitly
+# afterwards. Keyed by path only — schemas are a property of the files,
+# not the session.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = _nano_ts_columns(path)
@@ -56,7 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # must work with ANY caller-provided session (the driver builds its
         # own), so set the legacy nanos conf at runtime, not session build
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     for c in nano_cols:
         # ns-as-long → µs → timestamp; sub-µs precision is dropped, same
         # as every engine that stores µs timestamps (DuckDB included).
