@@ -110,17 +110,18 @@ def minhash_signatures(
     lead_hashes = [th] + [
         F.xxhash64(F.lead("token", i).over(w)) for i in range(1, shingle_k)
     ]
-    shingled = (
-        toks.select(
-            "id",
-            F.when(
-                F.lead("token", shingle_k - 1).over(w).isNotNull(),
-                F.xxhash64(*lead_hashes),
-            ).alias("h"),
-        )
-        .where(F.col("h").isNotNull())
-        .distinct()
-    )
+    # No distinct() on (id, h): min(h XOR c) over a multiset equals min
+    # over the set, so duplicate shingles can't change any signature —
+    # and dropping it removes a whole extra shuffle of the shingle
+    # stream. The window already hash-partitioned by id, so the groupBy
+    # below reuses that distribution with no further exchange.
+    shingled = toks.select(
+        "id",
+        F.when(
+            F.lead("token", shingle_k - 1).over(w).isNotNull(),
+            F.xxhash64(*lead_hashes),
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
     # documents shorter than k tokens have no complete shingle — they
     # contribute one whole-text hash so they still get a signature
     short = docs.select(
