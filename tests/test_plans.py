@@ -59,3 +59,30 @@ def test_referenced_columns_plan_mining(spark):
     cols = pi.referenced_columns(df)
     assert "c_acctbal" in cols["filter_columns"]
     assert {"o_custkey", "c_custkey"} <= set(cols["join_columns"])
+
+
+def test_tpch_sweep_dimension_joins_broadcast(spark):
+    """The new shape sweep keeps dimension joins broadcast (no sort-merge
+    shuffle of nation/supplier-sized sides at the test scale)."""
+    for name in ("volume_shipping_bilateral", "returned_item_revenue_topk"):
+        strategies = pi.join_strategies(_QS[name](spark, SMOKE_SF_DIR))
+        assert strategies, f"{name}: expected joins"
+        assert all(s == "BroadcastHashJoin" for s in strategies), (
+            f"{name}: {strategies}"
+        )
+
+
+def test_q6_pushes_every_predicate(spark):
+    df = _QS["simple_predicate_revenue"](spark, SMOKE_SF_DIR)
+    pushed = " ".join(pi.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert pi.has_partial_aggregation(df)
+    # scan reads only the 4 referenced lineitem columns
+    schemas = pi.scan_read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+
+
+def test_gap_fill_filter_pushdown(spark):
+    df = _QS["daily_gap_fill"](spark, SMOKE_SF_DIR)
+    assert any("value" in f for f in pi.pushed_filters(df))

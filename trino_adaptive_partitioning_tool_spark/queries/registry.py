@@ -42,6 +42,7 @@ def _load_all() -> None:
         similarity,
         streaming_q,
         text,
+        timeseries,
         tpch_shapes,
     )
 

@@ -1,0 +1,142 @@
+"""Time-series completion operators over the events table.
+
+Not in the reference (its surface is partition advice); these are the
+standard OLAP time-series patterns a workload-driven engine serves:
+gap-filling a sparse daily rollup against a generated date spine, and
+forward-filling missing values with the last observation. Both are pure
+DataFrame algebra — the spine comes from `sequence()` + explode, the fill
+from `last(ignorenulls=True)` over an ordered window — so they scale as
+one shuffle per aggregation plus one window sort, no UDFs.
+
+Counts use a high-value filter (value > 200) so the daily series is
+genuinely sparse in the synthetic data (18-23 of 30 days per type at
+sf0.01) and the fill paths do real work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import tables
+from .registry import register
+
+_VALUE_THRESHOLD = 200.0
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tables.load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("value") > _VALUE_THRESHOLD)
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 0).cast("bigint").alias("sum_value"),
+        )
+    )
+
+
+def _spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day) for every type x every day in the observed range
+    — the date spine is data-driven (min/max of the filtered stream), so
+    the same query works at any scale factor."""
+    counts = _daily_counts(spark, sf_dir)
+    bounds = counts.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    types = counts.select("event_type").distinct()
+    # both sides are dimension-sized; the cross join output is
+    # |types| x |days| — still dimension-sized
+    return types.crossJoin(days)
+
+
+@register(
+    "daily_gap_fill",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(value), 0) AS BIGINT) AS sum_value
+      FROM events WHERE value > 200.0
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT MIN(day) AS mn, MAX(day) AS mx FROM counts
+    ), spine AS (
+      SELECT t.event_type, CAST(d.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM counts) t
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM bounds
+      ) d
+    )
+    SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(c.sum_value, 0) AS BIGINT) AS sum_value
+    FROM spine s
+    LEFT JOIN counts c ON s.event_type = c.event_type AND s.day = c.day
+    """,
+)
+def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily rollup: generated date spine left-joined to the sparse
+    counts, absent days filled with zero."""
+    counts = _daily_counts(spark, sf_dir)
+    spine = _spine(spark, sf_dir)
+    return spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0)).alias("sum_value"),
+    )
+
+
+@register(
+    "forward_fill_daily_value",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value), 0) AS BIGINT) AS sum_value
+      FROM events WHERE value > 200.0
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT MIN(day) AS mn, MAX(day) AS mx FROM counts
+    ), spine AS (
+      SELECT t.event_type, CAST(d.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM counts) t
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM bounds
+      ) d
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS filled_value
+    FROM spine
+    LEFT JOIN counts USING (event_type, day)
+    """,
+)
+def forward_fill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the gap-filled spine
+    (`last(ignorenulls=True)` ordered window; leading gaps stay NULL)."""
+    counts = _daily_counts(spark, sf_dir).drop("n_events")
+    spine = _spine(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

@@ -335,3 +335,32 @@ _shared_sql(
     ORDER BY numwait DESC, s_name
     """,
 )
+
+# Q6 shape: the classic fully-pushable selective-predicate aggregate (no
+# join, no group — predicate pushdown + map-side partial sum is the whole
+# query)
+_shared_sql(
+    "simple_predicate_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+
+# histogram shape: fixed-width value bucketing (width_bucket analog via
+# FLOOR + LEAST clamp) — the binning behind dashboard score histograms
+# (reference ui/app.py:416-421)
+_shared_sql(
+    "order_price_histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS bucket_value
+    FROM orders
+    GROUP BY CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS BIGINT)
+    """,
+)
