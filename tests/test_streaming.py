@@ -57,3 +57,31 @@ def test_interactive_share_stream(spark, tmp_path):
     total = sum(r["query_count"] for r in rows)
     assert total == len(fixtures.QUERY_LOG_ROWS)
     assert {r["is_interactive"] for r in rows} == {True, False}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream click→purchase attribution join must
+    produce exactly the rows of the equivalent batch interval join."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from trino_adaptive_partitioning_tool_spark.streaming import stream_join as sj
+
+    events = tables.load_table(spark, SMOKE_SF_DIR, "events").where(
+        "event_type IN ('click', 'purchase')"
+    )
+    in_dir = str(tmp_path / "events")
+    events.coalesce(2).write.mode("overwrite").json(in_dir)
+
+    stream = sj.stream_events_json(spark, in_dir)
+    assert stream.isStreaming
+    got = sj.run_append_available_now(
+        sj.click_purchase_interval_join(stream),
+        "sjoin_test",
+        str(tmp_path / "ckpt"),
+    ).collect()
+
+    want = sj.click_purchase_interval_join(events).collect()
+    key = lambda r: (r["click_id"], r["purchase_id"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == len(want) and len(want) > 0

@@ -43,3 +43,28 @@ def streaming_interactive_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         spark, lambda s: qls.interactive_share_stream(s, "1 day", "2 days")
     )
+
+
+@register("streaming_click_attribution")
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a same-user
+    click within 1 hour, both sides watermarked (append mode)."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..sources import tables
+    from ..streaming import stream_join as sj
+
+    tmp = _tf.mkdtemp(prefix="tapt_sjoin_")
+    (
+        tables.load_table(spark, sf_dir, "events")
+        .where("event_type IN ('click', 'purchase')")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(f"{tmp}/events")
+    )
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    name = f"stream_j_{_uuid.uuid4().hex[:8]}"
+    return sj.run_append_available_now(
+        sj.click_purchase_interval_join(stream), name, f"{tmp}/ckpt"
+    )

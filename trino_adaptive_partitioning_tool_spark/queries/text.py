@@ -236,3 +236,34 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style shingle-hash fingerprints (xxhash64 → rows-only)."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.fingerprints(docs).select("doc_id", "winnow_fp", "winnow_size")
+
+
+@register(
+    "corpus_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM tok
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: explode → count → top-k. The exact form
+    is the oracle-checkable baseline for frequency analysis; at 100 TB the
+    same plan holds (map-side partial counts shuffle one row per distinct
+    token, and TakeOrderedAndProject caps the driver result at k)."""
+    from pyspark.sql import functions as F
+    from ..operators.dedup import tokens_expr
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )

@@ -1,0 +1,119 @@
+"""Stream-stream interval join (SURVEY §2.9 extension — absent in the
+batch-only reference).
+
+Two event streams (clicks and purchases tailed from the same file
+source) are joined per user within a bounded event-time interval:
+purchase.ts in [click.ts, click.ts + max_gap]. Both sides carry
+watermarks, so Spark can bound the join state buffer and emit in append
+mode — the canonical attribution-join topology. At scale the state store
+holds only the watermark window per key, independent of total history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events_json(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Tail a directory of JSON-lines event files as a stream."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+
+def _sides(events: DataFrame, watermark: str):
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks, purchases
+
+
+def click_purchase_interval_join(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Purchases attributed to a preceding click by the same user within
+    `max_gap`. Works identically on a streaming or batch `events` frame —
+    the tests run both and assert equality."""
+    clicks, purchases = _sides(events, watermark) if events.isStreaming else (
+        # batch twin: same projections, no watermark needed
+        events.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ),
+        events.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ),
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return (
+        clicks.join(purchases, cond, "inner")
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            "purchase_value",
+        )
+    )
+
+
+def run_append_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drain an append-mode stream (joins can't run in complete mode)
+    into an in-memory table and return the materialized result."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
