@@ -97,3 +97,14 @@ def referenced_columns(df: DataFrame) -> dict[str, list[str]]:
         elif s.startswith("Join"):
             joins.update(re.findall(r"(\w+)#\d+", s))
     return {"filter_columns": sorted(filters), "join_columns": sorted(joins)}
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-level predicates on file scans (static pruning from a
+    key=value directory layout, plus `dynamicpruningexpression` entries
+    injected by runtime DPP)."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
