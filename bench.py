@@ -33,6 +33,11 @@ HEADLINE_QUERIES = [
     "range_interval_join",
     "asof_last_click_before_purchase",
     "sessionize_events",
+    # TPC-H shape sweep + time-series completion
+    "simple_predicate_revenue",
+    "volume_shipping_bilateral",
+    "customer_order_count_distribution",
+    "daily_gap_fill",
     # advisor pipeline (fixture-driven stages + full end-to-end)
     "resource_scores",
     "table_exec_rollup",
@@ -40,10 +45,12 @@ HEADLINE_QUERIES = [
     "partition_recommendations",
     # LLM-data-pipeline extensions
     "dedup_exact",
+    "dedup_keep_canonical",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_quality_scores",
     "text_token_stats",
+    "corpus_top_tokens",
 ]
 
 

@@ -132,3 +132,29 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return ops.token_jaccard_pairs(docs, cands, threshold=0.7)
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents GROUP BY text
+    )
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: keep exactly one (lowest-id) row
+    per distinct text. Implemented as a rank-1 window over the text key —
+    one shuffle on the dedup key, no join back against the corpus (the
+    IN-subquery oracle form would be a second pass at 100 TB)."""
+    from pyspark.sql.window import Window
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
