@@ -313,3 +313,146 @@ def partition_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import recommend
 
     return recommend.recommendations(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# A8/O1 — composite partition scoring, hash-checked end-to-end.
+#
+# The miner (the one non-SQL stage) is a PURE function, so its
+# deterministic output over the fixture log is rendered as a VALUES CTE
+# from the same source of truth the Spark side mines at runtime; the
+# oracle then reproduces usage/cardinality/perf joins, the band bonus,
+# and the capped perf points entirely in SQL over the real tables.
+# ---------------------------------------------------------------------------
+def _mined_fixture_rows() -> list[tuple]:
+    from ..operators import mining
+
+    rows: list[tuple] = []
+    for r in fixtures.QUERY_LOG_ROWS:
+        rows.extend(mining._explode_mined(r[0], mining.mine_statement(r[1])))
+    # limit_marker rows carry name='' — harmless, filtered by kind below
+    return rows
+
+
+_MINED_CTE = fixtures._values_cte(
+    "mined", ("query_id", "kind", "name", "cnt"), _mined_fixture_rows()
+)
+
+
+def _ndv_legs() -> str:
+    legs = []
+    for view, col in fixtures.VIEW_COLUMN_ROWS:
+        table = view.split(".")[1]
+        legs.append(
+            f"SELECT '{view}' AS view_name, '{col}' AS column_name,\n"
+            f"       COUNT(DISTINCT {col}) AS distinct_count FROM {table}"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+def _scored_sql() -> str:
+    return f"""
+    WITH {_LOGS_CTE},
+    {_VIEWS_CTE},
+    {_VIEW_COLS_CTE},
+    {_MINED_CTE},
+    usage_all AS (
+      SELECT name, CAST(SUM(wf) AS BIGINT) AS weighted_frequency FROM (
+        SELECT vc.column_name AS name,
+               CAST(SUM(cv.query_count) AS BIGINT) AS wf
+        FROM view_columns vc
+        JOIN catalog_views cv
+          ON vc.view_name = cv.table_schema || '.' || cv.table_name
+        WHERE cv.table_type = 'MATERIALIZED VIEW'
+        GROUP BY vc.column_name
+        UNION ALL
+        SELECT name, CAST(SUM(cnt) AS BIGINT)
+        FROM mined WHERE kind = 'join_column' GROUP BY name
+        UNION ALL
+        SELECT name, CAST(SUM(cnt) AS BIGINT)
+        FROM mined WHERE kind = 'table' GROUP BY name
+      ) u GROUP BY name
+    ),
+    colperf AS (
+      SELECT m.name,
+             CAST(SUM(l.execution_time_ms * m.cnt) AS BIGINT)
+               AS col_execution_time_ms
+      FROM mined m JOIN query_logs l USING (query_id)
+      WHERE m.kind IN ('join_column', 'where_column')
+      GROUP BY m.name
+    ),
+    ndv AS (
+      {_ndv_legs()}
+    )
+    SELECT n.view_name, n.column_name,
+      CAST(COALESCE(u.weighted_frequency, 0) AS BIGINT) AS weighted_frequency,
+      CAST(n.distinct_count AS BIGINT) AS distinct_count,
+      CAST(COALESCE(p.col_execution_time_ms, 0) AS BIGINT)
+        AS col_execution_time_ms,
+      ROUND(
+        COALESCE(u.weighted_frequency, 0) * 1.0
+        + CASE WHEN n.distinct_count < 10 THEN 5.0
+               WHEN n.distinct_count < 100 THEN 10.0
+               WHEN n.distinct_count < 1000 THEN 8.0
+               WHEN n.distinct_count < 10000 THEN 5.0
+               ELSE 1.0 END
+        + LEAST(CAST(COALESCE(p.col_execution_time_ms, 0) AS DOUBLE)
+                / 1000.0, 50.0),
+      4) AS score
+    FROM ndv n
+    LEFT JOIN usage_all u ON u.name = n.column_name
+    LEFT JOIN colperf p ON p.name = n.column_name
+    """
+
+
+def _scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import recommend
+
+    res = recommend.run_analysis(spark, sf_dir, exact_stats=True)
+    return res["column_scores"].select(
+        F.col("view").alias("view_name"),
+        F.col("column").alias("column_name"),
+        F.col("weighted_frequency").cast("bigint").alias("weighted_frequency"),
+        F.col("distinct_count").cast("bigint").alias("distinct_count"),
+        F.col("col_execution_time_ms").cast("bigint").alias(
+            "col_execution_time_ms"
+        ),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@register("partition_scores_exact", oracle=_scored_sql())
+def partition_scores_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 composite scores for every candidate, via the production
+    pipeline (run_analysis with exact stats) — hash-checked."""
+    return _scored_spark(spark, sf_dir)
+
+
+@register(
+    "top_partition_candidates",
+    oracle=f"""
+    WITH scored AS ({_scored_sql()})
+    SELECT view_name, column_name, score, candidate_rank FROM (
+      SELECT view_name, column_name, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY view_name
+               ORDER BY score DESC, column_name
+             ) AS BIGINT) AS candidate_rank
+      FROM scored WHERE score > 0
+    ) r WHERE candidate_rank <= 3
+    """,
+)
+def top_partition_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 per-view top-3 positive-score candidates — hash-checked."""
+    from pyspark.sql.window import Window
+
+    scored = _scored_spark(spark, sf_dir)
+    w = Window.partitionBy("view_name").orderBy(
+        F.col("score").desc(), "column_name"
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .withColumn("candidate_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("candidate_rank") <= 3)
+        .select("view_name", "column_name", "score", "candidate_rank")
+    )
