@@ -109,3 +109,40 @@ def test_top_candidates_respects_n_and_positive_scores(spark):
     v1 = [r for r in top if r["view"] == "v1"]
     assert len(v1) == 3 and [r["column"] for r in v1] == ["a", "b", "c"]
     assert not [r for r in top if r["view"] == "v2"]  # score>0 filter
+
+
+def test_candidate_kind_map_matches_schemas(spark):
+    """_CANDIDATE_KINDS (drives generated oracle SQL) must agree with the
+    real parquet dtypes and cover every fixture candidate column."""
+    from conftest import PARITY_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.queries.advisor import (
+        _CANDIDATE_KINDS,
+    )
+    from trino_adaptive_partitioning_tool_spark.sources import fixtures, tables
+
+    def kind_of(dtype: str) -> str:
+        base = dtype.split("(")[0]
+        if base in ("date", "timestamp", "timestamp_ntz"):
+            return "date"
+        if base in ("string", "varchar", "char"):
+            return "str"
+        if base in ("int", "bigint", "smallint", "tinyint"):
+            return "int"
+        return "other"
+
+    seen = set()
+    for view, col in fixtures.VIEW_COLUMN_ROWS:
+        table = view.split(".")[1]
+        dtypes = dict(
+            tables.load_table(spark, PARITY_SF_DIR, table).dtypes
+        )
+        assert col in _CANDIDATE_KINDS, f"missing kind for {col}"
+        assert _CANDIDATE_KINDS[col] == kind_of(dtypes[col]), (
+            f"{table}.{col}: map says {_CANDIDATE_KINDS[col]}, "
+            f"schema says {kind_of(dtypes[col])} ({dtypes[col]})"
+        )
+        seen.add(col)
+    assert seen == set(_CANDIDATE_KINDS), (
+        f"stale kind-map entries: {set(_CANDIDATE_KINDS) - seen}"
+    )

@@ -456,3 +456,111 @@ def top_partition_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("candidate_rank") <= 3)
         .select("view_name", "column_name", "score", "candidate_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11/F7 — final DDL assembly, hash-checked. Transform policy legs are
+# generated per candidate column from a static kind map (kept honest by a
+# unit test against the real parquet schemas); the script is compared
+# without its score-header line because Java's %.1f (HALF_UP) and C
+# printf (half-even) can legitimately differ at x.x5 — total_score is
+# compared separately at 4 digits instead.
+# ---------------------------------------------------------------------------
+_CANDIDATE_KINDS: dict[str, str] = {
+    # date/timestamp → granularity probe; str → bucket(16)/identity;
+    # int → bucket/truncate/identity; other → identity
+    "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+    "o_totalprice": "other", "o_orderdate": "date", "o_orderpriority": "str",
+    "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+    "l_linenumber": "int", "l_quantity": "other", "l_extendedprice": "other",
+    "l_discount": "other", "l_tax": "other", "l_returnflag": "str",
+    "l_linestatus": "str", "l_shipdate": "date",
+    "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+    "c_acctbal": "other", "c_mktsegment": "str",
+    "event_id": "int", "ts": "date", "user_id": "int", "event_type": "str",
+    "value": "other", "props": "str",
+    "p_partkey": "int", "p_name": "str", "p_brand": "str", "p_type": "str",
+    "p_size": "int", "p_retailprice": "other",
+}
+
+
+def _transform_leg(table: str, col: str, kind: str) -> str:
+    if kind == "date":
+        return f"""(SELECT CASE
+          WHEN COUNT(DISTINCT CAST({col} AS DATE)) > 20 * COUNT(DISTINCT date_trunc('month', {col}))
+            THEN 'day({col})'
+          WHEN COUNT(DISTINCT date_trunc('month', {col})) > 8 * COUNT(DISTINCT year({col}))
+            THEN 'month({col})'
+          ELSE 'year({col})'
+        END FROM {table})"""
+    if kind == "str":
+        return f"""(SELECT CASE WHEN COUNT(DISTINCT {col}) > 10000
+          THEN 'bucket(16, {col})' ELSE '{col}' END FROM {table})"""
+    if kind == "int":
+        return f"""(SELECT CASE
+          WHEN COUNT(DISTINCT {col}) > 1000 THEN
+            'bucket(' || CAST(LEAST(GREATEST(CAST(FLOOR(COUNT(DISTINCT {col}) / 500.0) AS INTEGER), 4), 32) AS VARCHAR) || ', {col})'
+          WHEN MAX({col}) - MIN({col}) > 10000 THEN 'truncate({col}, 100)'
+          ELSE '{col}'
+        END FROM {table})"""
+    return f"'{col}'"
+
+
+def _all_transform_legs() -> str:
+    legs = []
+    for view, col in fixtures.VIEW_COLUMN_ROWS:
+        table = view.split(".")[1]
+        kind = _CANDIDATE_KINDS[col]
+        legs.append(
+            f"SELECT '{view}' AS view_name, '{col}' AS column_name,\n"
+            f"       {_transform_leg(table, col, kind)} AS transform"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+@register(
+    "partition_recommendations_exact",
+    oracle=f"""
+    WITH scored AS ({_scored_sql()}),
+    top3 AS (
+      SELECT view_name, column_name, score, candidate_rank FROM (
+        SELECT view_name, column_name, score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY view_name ORDER BY score DESC, column_name
+               ) AS candidate_rank
+        FROM scored WHERE score > 0
+      ) r WHERE candidate_rank <= 3
+    ),
+    trans AS (
+      {_all_transform_legs()}
+    )
+    SELECT t.view_name,
+      string_agg(t.column_name, ', ' ORDER BY t.candidate_rank)
+        AS partition_keys_csv,
+      string_agg(tr.transform, ', ' ORDER BY t.candidate_rank)
+        AS transforms_csv,
+      ROUND(SUM(t.score), 4) AS total_score,
+      'ALTER TABLE ' || t.view_name || ' REPLACE PARTITION SPEC ('
+        || string_agg(tr.transform, ', ' ORDER BY t.candidate_rank) || ');'
+        AS alter_ddl
+    FROM top3 t
+    JOIN trans tr
+      ON t.view_name = tr.view_name AND t.column_name = tr.column_name
+    GROUP BY t.view_name
+    """,
+)
+def partition_recommendations_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's final output (exact-stats variant),
+    hash-checked: keys, transforms, total score, and the ALTER line of
+    the generated script (header stripped — see note above)."""
+    from ..operators import recommend
+
+    res = recommend.run_analysis(spark, sf_dir, exact_stats=True)
+    recs = res["recommendations"]
+    return recs.where(F.size("partition_keys") > 0).select(
+        F.col("view").alias("view_name"),
+        F.array_join("partition_keys", ", ").alias("partition_keys_csv"),
+        F.array_join("transforms", ", ").alias("transforms_csv"),
+        F.round("total_score", 4).alias("total_score"),
+        F.substring_index("script", "\n", -1).alias("alter_ddl"),
+    )
