@@ -489,3 +489,37 @@ def median_and_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension — distribution-ranking windows missing from the base
+# suite: NTILE quartiles, PERCENT_RANK, CUME_DIST (exact rationals, so
+# cross-engine double comparison is stable)
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "ranking_distribution_suite",
+    """
+    SELECT c_mktsegment, c_custkey,
+      CAST(NTILE(4) OVER w AS BIGINT) AS acctbal_quartile,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      ROUND(CUME_DIST() OVER w, 6) AS cume_distribution
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# fuzzy matching — edit-distance pairs over the distinct name domain
+# (blocked self-join + levenshtein; the dedup-adjacent string operator)
+# ---------------------------------------------------------------------------
+_shared_sql(
+    "part_name_fuzzy_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+    FROM names a
+    JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
