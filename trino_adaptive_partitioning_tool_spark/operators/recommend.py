@@ -61,6 +61,7 @@ def run_analysis(
     views_df: DataFrame | None = None,
     time_filter=None,
     exact_stats: bool = False,
+    profile_percentiles: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full analysis; returns every intermediate as a DataFrame.
 
@@ -86,6 +87,7 @@ def run_analysis(
     profiled = stats.profile_tables(
         {t: tables.load_table(spark, sf_dir, t) for t in table_names},
         exact=exact_stats,
+        percentiles=profile_percentiles,
     ).cache()
 
     usage = scoring.weighted_column_usage(

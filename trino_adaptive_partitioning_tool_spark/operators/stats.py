@@ -53,6 +53,7 @@ def column_profiles(
     table: str,
     columns: list[str] | None = None,
     exact: bool = False,
+    percentiles: bool = True,
 ) -> DataFrame:
     """Profile every (profilable) column of `df` in one aggregation.
 
@@ -64,7 +65,11 @@ def column_profiles(
 
     `exact=True` swaps approx sketches (HLL / approx percentiles — the
     reference's approx_distinct / approx_percentile family) for exact
-    variants, used by oracle-checked queries.
+    variants, used by oracle-checked queries. `percentiles=False` skips
+    the percentile aggregates entirely (p10/p50/p90 come back NULL,
+    skew_ratio 1.0) — callers that only need cardinality/range/
+    granularity (the scoring+transform path) shouldn't pay for a sort
+    aggregate per numeric column.
     """
     dtypes = dict(df.dtypes)
     cols = [c for c in (columns or df.columns) if _profilable(dtypes[c])]
@@ -80,15 +85,16 @@ def column_profiles(
         if _is_numeric(dtypes[c]):
             aggs.append(F.min(col).cast("double").alias(f"{c}__min"))
             aggs.append(F.max(col).cast("double").alias(f"{c}__max"))
-            pcts = F.array(*[F.lit(p) for p in PERCENTILE_POINTS])
-            if exact:
-                aggs.append(F.percentile(col, pcts).alias(f"{c}__pct"))
-            else:
-                aggs.append(
-                    F.percentile_approx(col, pcts, F.lit(PERCENTILE_ACCURACY)).alias(
-                        f"{c}__pct"
+            if percentiles:
+                pcts = F.array(*[F.lit(p) for p in PERCENTILE_POINTS])
+                if exact:
+                    aggs.append(F.percentile(col, pcts).alias(f"{c}__pct"))
+                else:
+                    aggs.append(
+                        F.percentile_approx(
+                            col, pcts, F.lit(PERCENTILE_ACCURACY)
+                        ).alias(f"{c}__pct")
                     )
-                )
         if _is_datetime(dtypes[c]):
             # exact path: COUNT(DISTINCT ...) like the reference probe; the
             # approx path swaps in HLL so the agg stays Expand-free (three
@@ -123,7 +129,7 @@ def column_profiles(
                 (F.col(f"{c}__max") if numeric else null_d).alias("max_value"),
                 (
                     F.col(f"{c}__pct").cast("array<double>")
-                    if numeric
+                    if numeric and percentiles
                     else null_a
                 ).alias("pct"),
                 (F.col(f"{c}__days") if dt else null_l).alias("day_count"),
@@ -180,12 +186,14 @@ def with_date_granularity(profiles: DataFrame) -> DataFrame:
 
 
 def profile_tables(
-    dfs: dict[str, DataFrame], exact: bool = False
+    dfs: dict[str, DataFrame], exact: bool = False, percentiles: bool = True
 ) -> DataFrame:
     """Union of per-table profiles (one agg pass each, unioned lazily)."""
     out: DataFrame | None = None
     for name, df in dfs.items():
-        p = with_date_granularity(column_profiles(df, name, exact=exact))
+        p = with_date_granularity(
+            column_profiles(df, name, exact=exact, percentiles=percentiles)
+        )
         out = p if out is None else out.unionByName(p)
     assert out is not None, "no tables to profile"
     return out

@@ -408,7 +408,11 @@ def _scored_sql() -> str:
 def _scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import recommend
 
-    res = recommend.run_analysis(spark, sf_dir, exact_stats=True)
+    # percentiles skipped: scoring/transform policy reads only
+    # distinct_count, value_range and granularity
+    res = recommend.run_analysis(
+        spark, sf_dir, exact_stats=True, profile_percentiles=False
+    )
     return res["column_scores"].select(
         F.col("view").alias("view_name"),
         F.col("column").alias("column_name"),
@@ -555,7 +559,9 @@ def partition_recommendations_exact(spark: SparkSession, sf_dir: str) -> DataFra
     the generated script (header stripped — see note above)."""
     from ..operators import recommend
 
-    res = recommend.run_analysis(spark, sf_dir, exact_stats=True)
+    res = recommend.run_analysis(
+        spark, sf_dir, exact_stats=True, profile_percentiles=False
+    )
     recs = res["recommendations"]
     return recs.where(F.size("partition_keys") > 0).select(
         F.col("view").alias("view_name"),
