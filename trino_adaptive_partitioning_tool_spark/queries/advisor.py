@@ -570,3 +570,64 @@ def partition_recommendations_exact(spark: SparkSession, sf_dir: str) -> DataFra
         F.round("total_score", 4).alias("total_score"),
         F.substring_index("script", "\n", -1).alias("alter_ddl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A10 — dashboard rollups the reference computes in pandas/plotly
+# (ui/app.py:416-421 histogram; app.py:427 interactive/batch counts),
+# here as engine queries with fixture-CTE oracles.
+# ---------------------------------------------------------------------------
+_SCORE_EXPR_SQL = """
+      COALESCE(CAST(execution_time_ms AS DOUBLE) / max_exec * 40, 0)
+      + COALESCE(CAST(cpu_time_ms AS DOUBLE) / max_cpu * 30, 0)
+      + COALESCE(CAST(input_bytes AS DOUBLE) / max_input * 15, 0)
+      + COALESCE(CAST(peak_memory_bytes AS DOUBLE) / max_mem * 15, 0)
+"""
+
+
+@register(
+    "resource_score_histogram",
+    oracle=f"""
+    WITH {_LOGS_CTE},
+    m AS (
+      SELECT MAX(execution_time_ms) AS max_exec, MAX(cpu_time_ms) AS max_cpu,
+             MAX(input_bytes) AS max_input, MAX(peak_memory_bytes) AS max_mem
+      FROM query_logs
+    )
+    SELECT CAST(LEAST(FLOOR(({_SCORE_EXPR_SQL}) / 10.0), 9.0) AS BIGINT)
+             AS score_bucket,
+           COUNT(*) AS n_queries
+    FROM query_logs, m
+    GROUP BY 1
+    """,
+)
+def resource_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten-bin histogram of composite resource scores (dashboard A10)."""
+    logs = fixtures.query_logs_df(spark)
+    scored = scoring.resource_scores(logs)
+    bucket = F.least(
+        F.floor(F.col("resource_score") / 10.0), F.lit(9.0)
+    ).cast("bigint")
+    return scored.groupBy(bucket.alias("score_bucket")).agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+@register(
+    "interactive_batch_counts",
+    oracle=f"""
+    WITH {_LOGS_CTE}
+    SELECT
+      (COALESCE(execution_time_ms < 10000, FALSE)
+       OR upper(query) LIKE '%LIMIT%') AS is_interactive,
+      COUNT(*) AS n_queries
+    FROM query_logs
+    GROUP BY 1
+    """,
+)
+def interactive_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-vs-batch share (dashboard pie, A10)."""
+    logs = fixtures.query_logs_df(spark)
+    return scoring.classify_queries(logs).groupBy("is_interactive").agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
