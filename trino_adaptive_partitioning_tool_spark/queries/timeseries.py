@@ -140,3 +140,49 @@ def forward_fill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "user_value_trend",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+             AS slope_per_day,
+           ROUND(corr(value, epoch_us(ts) / 86400000000.0), 4)
+             AS value_time_corr
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time, entirely
+    with JVM-side moment aggregates (slope = covar_pop/var_pop) — the
+    no-UDF form of grouped regression; DuckDB's native regr_slope is an
+    independent oracle. Time comes from exact microseconds (Spark
+    unix_timestamp would truncate to seconds while DuckDB epoch() keeps
+    fractions) scaled to days, so slopes are O(1) and 4-digit rounding
+    is stable."""
+    events = tables.load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 86400000000.0
+    df = events.where(F.col("user_id") < 50).select(
+        "user_id", F.col("value").alias("y"), x.alias("x")
+    )
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.covar_pop("y", "x").alias("cxy"),
+            F.var_pop("x").alias("vx"),
+            F.corr("y", "x").alias("r"),
+        )
+        .where(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("cxy") / F.col("vx"), 4).alias("slope_per_day"),
+            F.round("r", 4).alias("value_time_corr"),
+        )
+    )
