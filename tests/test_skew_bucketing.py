@@ -36,6 +36,21 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain
 
 
+def test_salt_spreads_hot_key(spark):
+    """Regression: salt must vary WITHIN a key's rows (a salt computed
+    from the key itself puts every hot-key row in one bucket)."""
+    docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
+    spread = (
+        skew.with_salt(docs.select("lang"), 8)
+        .groupBy("lang")
+        .agg(F.countDistinct("__salt").alias("n_buckets"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 8)
+        .collect()
+    )
+    assert spread, "fixture should have at least one lang with >=8 rows"
+    assert all(r["n_buckets"] > 1 for r in spread), spread
+
+
 def test_salt_is_deterministic(spark):
     docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
     a = skew.with_salt(docs, 16).select("doc_id", "__salt").collect()

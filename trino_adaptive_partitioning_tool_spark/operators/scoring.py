@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .mining import mine_query_log, mined_tables
+from .mining import mine_query_log, mine_view_ddl, mined_tables
 
 # composite resource-score weights (reference src/partitioning.py:159-164)
 RESOURCE_WEIGHTS = {
@@ -146,12 +146,16 @@ def weighted_column_usage(
 ) -> DataFrame:
     """Global usage stats (A1): (name, source, weighted_frequency).
 
-    Three signals, kept separable (§8.7 fix) then union'd:
+    Four signals, kept separable (§8.7 fix) then union'd:
       view_usage        — each view column counted query_count times
+      ddl_join_column   — join columns parsed from each MV's DDL
+                          (reference src/partitioning.py:82-86: one count
+                          per ON-clause occurrence, NOT ×query_count)
       log_join_column   — join-column occurrences mined from the log
       log_table_mention — table names mined from the log
     """
     mined = mined_logs_df if mined_logs_df is not None else mine_query_log(logs_df)
+    mined_ddl = mine_view_ddl(views_df)
 
     view_usage = (
         view_columns_df.join(
@@ -167,6 +171,12 @@ def weighted_column_usage(
         .agg(F.sum("query_count").alias("weighted_frequency"))
         .withColumn("source", F.lit("view_usage"))
     )
+    ddl_joins = (
+        mined_ddl.where(F.col("kind") == "join_column")
+        .groupBy(F.col("name"))
+        .agg(F.sum("cnt").alias("weighted_frequency"))
+        .withColumn("source", F.lit("ddl_join_column"))
+    )
     log_joins = (
         mined.where(F.col("kind") == "join_column")
         .groupBy(F.col("name"))
@@ -179,8 +189,11 @@ def weighted_column_usage(
         .agg(F.sum("cnt").alias("weighted_frequency"))
         .withColumn("source", F.lit("log_table_mention"))
     )
-    return view_usage.unionByName(log_joins).unionByName(log_tables).select(
-        "name", "source", "weighted_frequency"
+    return (
+        view_usage.unionByName(ddl_joins)
+        .unionByName(log_joins)
+        .unionByName(log_tables)
+        .select("name", "source", "weighted_frequency")
     )
 
 

@@ -17,10 +17,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic row salt in [0, n_salts) — hash of all columns, not
-    rand(), so retries/recomputation see stable values."""
+    """Row salt in [0, n_salts) derived from row POSITION
+    (monotonically_increasing_id), never from the row's values: a salt
+    that is a function of the group key (or of columns correlated with
+    it — including exact-duplicate rows in dedup workloads) would send
+    every row of a hot key to the same (key, salt) bucket and defeat the
+    fan-out. Position-based salt is stable under recomputation for a
+    deterministic scan (parquet splits), unlike rand()."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salts)
+        salt_col, F.pmod(F.monotonically_increasing_id(), n_salts)
     )
 
 
@@ -32,9 +37,9 @@ def salted_groupby_count(
     final merge — the same partial/final split Spark applies map-side,
     extended across the shuffle boundary."""
     keyc = F.col(key) if isinstance(key, str) else key
-    salted = df.select(keyc.alias("key")).transform(
-        lambda d: with_salt(d, n_salts)
-    )
+    # Salt BEFORE projecting down to the key: the salt must vary within a
+    # key's rows, so it cannot be computed from the key alone.
+    salted = with_salt(df, n_salts).select(keyc.alias("key"), "__salt")
     partial = salted.groupBy("key", "__salt").agg(
         F.count(F.lit(1)).alias("partial_count")
     )
@@ -55,8 +60,6 @@ def salted_join(
     Prefer broadcast() when the dim fits; this is for mid-size dims with
     a skewed fact key."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
-    fact_s = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(key)), n_salts)
-    )
+    fact_s = with_salt(fact, n_salts)
     dim_s = dim.select("*", salts)
     return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")

@@ -309,10 +309,16 @@ def mined_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("partition_recommendations")
 def partition_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship end-to-end pipeline at the given scale factor."""
+    """The flagship end-to-end pipeline at the given scale factor.
+
+    partition_keys/transforms are emitted comma-joined (the driver's
+    pandas canonicalizer cannot hash array cells — r01 TypeError)."""
     from ..operators import recommend
 
-    return recommend.recommendations(spark, sf_dir)
+    rec = recommend.recommendations(spark, sf_dir)
+    return rec.withColumn(
+        "partition_keys", F.array_join("partition_keys", ",")
+    ).withColumn("transforms", F.array_join("transforms", ","))
 
 
 # ---------------------------------------------------------------------------
@@ -339,6 +345,25 @@ _MINED_CTE = fixtures._values_cte(
 )
 
 
+def _mined_ddl_fixture_rows() -> list[tuple]:
+    """mine_view_ddl's deterministic output over the MV fixture DDLs
+    (the ddl_join_column usage signal, reference src/partitioning.py:82-86)."""
+    from ..operators import mining
+
+    rows: list[tuple] = []
+    for cat, schema, name, ttype, ddl, qc in fixtures.CATALOG_VIEW_ROWS:
+        if ttype == "MATERIALIZED VIEW":
+            rows.extend(
+                mining._explode_mined(f"{schema}.{name}", mining.mine_statement(ddl))
+            )
+    return rows
+
+
+_MINED_DDL_CTE = fixtures._values_cte(
+    "mined_ddl", ("view_name", "kind", "name", "cnt"), _mined_ddl_fixture_rows()
+)
+
+
 def _ndv_legs() -> str:
     legs = []
     for view, col in fixtures.VIEW_COLUMN_ROWS:
@@ -356,6 +381,7 @@ def _scored_sql() -> str:
     {_VIEWS_CTE},
     {_VIEW_COLS_CTE},
     {_MINED_CTE},
+    {_MINED_DDL_CTE},
     usage_all AS (
       SELECT name, CAST(SUM(wf) AS BIGINT) AS weighted_frequency FROM (
         SELECT vc.column_name AS name,
@@ -365,6 +391,9 @@ def _scored_sql() -> str:
           ON vc.view_name = cv.table_schema || '.' || cv.table_name
         WHERE cv.table_type = 'MATERIALIZED VIEW'
         GROUP BY vc.column_name
+        UNION ALL
+        SELECT name, CAST(SUM(cnt) AS BIGINT)
+        FROM mined_ddl WHERE kind = 'join_column' GROUP BY name
         UNION ALL
         SELECT name, CAST(SUM(cnt) AS BIGINT)
         FROM mined WHERE kind = 'join_column' GROUP BY name

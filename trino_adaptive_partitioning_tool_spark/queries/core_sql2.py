@@ -340,7 +340,7 @@ def json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_orderkey,
-      list_sort(list(l_linenumber)) AS line_numbers,
+      array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
       CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_orderkey <= 1000
@@ -348,13 +348,23 @@ def json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_agg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation (collect_list) with deterministic ordering."""
+    """Array aggregation (collect_list) with deterministic ordering.
+
+    The array is rendered as a comma-joined string: the driver's pandas
+    canonicalizer cannot hash list cells (r01 TypeError), and the joined
+    form hash-checks the same content."""
     lineitem = tables.load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.where(F.col("l_orderkey") <= 1000)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -459,11 +469,15 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines → rows-only check; exact twins are oracle-checked as
     cardinality_profile / distribution_stats."""
     lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)), 10000
+    )
+    # joined-string form: the driver canonicalizer can't hash array cells
     return lineitem.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)), 10000
+        F.array_join(
+            F.transform(pct, lambda x: F.round(x, 4).cast("string")), ","
         ).alias("price_percentiles"),
     )
 

@@ -9,6 +9,7 @@ Spark's replace-all default).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text as ops
 from ..sources import tables
@@ -235,7 +236,15 @@ def dataset_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style shingle-hash fingerprints (xxhash64 → rows-only)."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    return ops.fingerprints(docs).select("doc_id", "winnow_fp", "winnow_size")
+    # comma-joined: the driver canonicalizer can't hash array cells
+    fp = ops.fingerprints(docs)
+    return fp.select(
+        "doc_id",
+        F.array_join(
+            F.transform("winnow_fp", lambda x: x.cast("string")), ","
+        ).alias("winnow_fp"),
+        "winnow_size",
+    )
 
 
 @register(
