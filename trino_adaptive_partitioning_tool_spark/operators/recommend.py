@@ -121,5 +121,11 @@ def run_analysis(
 
 
 def recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship result: one recommendation row per catalog view."""
-    return run_analysis(spark, sf_dir)["recommendations"]
+    """The flagship result: one recommendation row per catalog view.
+
+    profile_percentiles=False: the scoring + transform policy reads only
+    distinct_count / value_range / granularity from the profiles, so the
+    recommendation path skips the percentile aggregates entirely."""
+    return run_analysis(spark, sf_dir, profile_percentiles=False)[
+        "recommendations"
+    ]

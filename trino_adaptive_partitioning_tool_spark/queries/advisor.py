@@ -276,8 +276,13 @@ def transform_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_table.setdefault(table, []).append(col)
     for table, cols in by_table.items():
         df = tables.load_table(spark, sf_dir, table)
+        # percentiles=False: the transform policy reads only
+        # distinct_count / value_range / granularity, and the exact
+        # percentile aggregate is a single-task sort per column.
         prof = stats.with_date_granularity(
-            stats.column_profiles(df, table, columns=cols, exact=True)
+            stats.column_profiles(
+                df, table, columns=cols, exact=True, percentiles=False
+            )
         )
         leg = prof.select(
             F.col("table").alias("table_name"),
@@ -298,13 +303,8 @@ def transform_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rows-only checks (miner + full pipeline — not ANSI-SQL-expressible)
 # ---------------------------------------------------------------------------
-@register("mined_workload")
-def mined_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-level SQL mining of the fixture log (J1/J2 parity)."""
-    from ..operators import mining
-
-    logs = fixtures.query_logs_df(spark)
-    return mining.mine_query_log(logs)
+# mined_workload is registered below, after _mined_fixture_rows — its
+# oracle is the miner's own deterministic fixture output as literals.
 
 
 @register("partition_recommendations")
@@ -343,6 +343,27 @@ def _mined_fixture_rows() -> list[tuple]:
 _MINED_CTE = fixtures._values_cte(
     "mined", ("query_id", "kind", "name", "cnt"), _mined_fixture_rows()
 )
+
+
+@register(
+    "mined_workload",
+    oracle="WITH "
+    + _MINED_CTE
+    + "\nSELECT query_id, kind, name, CAST(cnt AS BIGINT) AS cnt FROM mined",
+)
+def mined_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level SQL mining of the fixture log (J1/J2 parity).
+
+    The miner is a PURE function, so its deterministic output over the
+    fixture log — rendered as a VALUES CTE from the same source of truth
+    — is the oracle: the check proves the distributed Arrow/mapInPandas
+    path reproduces the driver-side result exactly."""
+    from ..operators import mining
+
+    logs = fixtures.query_logs_df(spark)
+    return mining.mine_query_log(logs).select(
+        "query_id", "kind", "name", F.col("cnt").cast("bigint").alias("cnt")
+    )
 
 
 def _mined_ddl_fixture_rows() -> list[tuple]:
