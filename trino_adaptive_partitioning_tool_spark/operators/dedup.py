@@ -14,19 +14,52 @@ are the BASELINE.json extension operators, designed for 100 TB first:
 
 Scale notes: every pairing step goes through an equi-join on a bucket key
 (band hash / simhash chunk), so the shuffle is proportional to data +
-candidate volume, never to n². Hash functions are Spark's xxhash64 with
-per-plane seeds — deterministic across runs and executors, no Python in
-the hot path.
+candidate volume, never to n². The base hash is a 60-bit integer from the
+md5 hex prefix (`md5_60`): deterministic across runs and executors, no
+Python in the hot path, and — unlike xxhash64 — bit-for-bit reproducible
+in DuckDB (`('0x' || substr(md5(x),1,15))::BIGINT`), so every sketch
+built on it is oracle-checkable, not just rows-checkable. 60 bits keeps
+every value positive in signed int64 on both engines (no ANSI overflow,
+no sign-extension mismatch).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16  # 16 bands x 4 rows: catches J >~ 0.6 w.h.p.
 DEFAULT_SHINGLE_K = 3
+SIMHASH_BITS = 60
+
+
+def md5_60(col: Column) -> Column:
+    """60-bit non-negative integer hash: first 15 hex chars of md5.
+
+    DuckDB equivalent (oracle side): ('0x' || substr(md5(x),1,15))::BIGINT.
+    md5 is JVM whole-stage-codegen on the Spark side (no UDF)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_60_sql(expr: str) -> str:
+    """The DuckDB rendering of md5_60 for oracle-SQL builders."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def ensure_parallelism(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Spread CPU-bound per-row work across cores when the scan itself
+    can't: a parquet file with one giant row group reads as a single
+    task, so everything narrow above it (hashing, shingling, votes) runs
+    single-threaded. When the input partitioning is far below the
+    session's parallelism, one narrow repartition fixes that; on
+    well-split inputs (the 100 TB case — many files / row groups) this
+    is a no-op, so no shuffle is added where the scan already fans out."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
 
 
 def tokens_expr(text_col: str = "text"):
@@ -64,12 +97,13 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 
 
 def _xor_family_constants(n: int) -> list[int]:
-    """Deterministic 64-bit XOR constants for the minhash family (seeded,
-    signed-int64 range for Spark lit compatibility)."""
+    """Deterministic XOR constants for the minhash family (seeded). Kept
+    in [0, 2^60) so h XOR c stays a non-negative 60-bit value on both
+    engines (DuckDB xor() and Spark bitwiseXOR agree exactly)."""
     import numpy as np
 
     rng = np.random.default_rng(1234567)
-    return [int(x) for x in rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)]
+    return [int(x) for x in rng.integers(0, 2**60, size=n, dtype=np.int64)]
 
 
 def minhash_signatures(
@@ -80,25 +114,23 @@ def minhash_signatures(
     shingle_k: int = DEFAULT_SHINGLE_K,
 ) -> DataFrame:
     """(id, minhash array<bigint>) — XOR-fold minhash family: each shingle
-    is xxhash64'd ONCE (the expensive string hash), then the i-th family
-    member is min over shingles of (hash XOR C_i) for fixed constants C_i.
+    string is md5_60'd ONCE (the expensive hash), then the i-th family
+    member is min over shingles of (hash XOR C_i) for fixed constants C_i
+    — so a full k-hash family costs one real hash per shingle.
 
-    Shape: explode shingles → 64 codegen'd `min(h XOR C_i)` aggregates in
-    ONE groupBy (map-side partial min → the shuffle carries 64 longs per
-    doc regardless of document length). Deliberately NOT a nested
+    Shape: explode tokens → lead() window forms each k-token shingle
+    string → 64 codegen'd `min(h XOR C_i)` aggregates in ONE groupBy
+    (map-side partial min → the shuffle carries 64 longs per doc
+    regardless of document length). Deliberately NOT a nested
     array-transform expression: Spark's higher-order array functions run
     on the interpreted path and allocate an intermediate array per
     (constant x row) — measured 50x slower than this codegen'd aggregate
-    form at sf0.1.
+    form at sf0.1. md5_60 (not xxhash64) keeps every stage DuckDB-
+    reproducible, so the LSH output itself is oracle-checked.
     """
     from pyspark.sql import Window
 
     consts = _xor_family_constants(num_hashes)
-    # Shingle hashing entirely in codegen: hash each token once, then a
-    # k-token shingle hash is xxhash64 over k consecutive token hashes
-    # (lead() window per doc). No string concatenation, no interpreted
-    # array HOFs — the per-token shuffle this costs is the same magnitude
-    # as the minhash groupBy that follows anyway.
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -106,9 +138,8 @@ def minhash_signatures(
         ).alias("pos", "token"),
     ).where(F.col("token") != "")
     w = Window.partitionBy("id").orderBy("pos")
-    th = F.xxhash64("token")
-    lead_hashes = [th] + [
-        F.xxhash64(F.lead("token", i).over(w)) for i in range(1, shingle_k)
+    parts = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, shingle_k)
     ]
     # No distinct() on (id, h): min(h XOR c) over a multiset equals min
     # over the set, so duplicate shingles can't change any signature —
@@ -119,17 +150,15 @@ def minhash_signatures(
         "id",
         F.when(
             F.lead("token", shingle_k - 1).over(w).isNotNull(),
-            F.xxhash64(*lead_hashes),
+            md5_60(F.concat_ws(" ", *parts)),
         ).alias("h"),
     ).where(F.col("h").isNotNull())
     # documents shorter than k tokens have no complete shingle — they
-    # contribute one whole-text hash so they still get a signature
+    # contribute one whole-token-joined hash so they still get a signature
     short = docs.select(
         F.col(id_col).alias("id"),
-        F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("h"),
-    ).where(
-        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) < shingle_k
-    )
+        md5_60(F.array_join(tokens_expr(text_col), " ")).alias("h"),
+    ).where(F.size(tokens_expr(text_col)) < shingle_k)
     shingled = shingled.unionByName(short)
     aggs = [
         F.min(F.col("h").bitwiseXOR(F.lit(c).cast("bigint"))).alias(f"h{i}")
@@ -181,7 +210,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    md5_60(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -221,6 +250,9 @@ def minhash_lsh_pairs(
             F.count(F.lit(1)).alias("n_common_bands"),
         )
     )
+    # NOT rounded: n/num_hashes is exactly representable for power-of-two
+    # num_hashes, and round() half-way behavior differs across engines —
+    # the raw ratio hash-compares exactly.
     est = F.size(
         F.filter(
             F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: a == b),
@@ -228,7 +260,7 @@ def minhash_lsh_pairs(
         )
     ).cast("double") / F.lit(float(DEFAULT_NUM_HASHES if num_hashes is None else num_hashes))
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 4))
+        pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard", "n_common_bands")
     )
@@ -238,20 +270,22 @@ def simhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(id, simhash bigint) — classic simhash: each token votes ±1 on every
-    bit of its 64-bit hash; the sign vector becomes the fingerprint.
+    bit of its 60-bit md5_60 hash; the sign vector becomes the fingerprint.
 
-    One explode + one groupBy; the per-bit votes are a fixed-width array
-    aggregated with zip_with sums (JVM-side, no UDF).
+    One explode + one groupBy; per-bit vote columns are summed map-side.
+    60 bits (not 64): the value stays non-negative in signed int64, so
+    shifts/masks agree between Spark and DuckDB and the whole signature
+    is oracle-checkable.
     """
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_expr(text_col)).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
+    ).withColumn("th", md5_60(F.col("token")))
     # per-bit ±1 vote columns, summed map-side in ONE groupBy (shiftright
-    # needs a Python-int bit count, so the 64 bits unroll here, not in a
+    # needs a Python-int bit count, so the bits unroll here, not in a
     # transform() lambda)
     vote_aggs = [
         F.sum(
@@ -263,15 +297,12 @@ def simhash_signatures(
         for i in range(bits)
     ]
     per_doc = toks.groupBy("id").agg(*vote_aggs)
-    # sign vector → bigint; bit 63's mask is long-min (1<<63 overflows
-    # int64, and Spark 4 ANSI mode makes overflow an error, not a wrap)
     sim = F.lit(0).cast("bigint")
     for i in range(bits):
-        mask = (1 << i) if i < 63 else -(1 << 63)
         sim = sim.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.lit(mask).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+            F.when(
+                F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
         )
     return per_doc.select("id", sim.alias("simhash"))
 
@@ -284,11 +315,11 @@ def simhash_near_pairs(
     chunks: int = 4,
 ) -> DataFrame:
     """Pairs within `max_hamming` bits. Candidate generation by the
-    pigeonhole trick: split 64 bits into `chunks` 16-bit chunks — any pair
-    within max_hamming ≤ chunks-1 must agree on ≥1 chunk, so the join key
-    is (chunk_idx, chunk_value), never all-pairs."""
+    pigeonhole trick: split the 60 bits into `chunks` 15-bit chunks — any
+    pair within max_hamming ≤ chunks-1 must agree on ≥1 chunk, so the join
+    key is (chunk_idx, chunk_value), never all-pairs."""
     sigs = simhash_signatures(docs, id_col, text_col)
-    width = 64 // chunks
+    width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     chunk_structs = [
         F.struct(
@@ -321,7 +352,7 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cands.withColumn("hamming", hamming.cast("int"))
+        cands.withColumn("hamming", hamming.cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_expr, tokens_expr
+from .dedup import md5_60, shingles_expr, tokens_expr
 
 # small function-word marker lists per language (public common words)
 LANGUAGE_MARKERS: dict[str, tuple[str, ...]] = {
@@ -154,10 +154,16 @@ def fingerprints(
       winnow_fp     sorted array of selected shingle hashes (hash % keep
                     == 0 — a winnowing-style deterministic sample) for
                     containment / overlap estimation
+
+    Hashes are md5_60 (60-bit md5-prefix ints), so the fingerprints are
+    bit-for-bit reproducible in DuckDB and oracle-checked.
     """
+    from .dedup import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     sh = shingles_expr(tokens_expr(text_col), shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, lambda s: md5_60(s))
     winnow = F.sort_array(
         F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
     )

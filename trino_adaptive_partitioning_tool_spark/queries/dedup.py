@@ -1,9 +1,10 @@
 """Deduplication queries over the `documents` table (extensions layer).
 
-SQL-expressible variants (exact dedup, grouped token-Jaccard) carry DuckDB
-oracles; sketch-based variants (MinHash LSH, SimHash) hash with Spark's
-xxhash64, which DuckDB can't reproduce → rows-only checks, with their
-verify stages (exact Jaccard) oracle-checked separately.
+ALL variants — including the sketch-based ones (MinHash LSH, SimHash,
+winnowing) — carry DuckDB oracles: the sketches hash with md5_60 (60-bit
+md5-prefix integers, operators/dedup.md5_60), which DuckDB reproduces
+bit-for-bit, so the oracle replays the identical shingle → hash → band →
+join pipeline in SQL and the driver hash-compares the full output.
 """
 
 from __future__ import annotations
@@ -14,6 +15,144 @@ from pyspark.sql import functions as F
 from ..operators import dedup as ops
 from ..sources import tables
 from .registry import register
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+
+
+def _minhash_sig_ctes(k: int = ops.DEFAULT_SHINGLE_K) -> str:
+    """CTEs tok→sh→e→sig replaying minhash_signatures in DuckDB:
+    k-token shingle strings, md5_60 each, 64 MIN(xor(h, C_i)) aggregates."""
+    h = ops.md5_60_sql
+    consts = ops._xor_family_constants(ops.DEFAULT_NUM_HASHES)
+    mins = ",\n        ".join(
+        f"MIN(xor(h, {c}::BIGINT)) AS h{i}" for i, c in enumerate(consts)
+    )
+    shingle = h(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
+    whole = h("array_to_string(toks, ' ')")
+    return f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= {k}
+          THEN list_transform(range(1, len(toks) - {k - 2}), i -> {shingle})
+          ELSE [{whole}] END AS hs
+      FROM tok
+    ),
+    e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id)"""
+
+
+def _minhash_banded_cte(
+    bands: int = ops.DEFAULT_BANDS,
+    num_hashes: int = ops.DEFAULT_NUM_HASHES,
+) -> str:
+    """banded: one row per (doc, band) with the md5_60 band-bucket hash."""
+    h = ops.md5_60_sql
+    rpb = num_hashes // bands
+    legs = []
+    for b in range(bands):
+        cols = ", ".join(f"h{b * rpb + j}" for j in range(rpb))
+        legs.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"{h(f'concat_ws(chr(44), {cols})')} AS band_hash FROM sig"
+        )
+    return "banded AS (\n      " + "\n      UNION ALL\n      ".join(legs) + "\n    )"
+
+
+def _minhash_lsh_oracle(threshold: float) -> str:
+    n = ops.DEFAULT_NUM_HASHES
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    {_minhash_banded_cte()},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common_bands
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({eq_sum} AS DOUBLE) / {n} AS est_jaccard,
+           p.n_common_bands
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE CAST({eq_sum} AS DOUBLE) / {n} >= {threshold}
+    """
+
+
+def _simhash_sig_ctes(bits: int = ops.SIMHASH_BITS) -> str:
+    h = ops.md5_60_sql
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+    tokrows AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    th AS (SELECT doc_id, {h('token')} AS h FROM tokrows),
+    votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sim} AS simhash FROM votes)"""
+
+
+def _simhash_oracle(max_hamming: int, chunks: int = 4) -> str:
+    width = ops.SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunk_list = ", ".join(str(i) for i in range(chunks))
+    return f"""
+    WITH {_simhash_sig_ctes()},
+    chunked AS (
+      SELECT doc_id, simhash, c.c AS chunk_idx,
+             (simhash >> (c.c * {width})) & {mask} AS chunk_val
+      FROM sig CROSS JOIN (SELECT unnest([{chunk_list}]) AS c) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunked a
+      JOIN chunked b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+def _minhash_verified_oracle(threshold: float) -> str:
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    {_minhash_banded_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    dtok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT c.id_a, c.id_b,
+      ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+    FROM cand c
+    JOIN dtok ta ON ta.doc_id = c.id_a
+    JOIN dtok tb ON tb.doc_id = c.id_b
+    WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)
+          >= {threshold}
+    """
 
 
 @register(
@@ -106,27 +245,28 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle(0.5))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (shingle→minhash→band→bucket-join).
-    xxhash64-based → rows-only check; the exact-Jaccard verify stage is
-    oracle-checked as dedup_token_jaccard."""
+    md5_60-based, so the ENTIRE sketch pipeline — signatures, banding,
+    bucket join, signature-agreement estimate — is hash-checked against
+    a DuckDB replay."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
-@register("dedup_simhash")
+@register("dedup_simhash", oracle=_simhash_oracle(3))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3 (pigeonhole
-    chunk-join candidates). rows-only (xxhash64-based)."""
+    chunk-join candidates). md5_60-based → hash-checked end to end."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.simhash_near_pairs(docs, max_hamming=3)
 
 
-@register("dedup_minhash_verified")
+@register("dedup_minhash_verified", oracle=_minhash_verified_oracle(0.7))
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-stage pipeline: LSH candidates → exact-Jaccard verify
-    (≥0.7). rows-only; the verify math itself is oracle-covered."""
+    (≥0.7) — both stages hash-checked end to end."""
     docs = tables.load_table(spark, sf_dir, "documents")
     cands = ops.minhash_lsh_pairs(docs, jaccard_threshold=0.0).select(
         "id_a", "id_b"

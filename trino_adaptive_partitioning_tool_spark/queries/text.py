@@ -232,9 +232,38 @@ def dataset_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_winnow_fingerprints")
+def _winnow_oracle(k: int = 4, keep_every: int = 8) -> str:
+    from ..operators.dedup import md5_60_sql
+
+    shingle = f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= {k}
+          THEN list_distinct(list_transform(
+                 range(1, len(toks) - {k - 2}), i -> {shingle}))
+          ELSE [array_to_string(toks, ' ')] END AS shs
+      FROM tok
+    ),
+    fp AS (
+      SELECT doc_id,
+        list_sort(list_filter(
+          list_transform(shs, s -> {md5_60_sql('s')}),
+          h -> h % {keep_every} = 0)) AS fps
+      FROM sh
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(fps, ','), '') AS winnow_fp,
+           CAST(len(fps) AS BIGINT) AS winnow_size
+    FROM fp
+    """
+
+
+@register("text_winnow_fingerprints", oracle=_winnow_oracle())
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style shingle-hash fingerprints (xxhash64 → rows-only)."""
+    """Winnowing-style shingle-hash fingerprints. md5_60-based, so the
+    deterministic hash sample is replayed and hash-checked in DuckDB."""
     docs = tables.load_table(spark, sf_dir, "documents")
     # comma-joined: the driver canonicalizer can't hash array cells
     fp = ops.fingerprints(docs)
