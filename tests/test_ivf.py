@@ -31,6 +31,35 @@ def test_ivf_self_match_and_recall(spark):
     assert recall >= 0.4, recall  # nprobe=3/8 cells on unclustered data
 
 
+def test_lsh_near_duplicates_subset_of_exact(spark):
+    """LSH near-dup output verifies candidates with exact cosine, so it
+    must be a subset of the all-pairs exact result at the same threshold
+    (LSH may miss pairs — partial recall — but never invent one)."""
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    lsh = similarity.cosine_near_duplicates(
+        emb, threshold=0.35, n_planes=5, n_tables=6
+    ).collect()
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(similarity.cosine_expr(F.col("va"), F.col("vb")), 6),
+        )
+        .where(F.col("cosine") >= 0.35)
+        .collect()
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh}
+    assert lsh_pairs, "LSH should surface at least one pair on this corpus"
+    assert lsh_pairs <= exact_pairs
+
+
 def test_ivf_deterministic(spark):
     emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
     q = _queries(emb, 3)

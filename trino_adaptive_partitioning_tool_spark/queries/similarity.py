@@ -79,6 +79,42 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=4)
 
 
+@register(
+    "embedding_near_duplicates_exact",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
+    """,
+)
+def embedding_near_duplicates_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all-pairs ≥ 0.4) — the
+    correctness baseline the LSH variant is measured against; fully
+    hash-checked. All-pairs is the exactness path, deliberately not the
+    scale path (that's embedding_near_duplicates' bucket join)."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = F.round(ops.cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 @register("embedding_near_duplicates")
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH self-join. rows-only check.
