@@ -115,6 +115,48 @@ def embedding_near_duplicates_exact(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "embedding_dedup_keep_canonical",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    dominated AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dominated)
+    """,
+)
+def embedding_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, keep-canonical rule: drop any vector that has a
+    near-duplicate (cosine ≥ 0.4) with a SMALLER id — one pass of the
+    SemDeDup-style policy, expressed as pair-generation + left-anti join
+    (no iterative connected components). Hash-checked."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    dominated = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(ops.cosine_expr(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+
+
 @register("embedding_near_duplicates")
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH self-join. rows-only check.
