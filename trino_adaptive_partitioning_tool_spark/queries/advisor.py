@@ -266,7 +266,7 @@ def _transform_oracle() -> str:
     return "\nUNION ALL\n".join(legs)
 
 
-@register("transform_selection", oracle=_transform_oracle())
+@register("transform_selection", oracle=_transform_oracle(), memo=True)
 def transform_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-stats profile → transform policy, via the SAME production code
     path (stats.column_profiles + transforms.transform_expr)."""
@@ -307,7 +307,7 @@ def transform_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is the miner's own deterministic fixture output as literals.
 
 
-@register("partition_recommendations")
+@register("partition_recommendations", memo=True)
 def partition_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship end-to-end pipeline at the given scale factor.
 

@@ -245,7 +245,7 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle(0.5))
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle(0.5), memo=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (shingle→minhash→band→bucket-join).
     md5_60-based, so the ENTIRE sketch pipeline — signatures, banding,
@@ -255,7 +255,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
-@register("dedup_simhash", oracle=_simhash_oracle(3))
+@register("dedup_simhash", oracle=_simhash_oracle(3), memo=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3 (pigeonhole
     chunk-join candidates). md5_60-based → hash-checked end to end."""
@@ -263,7 +263,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.simhash_near_pairs(docs, max_hamming=3)
 
 
-@register("dedup_minhash_verified", oracle=_minhash_verified_oracle(0.7))
+@register("dedup_minhash_verified", oracle=_minhash_verified_oracle(0.7), memo=True)
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-stage pipeline: LSH candidates → exact-Jaccard verify
     (≥0.7) — both stages hash-checked end to end."""
