@@ -75,3 +75,26 @@ def test_sample_frames_video_only_udtf_shape(spark):
     for r in frames:
         assert r["frame_ms"] == r["frame_idx"] * 10_000
         assert len(bytes(r["frame_payload"])) > 0
+
+
+def test_resize_assets_shape_and_determinism(spark):
+    assets = mm.synth_assets(spark, n=64)
+    r1 = mm.resize_assets(assets).collect()
+    r2 = mm.resize_assets(assets).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # image+video only, one row per asset
+    kinds = {r["media_type"] for r in r1}
+    assert kinds == {"image", "video"}
+    for r in r1:
+        assert r["target_width"] == 224 and r["target_height"] == 224
+        assert r["resized_bytes"] == len(r["resized_payload"])
+        assert r["resized_bytes"] <= 224 * 224 // 256 + 1
+        if r["scale_x"] is not None:
+            assert r["scale_x"] > 0
+
+
+def test_resize_requires_codec_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.resize_assets(mm.synth_assets(spark, n=4), require_codec=True)

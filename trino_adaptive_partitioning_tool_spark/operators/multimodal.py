@@ -207,3 +207,74 @@ def sample_frames(
         .select("asset_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
         .mapInPandas(_sample, schema=FRAME_SCHEMA)
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("target_width", T.IntegerType(), False),
+        T.StructField("target_height", T.IntegerType(), False),
+        T.StructField("scale_x", T.DoubleType(), True),
+        T.StructField("scale_y", T.DoubleType(), True),
+        T.StructField("resized_payload", T.BinaryType(), False),
+        T.StructField("resized_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_assets(
+    assets: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    require_codec: bool = False,
+) -> DataFrame:
+    """STUB resize stage for image/video assets: emits the target
+    dimensions, the scale factors vs the source metadata, and a
+    deterministic downsampled payload (byte stride stands in for pixel
+    resampling — replace the body with PIL/cv2 when a codec is
+    available). Arrow-batched mapInPandas, one output row per asset:
+    the real plumbing a thumbnailing / model-input-prep pass uses."""
+    if require_codec:
+        raise NotImplementedError(
+            "real image resampling unavailable; use the stub resizer"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, mt, payload, w, h in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                raw = bytes(payload)
+                # fake resample: keep every k-th byte so output size tracks
+                # the target area the way a real thumbnail would
+                target_len = max(
+                    min(len(raw), (target_width * target_height) // 256), 1
+                )
+                step = max(len(raw) // target_len, 1)
+                resized = raw[::step]
+                sx = float(target_width) / float(w) if w else None
+                sy = float(target_height) / float(h) if h else None
+                out.append(
+                    (int(aid), mt, target_width, target_height, sx, sy,
+                     resized, len(resized))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "media_type", "target_width", "target_height",
+                    "scale_x", "scale_y", "resized_payload", "resized_bytes",
+                ],
+            )
+
+    return (
+        assets.where(F.col("media_type").isin("image", "video"))
+        .select(
+            "asset_id", "media_type", "payload",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    )

@@ -40,6 +40,19 @@ def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(feats, queries, k=5)
 
 
+@register("multimodal_resize_stats")
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (thumbnail / model-input prep) stage → per-media rollup of
+    output sizes and scale factors."""
+    resized = mm.resize_assets(mm.synth_assets(spark, n=256))
+    return resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("resized_bytes").alias("total_resized_bytes"),
+        F.round(F.avg("scale_x"), 4).alias("avg_scale_x"),
+        F.round(F.avg("scale_y"), 4).alias("avg_scale_y"),
+    )
+
+
 @register("multimodal_frame_sample")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped frame sampling: one video asset → many frame rows."""
