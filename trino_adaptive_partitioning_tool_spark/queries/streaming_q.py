@@ -45,6 +45,45 @@ def streaming_interactive_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_stateful_user_totals")
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cross-batch
+    per-user running totals kept in managed executor state, drained with
+    an availableNow trigger. rows-only check; stream==batch equivalence
+    is asserted in tests/test_stateful_streaming.py."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import stateful
+
+    name = f"stream_s_{_uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="tapt_state_")
+    out = stateful.running_user_totals(stateful.stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends one row per (batch, user); keep the
+    # final state per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("total_value").desc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register("streaming_click_attribution")
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a same-user
