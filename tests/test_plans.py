@@ -7,6 +7,7 @@ from __future__ import annotations
 from conftest import SMOKE_SF_DIR
 
 from trino_adaptive_partitioning_tool_spark.plans import inspect as pi
+from trino_adaptive_partitioning_tool_spark.sources import tables
 from trino_adaptive_partitioning_tool_spark.queries import registry
 
 _QS = registry.queries()
@@ -86,3 +87,29 @@ def test_q6_pushes_every_predicate(spark):
 def test_gap_fill_filter_pushdown(spark):
     df = _QS["daily_gap_fill"](spark, SMOKE_SF_DIR)
     assert any("value" in f for f in pi.pushed_filters(df))
+
+
+def test_minhash_lsh_no_cartesian_and_partial_agg(spark):
+    """The LSH candidate join must be an equi-join on (band, band_hash) —
+    never a cartesian/broadcast-nested-loop — and the signature aggregate
+    must partial-aggregate map-side (the shuffle carries 64 longs per
+    doc, not the shingle stream)."""
+    from trino_adaptive_partitioning_tool_spark.operators import dedup
+
+    docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    plan = pi.physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    sigs = dedup.minhash_signatures(docs)
+    assert pi.has_partial_aggregation(sigs), pi.physical_plan(sigs)[:800]
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    from trino_adaptive_partitioning_tool_spark.operators import dedup
+
+    docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    plan = pi.physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
