@@ -31,6 +31,7 @@ _MENTION_TABLES = (
 # ---------------------------------------------------------------------------
 @register(
     "resource_scores",
+    memo=True,
     oracle=f"""
     WITH {_LOGS_CTE},
     m AS (
@@ -175,6 +176,7 @@ def weighted_view_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "table_exec_rollup",
+    memo=True,
     oracle=f"""
     WITH {_LOGS_CTE},
     tabs(table_name) AS (VALUES {", ".join(f"('{t}')" for t in _MENTION_TABLES)})
