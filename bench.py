@@ -47,9 +47,11 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_keep_canonical",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_bruteforce",
     "text_quality_scores",
     "text_token_stats",
+    "text_winnow_fingerprints",
     "corpus_top_tokens",
 ]
 

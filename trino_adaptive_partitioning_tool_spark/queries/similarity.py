@@ -99,13 +99,26 @@ def embedding_near_duplicates_exact(spark: SparkSession, sf_dir: str) -> DataFra
     hash-checked. All-pairs is the exactness path, deliberately not the
     scale path (that's embedding_near_duplicates' bucket join)."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
+    # Per-vector norm computed ONCE before the pair join (the naive
+    # per-pair cosine recomputes both norms for every pair — 3x the
+    # interpreted-HOF work). dot/(na*nb) evaluates to the same double.
     v = emb.select(
         F.col("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("nrm", ops._norm(F.col("vec")))
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
-    cos = F.round(ops.cosine_expr(F.col("va"), F.col("vb")), 6)
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        ops._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -142,13 +155,24 @@ def embedding_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFram
     v = emb.select(
         F.col("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("nrm", ops._norm(F.col("vec")))
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        ops._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     dominated = (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(ops.cosine_expr(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .where(cos >= 0.4)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
