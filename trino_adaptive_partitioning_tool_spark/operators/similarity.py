@@ -107,29 +107,42 @@ def hyperplane_signature(
     return sig
 
 
+QUANT_SCALE = 1000  # embedding values are floor(x * QUANT_SCALE) int64
+
+
 def _deterministic_planes(
     n_planes: int, dim: int, seed: int = 42
-) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded so signatures are
-    stable across runs/executors; each LSH table MUST get a distinct seed
-    or the tables are identical and add no recall)."""
+) -> list[list[int]]:
+    """Deterministic ±1 sign-random-projection planes (seeded so
+    signatures are stable across runs/executors; each LSH table MUST get
+    a distinct seed or the tables are identical and add no recall).
+
+    Integer entries — combined with floor-quantized embeddings the whole
+    projection is exact int64 arithmetic, so bucket membership is
+    bit-for-bit reproducible in the DuckDB oracle (a float projection's
+    sign can flip with summation order near zero)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+    return rng.choice([-1, 1], size=(n_planes, dim)).tolist()
 
 
 def _signature_udf(n_planes: int, n_tables: int, dim: int):
     """Vectorized signature computation: one (batch x dim) @ (dim x
-    n_tables*n_planes) matmul per Arrow batch, sign bits packed per
+    n_tables*n_planes) int64 matmul per Arrow batch, sign bits packed per
     table. A column-expression formulation needs n_tables x n_planes x
     dim literal nodes evaluated on Spark's interpreted HOF path —
-    measured ~10x slower than this SIMD matmul even at 500 vectors."""
+    measured ~10x slower than this SIMD matmul even at 500 vectors.
+    Quantization: q = floor(float64(x) * QUANT_SCALE) — exact in any
+    engine; dots stay far below 2^53 so the oracle's double-precision
+    list_dot_product reproduces them exactly."""
     from pyspark.sql.functions import pandas_udf
 
     planes = np.concatenate(
         [
-            np.array(_deterministic_planes(n_planes, dim, seed=42 + t)).T
+            np.array(
+                _deterministic_planes(n_planes, dim, seed=42 + t), dtype=np.int64
+            ).T
             for t in range(n_tables)
         ],
         axis=1,
@@ -139,7 +152,8 @@ def _signature_udf(n_planes: int, n_tables: int, dim: int):
     @pandas_udf("array<bigint>")
     def sigs(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())[:, :dim].astype(np.float64)
-        bits = (mat @ planes) > 0  # (batch, n_tables*n_planes)
+        q = np.floor(mat * QUANT_SCALE).astype(np.int64)
+        bits = (q @ planes) > 0  # (batch, n_tables*n_planes)
         out = []
         for row in bits:
             out.append(

@@ -19,6 +19,86 @@ _N_QUERIES = 5  # vec_id < 5 are the probe vectors
 _K = 5
 
 
+def _lsh_sig_cte(n_planes: int, n_tables: int, dim: int = 64) -> str:
+    """sigs CTE replaying the quantized sign-random-projection signatures:
+    q = floor(x*1000) int64, bit i = (q . plane_i) > 0, packed per table.
+    Exact integer arithmetic on both engines (operators/similarity)."""
+    legs = []
+    for t in range(n_tables):
+        planes = ops._deterministic_planes(n_planes, dim, seed=42 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(q, {plane}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        legs.append(
+            f"SELECT vec_id, {t} AS table_idx, CAST({bits} AS BIGINT)"
+            f" AS signature FROM qv"
+        )
+    return (
+        "qv AS (SELECT vec_id, list_transform(embedding,"
+        " x -> floor(CAST(x AS DOUBLE) * 1000)) AS q FROM embeddings),\n"
+        "    sigs AS (\n      "
+        + "\n      UNION ALL\n      ".join(legs)
+        + "\n    )"
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    return f"""
+    WITH {_lsh_sig_cte(12, 4)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM sigs c
+      JOIN sigs q ON c.table_idx = q.table_idx
+                 AND c.signature = q.signature
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_cosine_similarity(
+               list_transform(eq.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(ec.embedding, x -> CAST(x AS DOUBLE))), 6)
+             AS cosine
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) t WHERE rank <= {_K}
+    """
+
+
+def _lsh_near_dup_oracle(threshold: float, n_planes: int, n_tables: int) -> str:
+    return f"""
+    WITH {_lsh_sig_cte(n_planes, n_tables)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a
+      JOIN sigs b ON a.table_idx = b.table_idx
+                 AND a.signature = b.signature
+                 AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(
+             list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 6)
+           AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(
+             list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 6)
+          >= {threshold}
+    """
+
+
 @register(
     "similarity_topk_bruteforce",
     oracle=f"""
@@ -52,11 +132,12 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.cosine_topk(emb, queries, k=_K)
 
 
-@register("similarity_lsh_topk")
+@register("similarity_lsh_topk", oracle=_lsh_topk_oracle())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (the 100 TB
-    scale path: candidates come from bucket joins, not full scans).
-    rows-only check."""
+    """Approximate top-k via sign-random-projection LSH buckets (the
+    100 TB scale path: candidates come from bucket joins, not full
+    scans). Quantized integer projections make bucket membership exactly
+    reproducible in SQL → fully hash-checked."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -181,16 +262,18 @@ def embedding_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("embedding_near_duplicates")
+@register(
+    "embedding_near_duplicates", oracle=_lsh_near_dup_oracle(0.35, 5, 6)
+)
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH self-join. rows-only check.
+    """Embedding-cosine near-dup pairs via LSH self-join — quantized
+    integer projections → fully hash-checked against the SQL replay.
 
     Thresholds are tuned DOWN for the synthetic corpus (max pairwise
     cosine is ~0.60 at every sf — there are no planted near-dups), so the
     candidate-join + verify path actually produces rows: cos ≥ 0.35 with
-    5-plane buckets (59 true pairs ≥0.4 at sf0.01; LSH recall is partial
-    by design). Production defaults live on the operator (0.95 / 12
-    planes)."""
+    5-plane buckets (LSH recall is partial by design). Production
+    defaults live on the operator (0.95 / 12 planes)."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return ops.cosine_near_duplicates(
         emb, threshold=0.35, n_planes=5, n_tables=6
