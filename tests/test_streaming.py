@@ -85,3 +85,83 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     key = lambda r: (r["click_id"], r["purchase_id"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) == len(want) and len(want) > 0
+
+
+def _write_event_files(spark, path: str, dupes: bool = False) -> None:
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from conftest import SMOKE_SF_DIR
+
+    ev = tables.load_table(spark, SMOKE_SF_DIR, "events")
+    if dupes:
+        ev = ev.unionAll(ev)
+    ev.coalesce(4).write.mode("overwrite").json(path)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Every emitted streaming session must exactly match a batch
+    session_window row, and the stream must emit the overwhelming
+    majority (all but watermark-held tail sessions)."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from trino_adaptive_partitioning_tool_spark.streaming import sessions as ss
+    from trino_adaptive_partitioning_tool_spark.streaming import stream_join as sj
+
+    in_dir = str(tmp_path / "events")
+    _write_event_files(spark, in_dir)
+    stream = sj.stream_events_json(spark, in_dir)
+    got = ss.user_session_rollup(stream, "30 minutes", "0 seconds")
+    assert got.isStreaming
+    got = sj.run_append_available_now(
+        got, "sess_eq_test", str(tmp_path / "ckpt_sess")
+    )
+
+    # batch twin over the SAME JSON files (the JSON sink truncates
+    # timestamps to millis, so reading parquet directly would mismatch)
+    batch = (
+        spark.read.schema(sj.EVENT_SCHEMA)
+        .json(in_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    n_stream = got.count()
+    n_batch = batch.count()
+    joined = got.join(
+        batch,
+        ["user_id", "session_start", "session_end", "n_events", "session_value"],
+        "inner",
+    ).count()
+    assert joined == n_stream  # every emitted session is exactly a batch session
+    assert n_stream >= int(0.9 * n_batch)  # only tail sessions may be held
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """A doubled feed deduped with dropDuplicatesWithinWatermark must
+    equal batch DISTINCT on event_id."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from trino_adaptive_partitioning_tool_spark.streaming import sessions as ss
+    from trino_adaptive_partitioning_tool_spark.streaming import stream_join as sj
+
+    in_dir = str(tmp_path / "events_dup")
+    _write_event_files(spark, in_dir, dupes=True)
+    stream = sj.stream_events_json(spark, in_dir)
+    deduped = sj.run_append_available_now(
+        ss.dedup_events_stream(stream),
+        "dedup_eq_test",
+        str(tmp_path / "ckpt_dd"),
+    )
+    n_events = tables.load_table(spark, SMOKE_SF_DIR, "events").count()
+    assert deduped.count() == n_events
+    assert deduped.select("event_id").distinct().count() == n_events

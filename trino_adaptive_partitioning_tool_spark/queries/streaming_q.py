@@ -84,6 +84,69 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _events_json_dir(spark: SparkSession, sf_dir: str, dupes: bool = False) -> str:
+    """Write the events fixture out as JSON-lines files for a file-source
+    stream; with dupes=True each row appears twice (an at-least-once feed)."""
+    from ..sources import tables
+
+    tmp = tempfile.mkdtemp(prefix="tapt_sessions_")
+    ev = tables.load_table(spark, sf_dir, "events")
+    if dupes:
+        ev = ev.unionAll(ev)
+    ev.coalesce(4).write.mode("overwrite").json(f"{tmp}/events")
+    return tmp
+
+
+@register("streaming_sessionize")
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation executed as a watermarked stream
+    (append mode) — the streaming twin of the batch sessionize_events
+    query. rows-only check; stream==batch equivalence is asserted in
+    tests/test_streaming.py."""
+    import uuid as _uuid
+
+    from ..streaming import sessions as ss
+    from ..streaming import stream_join as sj
+
+    tmp = _events_json_dir(spark, sf_dir)
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    name = f"stream_sess_{_uuid.uuid4().hex[:8]}"
+    return sj.run_append_available_now(
+        ss.user_session_rollup(stream, "30 minutes", "0 seconds"),
+        name,
+        f"{tmp}/ckpt",
+    )
+
+
+@register("streaming_dedup_events")
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    of a doubled (at-least-once) event feed, rolled up per event_type
+    batch-side after the drain. rows-only check; the deduped stream is
+    asserted equal to batch DISTINCT in tests/test_streaming.py."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import sessions as ss
+    from ..streaming import stream_join as sj
+
+    tmp = _events_json_dir(spark, sf_dir, dupes=True)
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    name = f"stream_dd_{_uuid.uuid4().hex[:8]}"
+    deduped = sj.run_append_available_now(
+        ss.dedup_events_stream(stream), name, f"{tmp}/ckpt"
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("streaming_click_attribution")
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a same-user
