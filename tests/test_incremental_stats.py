@@ -1,0 +1,74 @@
+"""Mergeable HLL partition sketches: incremental union must equal a full
+recompute exactly, survive parquet persistence, and estimate well."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trino_adaptive_partitioning_tool_spark.operators import incremental
+from trino_adaptive_partitioning_tool_spark.sources import tables
+
+from conftest import SMOKE_SF_DIR
+
+KEYS = ["user_id", "event_type"]
+
+
+def _events(spark):
+    return tables.load_table(spark, SMOKE_SF_DIR, "events")
+
+
+def _rollup_row(df):
+    return incremental.merge_sketch_stats(df, KEYS).collect()[0]
+
+
+def test_estimates_close_to_exact(spark):
+    ev = _events(spark)
+    got = _rollup_row(
+        incremental.sketch_partition_stats(ev, F.to_date("ts"), KEYS)
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert got["n_rows"] == exact["n"]
+    assert abs(got["approx_distinct_user_id"] - exact["u"]) <= 0.02 * exact["u"]
+    assert got["approx_distinct_event_type"] == exact["t"]  # tiny cardinality: exact
+
+
+def test_incremental_union_equals_full_recompute(spark, tmp_path):
+    """Persist base-partition sketches to parquet, fold in a delta slice
+    (including late rows for an existing day), and compare against
+    sketching the full table in one pass: identical estimates and counts."""
+    ev = _events(spark)
+    cutoff = ev.agg(F.percentile_approx(F.unix_timestamp("ts"), 0.7)).collect()[0][0]
+    base = ev.where(F.unix_timestamp("ts") <= cutoff)
+    delta = ev.where(F.unix_timestamp("ts") > cutoff)
+    assert base.count() > 0 and delta.count() > 0
+
+    stats_path = str(tmp_path / "partition_stats")
+    incremental.sketch_partition_stats(
+        base, F.to_date("ts"), KEYS
+    ).write.mode("overwrite").parquet(stats_path)
+    persisted = spark.read.parquet(stats_path)  # binary sketches round-trip
+
+    updated = incremental.incremental_update(
+        persisted, delta, F.to_date("ts"), KEYS
+    )
+    got = _rollup_row(updated)
+    want = _rollup_row(
+        incremental.sketch_partition_stats(ev, F.to_date("ts"), KEYS)
+    )
+    assert got.asDict() == want.asDict()
+
+
+def test_partition_stats_partial_aggregation(spark):
+    """The sketch build must keep map-side partial aggregation (the
+    exchange carries sketches, not rows)."""
+    from trino_adaptive_partitioning_tool_spark.plans import inspect
+
+    parts = incremental.sketch_partition_stats(
+        _events(spark), F.to_date("ts"), KEYS
+    )
+    assert inspect.has_partial_aggregation(parts)
+    assert inspect.shuffle_count(parts) <= 1

@@ -1,0 +1,86 @@
+"""Incremental statistics via mergeable DataSketches HLL sketches.
+
+The reference recomputes `approx_distinct` over the full table on every
+run (src/partitioning.py:102-121 issues one `SELECT approx_distinct(col)`
+per view/column per invocation). At 100 TB a full rescan per advisor run
+is the dominant cost, and it is unnecessary: distinct-count sketches are
+*mergeable*, so per-partition partial sketches can be persisted once and
+new data folded in by sketch union — the standard lambda/kappa rollup
+pattern.
+
+Spark-native building blocks (all JVM-side, whole-stage codegen around
+them):
+
+* `hll_sketch_agg(col)`   — per-group binary HLL sketch (Apache
+  DataSketches), computed map-side with partial aggregation.
+* `hll_union_agg(sketch)` — merges persisted sketches; order-independent,
+  so incremental union == full recompute, exactly.
+* `hll_sketch_estimate`   — estimate extraction.
+
+Topology: `sketch_partition_stats` emits one row per ingest partition
+(e.g. per day) holding row counts + one sketch per profiled column —
+this is what a pipeline persists. `merge_sketch_stats` rolls any set of
+such rows up to global estimates without touching base data. Appending a
+day = sketching ONLY the delta partition and unioning ~KB-sized rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_partition_stats(
+    df: DataFrame,
+    partition_expr: Column,
+    key_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-ingest-partition partial aggregates: row count + one mergeable
+    HLL sketch per key column. One shuffle on the partition key; sketches
+    are built map-side (partial aggregation) so the exchange carries
+    ~(partitions × columns) KB-sized binaries, not rows."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in key_cols:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"hll_{c}"))
+    return df.groupBy(partition_expr.alias("part")).agg(*aggs)
+
+
+def merge_sketch_stats(stats: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Roll persisted partial-sketch rows up to global estimates. Input is
+    partition-stats-sized (tiny), so this runs in one stage regardless of
+    base-table size."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    for c in key_cols:
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(f"hll_{c}")))
+            .cast("long")
+            .alias(f"approx_distinct_{c}")
+        )
+    return stats.agg(*aggs)
+
+
+def incremental_update(
+    persisted_stats: DataFrame,
+    delta: DataFrame,
+    partition_expr: Column,
+    key_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Fold a new data slice into persisted partition stats: sketch ONLY
+    the delta, then union per-partition (re-merging sketches where a
+    partition receives late rows). Base data is never rescanned."""
+    delta_stats = sketch_partition_stats(delta, partition_expr, key_cols, lg_k)
+    merged_aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in key_cols:
+        merged_aggs.append(
+            F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}")
+        )
+    return (
+        persisted_stats.unionByName(delta_stats)
+        .groupBy("part")
+        .agg(*merged_aggs)
+    )

@@ -683,3 +683,21 @@ def interactive_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.classify_queries(logs).groupBy("is_interactive").agg(
         F.count(F.lit(1)).alias("n_queries")
     )
+
+
+@register("incremental_distinct_rollup")
+def incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch upgrade of the reference's per-run approx_distinct
+    rescan (src/partitioning.py:102-121): per-day HLL partial sketches
+    over events, rolled up by sketch union. At 100 TB only delta
+    partitions are ever sketched; the rollup reads KB-sized sketch rows.
+    Sketch binaries are engine-specific -> rows-only check; exact twin is
+    cardinality_profile. Incremental == full-recompute equality is
+    asserted in tests/test_incremental_stats.py."""
+    from ..operators import incremental
+
+    events = tables.load_table(spark, sf_dir, "events")
+    parts = incremental.sketch_partition_stats(
+        events, F.to_date("ts"), ["user_id", "event_type"]
+    )
+    return incremental.merge_sketch_stats(parts, ["user_id", "event_type"])
