@@ -1,0 +1,83 @@
+"""Properties of the deterministic sampling/split/packing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trino_adaptive_partitioning_tool_spark.operators import sampling
+from trino_adaptive_partitioning_tool_spark.sources import tables
+
+from conftest import SMOKE_SF_DIR
+
+
+def _docs(spark):
+    return tables.load_table(spark, SMOKE_SF_DIR, "documents")
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    docs = _docs(spark)
+    tagged = sampling.train_test_split(docs, "doc_id", 0.8, 0.1)
+    n = docs.count()
+    assert tagged.count() == n  # exhaustive
+    assert tagged.select("doc_id").distinct().count() == n  # disjoint
+    # stable under repartitioning: same assignment per doc
+    again = sampling.train_test_split(
+        docs.repartition(13), "doc_id", 0.8, 0.1
+    )
+    diff = (
+        tagged.select("doc_id", "split")
+        .join(again.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .where("split != s2")
+        .count()
+    )
+    assert diff == 0
+    shares = dict(
+        tagged.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert shares["train"] > shares["test"] > 0
+
+
+def test_stratified_sample_subset_and_quota(spark):
+    docs = _docs(spark)
+    frac = {"en": 0.5, "de": 1.0}
+    sampled = sampling.stratified_sample(docs, "lang", "doc_id", frac, 0.1)
+    # subset of the corpus, keyed identically
+    assert sampled.join(docs, "doc_id", "left_anti").count() == 0
+    per = {
+        r["lang"]: r["cnt"]
+        for r in sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    base = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per["de"] == base["de"]  # 100% stratum keeps everything
+    assert 0 < per["en"] < base["en"]
+
+
+def test_pack_sequences_fill_and_budget(spark):
+    from trino_adaptive_partitioning_tool_spark.operators.dedup import tokens_expr
+
+    docs = _docs(spark).withColumn(
+        "token_count", F.size(tokens_expr("text")).cast("bigint")
+    )
+    packed = sampling.pack_sequences(
+        docs, "lang", "doc_id", "token_count", budget=512, n_shards=4
+    )
+    assert packed.count() == docs.count()  # no rows lost
+    packs = packed.groupBy("lang", "shard", "pack_id").agg(
+        F.sum("token_count").alias("tok"), F.max("token_count").alias("mx")
+    )
+    # offset binning: a pack holds >= budget tokens minus at most one doc's
+    # overhang; every non-final pack of a (lang, shard) run must be >= 512
+    # minus its largest doc (the doc that straddles the boundary).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "shard")
+    nonfinal = packs.withColumn(
+        "last", F.max("pack_id").over(w)
+    ).where("pack_id < last")
+    bad = nonfinal.where(F.col("tok") + F.col("mx") < 512).count()
+    assert bad == 0

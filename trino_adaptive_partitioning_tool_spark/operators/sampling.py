@@ -1,0 +1,122 @@
+"""Deterministic sampling, splits, and sequence packing for training-data
+pipelines (extension beyond the reference, per the rebuild's north star —
+the reference has no sampling surface).
+
+Everything here is HASH-deterministic, not RNG-seeded: membership depends
+only on a row's id, never on partitioning, executor count, or Spark's
+sample() Bernoulli draw. That is the property a 100 TB pipeline needs —
+re-runs, backfills, and per-partition retries all assign the same rows to
+the same split/sample/pack — and it makes every operator exactly
+reproducible in the DuckDB oracle via the portable 60-bit md5 hash
+(operators/dedup.md5_60).
+
+Scale notes:
+* split/sample are map-only (no shuffle, no global count); the hash
+  predicate sits right above the scan so column pruning and partition
+  pruning are unaffected.
+* packing needs an ordered running sum, which is only parallel if the
+  window key fans out. `pack_sequences` therefore packs per
+  (group, shard) with shard = hash(id) % n_shards: at 1000 executors you
+  pick n_shards ≈ a few × cores; each shard packs independently and bin
+  ids are globally unique via (group, shard, bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_60, md5_60_sql
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Stable bucket in [0, 10000) from a row id + salt. The salt keeps
+    independent uses (split vs sample) uncorrelated."""
+    return F.pmod(
+        md5_60(F.concat_ws("|", F.lit(salt), id_col.cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+
+
+def split_bucket_sql(id_expr: str, salt: str = "split") -> str:
+    """DuckDB rendering of split_bucket for oracle builders."""
+    h = md5_60_sql(f"concat_ws('|', '{salt}', CAST({id_expr} AS VARCHAR))")
+    return f"({h} % {SPLIT_BUCKETS})"
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.0,
+) -> DataFrame:
+    """Tag each row train/valid/test by hash bucket — disjoint, exhaustive,
+    and stable under any reshuffling or re-ingestion of the data."""
+    b = split_bucket(F.col(id_col))
+    train_hi = int(train_frac * SPLIT_BUCKETS)
+    valid_hi = train_hi + int(valid_frac * SPLIT_BUCKETS)
+    tag = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < valid_hi, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", tag)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under its stratum's quota. Unlike df.sampleBy this is
+    reproducible across runs/planners and needs no RNG state."""
+    b = split_bucket(F.col(id_col), salt="sample")
+    quota = F.lit(int(default_frac * SPLIT_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        quota = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * SPLIT_BUCKETS))
+        ).otherwise(quota)
+    return df.where(b < quota)
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs (context-window
+    bins) by offset binning: within each (group, shard), documents are
+    laid end-to-end in stable id-hash order and a pack boundary falls
+    every `budget` tokens. A document starting inside pack k belongs to
+    pack k (packs can overhang by < 1 doc — the truncation-style packing
+    used for LLM pretraining batches).
+
+    Window-sum over (group, shard) keys → parallelism = groups×shards,
+    independent of total rows."""
+    shard = F.pmod(md5_60(F.col(id_col).cast("string")), F.lit(n_shards))
+    order = md5_60(F.concat_ws("|", F.lit("packorder"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy("pack_order", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pack_order", order)
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum(token_count_col).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "pack_id", (F.col("tokens_before") / F.lit(budget)).cast("bigint")
+        )
+        .drop("pack_order", "tokens_before")
+    )
