@@ -1,0 +1,64 @@
+"""Connected components vs a local union-find ground truth."""
+
+from __future__ import annotations
+
+import random
+
+from trino_adaptive_partitioning_tool_spark.operators import graph
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df).collect()
+    }
+    want = _union_find(edges)
+    # min-label propagation converges to the min node id per component;
+    # path-compressed union-find with min-root merging yields the same
+    assert got == want
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_long_chain_needs_many_rounds(spark):
+    # a 40-node path has diameter 39: exercises the iteration loop and
+    # the checkpoint-per-round lineage truncation
+    edges = [(i, i + 1) for i in range(40)]
+    _check(spark, edges)
+
+
+def test_disjoint_cliques(spark):
+    edges = [(a, b) for base in (0, 100, 200)
+             for a in range(base, base + 5) for b in range(a + 1, base + 5)]
+    _check(spark, edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    roll = {
+        r["cluster_rep"]: r["n_members"]
+        for r in graph.cluster_rollup(graph.connected_components(df)).collect()
+    }
+    assert roll == {0: 5, 100: 5, 200: 5}

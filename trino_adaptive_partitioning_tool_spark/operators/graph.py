@@ -1,0 +1,80 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pairwise dedup (minhash/simhash/jaccard — operators/dedup.py) emits
+EDGES; an actual dedup pass needs CLUSTERS (keep one representative per
+transitively-connected group). This is min-label propagation:
+
+    label(v) := min(label(v), min label of v's neighbors)   until fixed
+
+which converges to the minimum node id of each component — the same
+value a transitive-closure oracle computes, so the full pipeline
+(pairs → clusters → rollup) stays hash-checkable in DuckDB via a
+recursive CTE.
+
+Scale properties:
+* Each round is one shuffle join (edges ⋈ labels on src) + a min-groupBy
+  — all JVM-side, partial-aggregated map-side.
+* Rounds needed = graph diameter. Near-dup clusters are
+  shallow (duplicates of a common source), so a handful of rounds; for
+  adversarially long chains switch to large-star/small-star (Kiveris et
+  al., "Connected Components in MapReduce"), same join primitive,
+  O(log n) rounds.
+* `localCheckpoint` truncates lineage every round — without it the plan
+  doubles per iteration and re-executes earlier rounds at every action
+  (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; component =
+    min node id in the node's connected component."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = e.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(new_labels, "node")
+            .where(F.col("old_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def cluster_rollup(components: DataFrame) -> DataFrame:
+    """Per-cluster summary: representative (= component min id) + size."""
+    return components.groupBy(
+        F.col("component").alias("cluster_rep")
+    ).agg(F.count(F.lit(1)).alias("n_members"))

@@ -298,3 +298,46 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "dedup_cluster_rollup",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a
+      JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst AS node, r.root
+      FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+      SELECT node, MIN(root) AS cluster_rep FROM reach GROUP BY node
+    )
+    SELECT cluster_rep, COUNT(*) AS n_members
+    FROM labels GROUP BY cluster_rep
+    """,
+)
+def dedup_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: token-Jaccard >= 0.8 edges ->
+    iterative min-label connected components (operators/graph.py) ->
+    per-cluster rollup. The oracle replays the transitive closure with a
+    recursive CTE, so the iterative distributed algorithm is hash-checked
+    against closed-form reachability."""
+    from ..operators import graph
+
+    pairs = dedup_token_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    return graph.cluster_rollup(comp)
