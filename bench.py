@@ -53,6 +53,10 @@ HEADLINE_QUERIES = [
     "text_token_stats",
     "text_winnow_fingerprints",
     "corpus_top_tokens",
+    "bm25_search_topk",
+    "dedup_cluster_rollup",
+    "sequence_packing_stats",
+    "incremental_distinct_rollup",
 ]
 
 

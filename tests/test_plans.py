@@ -113,3 +113,17 @@ def test_simhash_pairs_no_cartesian(spark):
     plan = pi.physical_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_constants_broadcast_not_collected(spark):
+    """BM25's corpus constants (N, avgdl) must enter the plan as 1-row
+    broadcasts, and term counting must keep map-side partial agg."""
+    from trino_adaptive_partitioning_tool_spark.operators import text as tops
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
+    scored = tops.bm25_rank(docs, ["spark", "join"])
+    plan = pi.physical_plan(scored)
+    assert plan.count("BroadcastExchange") >= 2
+    assert pi.has_partial_aggregation(scored)
+    assert "CartesianProduct" not in plan

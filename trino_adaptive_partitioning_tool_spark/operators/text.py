@@ -173,3 +173,51 @@ def fingerprints(
         winnow.alias("winnow_fp"),
         F.size(winnow).cast("bigint").alias("winnow_size"),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (Robertson/Sparck Jones
+    idf: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Entirely relational — explode -> two aggregations -> joins -> score
+    arithmetic — so Catalyst partial-aggregates the term counts map-side
+    and the only shuffles are the groupBys on (doc, term) and doc. Corpus
+    constants (N, avgdl) travel as 1-row broadcast crossJoins, never via
+    a driver collect. At 100 TB this is the standard inverted-score
+    pattern: cost is one pass over tokens + joins on the (tiny) matched
+    subset.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )

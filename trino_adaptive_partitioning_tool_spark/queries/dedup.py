@@ -302,18 +302,9 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_rollup",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id, lang, source,
-             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
-      FROM documents
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM tok a
-      JOIN tok b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_verified_oracle(0.7)}) v
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -331,13 +322,14 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS, not just pairs: token-Jaccard >= 0.8 edges ->
-    iterative min-label connected components (operators/graph.py) ->
-    per-cluster rollup. The oracle replays the transitive closure with a
-    recursive CTE, so the iterative distributed algorithm is hash-checked
-    against closed-form reachability."""
+    """Near-dup CLUSTERS, not just pairs: the scale path end to end —
+    MinHash-LSH candidates -> exact-Jaccard verify (>= 0.7) -> iterative
+    min-label connected components (operators/graph.py) -> per-cluster
+    rollup. The oracle replays LSH + verify + a recursive-CTE transitive
+    closure, so the full iterative pipeline is hash-checked against
+    closed-form reachability."""
     from ..operators import graph
 
-    pairs = dedup_token_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = dedup_minhash_verified(spark, sf_dir).select("id_a", "id_b")
     comp = graph.connected_components(pairs, "id_a", "id_b")
     return graph.cluster_rollup(comp)

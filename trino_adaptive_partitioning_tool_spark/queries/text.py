@@ -305,3 +305,46 @@ def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+        SUM(
+          ln(1 + ((SELECT COUNT(*) FROM documents) - d.df + 0.5) / (d.df + 0.5))
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT AVG(dl) FROM dl)))
+        ) AS score
+      FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT s.doc_id, docs.lang, ROUND(s.score, 4) AS bm25
+    FROM scored s JOIN documents docs USING (doc_id)
+    ORDER BY ROUND(s.score, 4) DESC, s.doc_id
+    LIMIT 15
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the query {spark, join, vector} — ranked retrieval
+    as pure relational algebra (operators/text.bm25_rank), value-checked
+    against a DuckDB replay of the same scoring formula."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    scored = ops.bm25_rank(docs, ["spark", "join", "vector"])
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.round("score", 4).alias("bm25"))
+        .orderBy(F.round("score", 4).desc(), "doc_id")
+        .limit(15)
+    )
