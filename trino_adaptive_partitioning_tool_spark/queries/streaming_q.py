@@ -170,3 +170,24 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.run_append_available_now(
         sj.click_purchase_interval_join(stream), name, f"{tmp}/ckpt"
     )
+
+
+@register("streaming_incremental_stats")
+def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained sketch store: the event stream folds
+    per-micro-batch HLL sketches into a persisted per-day stats table;
+    the returned rollup reads ONLY that table. rows-only check (sketch
+    binaries are engine-specific); streaming == batch-recompute equality
+    is asserted in tests/test_incremental_sink.py."""
+    import uuid as _uuid
+
+    from ..operators import incremental
+    from ..streaming import incremental_sink as isink
+    from ..streaming import stream_join as sj
+
+    keys = ["user_id", "event_type"]
+    tmp = _events_json_dir(spark, sf_dir)
+    stats_path = f"{tmp}/stats_{_uuid.uuid4().hex[:8]}"
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    isink.maintain_partition_stats(stream, stats_path, f"{tmp}/ckpt", keys)
+    return incremental.merge_sketch_stats(spark.read.parquet(stats_path), keys)

@@ -186,3 +186,48 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("r", 4).alias("value_time_corr"),
         )
     )
+
+
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 2) AS day_rev
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day,
+      ROUND(SUM(day_rev) OVER w, 2) AS rev_7d,
+      CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+    FROM daily
+    WINDOW w AS (
+      PARTITION BY o_orderpriority
+      ORDER BY datediff('day', DATE '1992-01-01', day)
+      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per order priority with a RANGE frame over
+    epoch-day offsets — the range frame closes over calendar gaps (a
+    missing day still ages out of the window), which a ROWS frame gets
+    wrong on sparse series. One shuffle for the daily rollup, one window
+    sort per priority partition; at scale the partition key fans out and
+    the frame is O(1) running state per partition."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.datediff(F.col("day"), F.lit("1992-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
