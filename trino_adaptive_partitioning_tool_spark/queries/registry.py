@@ -58,6 +58,7 @@ def _load_all() -> None:
         core_sql2,
         dedup,
         multimodal,
+        quality,
         sampling,
         similarity,
         streaming_q,
