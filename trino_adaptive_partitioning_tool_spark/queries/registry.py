@@ -54,6 +54,7 @@ def _load_all() -> None:
     # import for registration side effects
     from . import (  # noqa: F401
         advisor,
+        cdc,
         core_sql,
         core_sql2,
         dedup,
