@@ -72,3 +72,36 @@ def test_partition_stats_partial_aggregation(spark):
     )
     assert inspect.has_partial_aggregation(parts)
     assert inspect.shuffle_count(parts) <= 1
+
+
+def test_histogram_partials_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators import incremental
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    from conftest import SMOKE_SF_DIR
+
+    ev = tables.load_table(spark, SMOKE_SF_DIR, "events")
+    lo, hi, nb = 0.0, 500.0, 20
+    # split the stream arbitrarily; merge of independently-built partials
+    # must equal the single-pass histogram exactly
+    a = incremental.histogram_partials(
+        ev.where(F.col("event_id") % 2 == 0), F.to_date("ts"), F.col("value"), lo, hi, nb
+    )
+    b = incremental.histogram_partials(
+        ev.where(F.col("event_id") % 2 == 1), F.to_date("ts"), F.col("value"), lo, hi, nb
+    )
+    merged = {
+        r["bucket"]: r["n"]
+        for r in incremental.merge_histograms(a.unionByName(b), lo, hi, nb).collect()
+    }
+    direct = {
+        r["bucket"]: r["n"]
+        for r in incremental.merge_histograms(
+            incremental.histogram_partials(ev, F.to_date("ts"), F.col("value"), lo, hi, nb),
+            lo, hi, nb,
+        ).collect()
+    }
+    assert merged == direct
+    assert sum(merged.values()) == ev.where(F.col("value").isNotNull()).count()

@@ -84,3 +84,66 @@ def incremental_update(
         .groupBy("part")
         .agg(*merged_aggs)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable histograms — the same persist-partials/merge topology as
+# the HLL sketches, but for value distributions, and EXACT (bucket counts
+# are plain sums), so the full pipeline is DuckDB-hash-checkable.
+# ---------------------------------------------------------------------------
+
+def bucket_expr(col: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Equi-width bucket index in [0, nbins): floor-scaled, edge-clamped.
+    Pure double IEEE arithmetic — bit-identical across engines (see
+    bucket_sql for the mirrored oracle formula)."""
+    scaled = (col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(nbins)
+    return F.least(
+        F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+        F.lit(nbins - 1),
+    )
+
+
+def bucket_sql(expr: str, lo: float, hi: float, nbins: int) -> str:
+    """DuckDB twin of bucket_expr — same literals, same operation order."""
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({expr} AS DOUBLE) - {lo})"
+        f" / {hi - lo} * {nbins}) AS BIGINT), 0), {nbins - 1})"
+    )
+
+
+def histogram_partials(
+    df: DataFrame,
+    partition_expr: Column,
+    col: Column,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Per-ingest-partition bucket counts (part, bucket, n) — the rows a
+    pipeline persists. One shuffle carrying ≤ partitions × nbins rows;
+    counts combine map-side."""
+    return (
+        df.where(col.isNotNull())
+        .groupBy(
+            partition_expr.alias("part"),
+            bucket_expr(col, lo, hi, nbins).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(partials: DataFrame, lo: float, hi: float, nbins: int) -> DataFrame:
+    """Roll persisted partials up to the global histogram. Exact: the
+    merge is a plain sum, so incremental == full recompute, bit-for-bit.
+    Emits bin bounds for the report surface."""
+    width = (hi - lo) / nbins
+    return (
+        partials.groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -685,6 +685,37 @@ def interactive_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_oracle() -> str:
+    from ..operators import incremental
+
+    b = incremental.bucket_sql("value", 0.0, 500.0, 20)
+    return f"""
+    SELECT {b} AS bucket,
+           0.0 + {b} * 25.0 AS bin_lo,
+           0.0 + ({b} + 1) * 25.0 AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """
+
+
+@register("incremental_histogram_rollup", oracle=_hist_oracle())
+def incremental_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable histogram: per-day bucket-count partials over
+    events.value (the persisted rows), rolled up to the global
+    distribution. The ORACLE computes the histogram in one direct pass —
+    hash equality IS the proof that merge(partials) == recompute. Same
+    persist/merge topology as the HLL rollup, but exact, so it gets the
+    strong check."""
+    from ..operators import incremental
+
+    events = tables.load_table(spark, sf_dir, "events")
+    parts = incremental.histogram_partials(
+        events, F.to_date("ts"), F.col("value"), 0.0, 500.0, 20
+    )
+    return incremental.merge_histograms(parts, 0.0, 500.0, 20)
+
+
 @register("incremental_distinct_rollup")
 def incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch upgrade of the reference's per-run approx_distinct

@@ -537,3 +537,48 @@ _shared_sql(
     WHERE levenshtein(a.p_name, b.p_name) <= 4
     """,
 )
+
+
+def _zorder_oracle() -> str:
+    from ..operators import zorder as zo
+
+    qx = zo.quantize_sql("l_quantity", 0.0, 50.0, 8)
+    qy = zo.quantize_sql("l_extendedprice", 800.0, 110000.0, 8)
+    z = zo.interleave2_sql("qx", "qy", 8)
+    return f"""
+    WITH cells AS (
+      SELECT {qx} AS qx, {qy} AS qy, l_quantity FROM lineitem
+    )
+    SELECT {z} >> 8 AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM cells
+    GROUP BY 1
+    """
+
+
+@register("zorder_cell_stats", oracle=_zorder_oracle())
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-cell rollup of lineitem over (l_quantity, l_extendedprice):
+    quantize both dims to 8-bit cells, interleave to a 16-bit z-value,
+    aggregate per coarse cell (z >> 8). Hash-equality with the DuckDB
+    twin proves the bit-interleave layout math is portable — the same
+    z-values drive zorder_write's file clustering (operators/zorder.py,
+    tests/test_zorder.py). Pure Column bit arithmetic: one shuffle, no
+    UDFs, whole-stage codegen end to end."""
+    from ..operators import zorder as zo
+
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    z = zo.zvalue2(
+        F.col("l_quantity"), 0.0, 50.0,
+        F.col("l_extendedprice"), 800.0, 110000.0,
+        8,
+    )
+    return (
+        li.select(F.shiftright(z, 8).alias("zcell"), "l_quantity")
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
