@@ -37,6 +37,7 @@ HEADLINE_QUERIES = [
     "simple_predicate_revenue",
     "volume_shipping_bilateral",
     "customer_order_count_distribution",
+    "large_volume_customers",
     "daily_gap_fill",
     # advisor pipeline (fixture-driven stages + full end-to-end)
     "resource_scores",
@@ -57,6 +58,7 @@ HEADLINE_QUERIES = [
     "dedup_cluster_rollup",
     "sequence_packing_stats",
     "incremental_distinct_rollup",
+    "embedding_quantization_stats",
 ]
 
 

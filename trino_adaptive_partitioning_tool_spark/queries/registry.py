@@ -60,6 +60,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         quality,
+        relational_ext,
         sampling,
         similarity,
         streaming_q,
