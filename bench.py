@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "text_quality_scores",
     "text_token_stats",
     "text_winnow_fingerprints",
+    "text_repetition_stats",
+    "decontamination_ngram_overlap",
     "corpus_top_tokens",
     "bm25_search_topk",
     "dedup_cluster_rollup",

@@ -62,20 +62,22 @@ def connected_components(
     for _ in range(max_iter):
         nbr = e.join(
             labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(nbr)
+        ).select(F.col("dst").alias("node"), "label", F.lit(False).alias("own"))
+        # Fold the node's own (old) label into the same min-aggregation:
+        # convergence detection then reads the checkpointed result with a
+        # cheap scan instead of a second shuffle join per round.
+        merged = (
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(new_labels, "node")
-            .where(F.col("old_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

@@ -221,3 +221,133 @@ def bm25_rank(
         .groupBy(id_col)
         .agg(F.sum(idf * tf_norm).alias("score"))
     )
+
+
+def ngram_hashes(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h): the DISTINCT md5_60 hashes of every n-token shingle.
+
+    The shingle stream is built with posexplode + lead() windows (the
+    codegen'd form — see minhash_signatures for why the higher-order
+    array-expression form is off the hot path), hashed once per shingle,
+    and deduped per document. Documents shorter than n tokens emit no
+    rows. This is the shared substrate for containment / contamination
+    checks: at 100 TB the (id, h) stream shuffles once for the distinct
+    and once for whatever join consumes it."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, n)
+    ]
+    return (
+        toks.select(
+            "id",
+            F.when(
+                F.lead("token", n - 1).over(w).isNotNull(),
+                md5_60(F.concat_ws(" ", *parts)),
+            ).alias("h"),
+        )
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination report: for every training document that
+    shares at least one n-gram with the benchmark set, the count of
+    overlapping n-grams, its total n-grams, the overlap ratio, and how
+    many distinct benchmark docs it collides with.
+
+    This is the standard pre-training decontamination primitive (n-gram
+    collision against held-out eval sets). Both sides reduce to DISTINCT
+    (id, h) streams joined on the 60-bit hash — candidate volume crosses
+    the shuffle, never |train| x |benchmark|. The benchmark side is
+    eval-set-sized, so Spark broadcasts it under AQE at any corpus
+    scale."""
+    t = ngram_hashes(train, n, id_col, text_col)
+    b = ngram_hashes(benchmark, n, id_col, text_col).withColumnRenamed(
+        "id", "bench_id"
+    )
+    totals = t.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    overlap = (
+        t.join(b, "h")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("h").alias("n_overlap"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return (
+        overlap.join(totals, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_overlap",
+            "n_ngrams",
+            F.round(
+                F.col("n_overlap") / F.col("n_ngrams").cast("double"), 6
+            ).alias("overlap_ratio"),
+            "n_bench_docs",
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over bigrams:
+    duplicate-bigram fraction (1 - distinct/total) and the share of the
+    single most frequent bigram. Token-count variant of the
+    duplicate-n-gram character fractions in Rae et al. 2021 (Gopher),
+    documented deviation: fractions count bigram OCCURRENCES, not
+    characters. One explode + two aggregations, all map-side partial."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = toks.select(
+        "id",
+        F.when(
+            F.lead("token", 1).over(w).isNotNull(),
+            F.concat_ws(" ", F.col("token"), F.lead("token", 1).over(w)),
+        ).alias("bg"),
+    ).where(F.col("bg").isNotNull())
+    counts = bigrams.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("n").alias("top_bigram_count"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("dup_bigram_ratio"),
+        F.round(
+            F.col("top_bigram_count") / F.col("n_bigrams").cast("double"), 6
+        ).alias("top_bigram_share"),
+    )

@@ -348,3 +348,87 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.round("score", 4).desc(), "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# r2 extensions — decontamination + repetition quality filtering
+# ---------------------------------------------------------------------------
+_DECON_N = 5
+_DECON_MOD = 10  # doc_id % MOD == 0 -> benchmark split (fixture convention)
+
+
+def _ngram_hash_cte(k: int) -> str:
+    """DISTINCT (doc_id, h) n-gram md5_60 hashes, replaying
+    operators/text.ngram_hashes in DuckDB list SQL."""
+    from ..operators.dedup import md5_60_sql
+
+    g = md5_60_sql(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
+    return f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(toks) >= {k}
+            THEN list_transform(range(1, len(toks) - {k - 2}), i -> {g})
+            ELSE [] END AS gs FROM tok),
+    e AS (SELECT DISTINCT doc_id, unnest(gs) AS h FROM sh)"""
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle=f"""
+    WITH {_ngram_hash_cte(_DECON_N)},
+    train AS (SELECT * FROM e WHERE doc_id % {_DECON_MOD} != 0),
+    ev AS (SELECT doc_id AS bench_id, h FROM e WHERE doc_id % {_DECON_MOD} = 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train GROUP BY 1),
+    ov AS (
+      SELECT t.doc_id,
+             COUNT(DISTINCT t.h) AS n_overlap,
+             COUNT(DISTINCT ev.bench_id) AS n_bench_docs
+      FROM train t JOIN ev ON t.h = ev.h
+      GROUP BY 1
+    )
+    SELECT o.doc_id,
+           CAST(o.n_overlap AS BIGINT) AS n_overlap,
+           CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+           ROUND(o.n_overlap / CAST(t.n_ngrams AS DOUBLE), 6)
+             AS overlap_ratio,
+           CAST(o.n_bench_docs AS BIGINT) AS n_bench_docs
+    FROM ov o JOIN tot t USING (doc_id)
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training decontamination: training docs sharing any 5-gram
+    with the benchmark split (doc_id % 10 == 0 stands in for a held-out
+    eval set), with overlap counts and ratios. The oracle replays the
+    identical hash-set join, so the report is hash-checked end to end —
+    the check proves set semantics (distinct n-grams per doc), not just
+    collision counting."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    bench = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    return ops.decontamination_overlap(train, bench, n=_DECON_N)
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+            THEN list_transform(range(1, len(toks) - 0),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+            ELSE [] END AS bgs FROM tok),
+    e AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+    counts AS (SELECT doc_id, bg, COUNT(*) AS n FROM e GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6)
+             AS dup_bigram_ratio,
+           ROUND(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) AS top_bigram_share
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (duplicate-bigram fraction,
+    top-bigram share) — the Gopher-family repetition quality filter as
+    one explode + two aggregations (operators/text.repetition_stats)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.repetition_stats(docs)
