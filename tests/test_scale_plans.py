@@ -41,6 +41,9 @@ _JOIN_QUERIES = [
     "top_revenue_supplier",
     "semi_join_suppliers",
     "anti_join_customers",
+    "large_volume_customers",
+    "full_outer_daily_activity",
+    "decontamination_ngram_overlap",
 ]
 
 
@@ -115,3 +118,92 @@ def test_aqe_splits_skewed_sort_merge_join(spark, tmp_path):
     assert "skew=true" in final_plan, "AQE did not split the skewed partition"
     assert rows["g0"][0] == 100_000
     assert len(rows) == 51
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """At 100 TB the win on selective fact⋈filtered-dim joins comes from
+    Catalyst's runtime bloom-filter injection: the filtered side's keys
+    are sketched and pushed into the probe side's scan, cutting shuffle
+    volume before the join. Thresholds are lowered so the local fixture
+    triggers the same rule a real cluster would."""
+    fact = spark.range(200_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 == 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("flag"),
+    )
+    fact_path, dim_path = str(tmp_path / "bf_fact"), str(tmp_path / "bf_dim")
+    fact.write.mode("overwrite").parquet(fact_path)
+    dim.write.mode("overwrite").parquet(dim_path)
+    fact, dim = spark.read.parquet(fact_path), spark.read.parquet(dim_path)
+
+    with _confs(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+            # default 10GB: the probe side must look big for injection —
+            # locally everything is KB-sized, so drop the floor
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        },
+    ):
+        joined = (
+            fact.join(dim.where(F.col("flag") == "keep"), "k")
+            .groupBy("k")
+            .agg(F.round(F.sum("v"), 4).alias("sv"))
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        n = joined.count()
+    assert "might_contain" in plan.lower(), (
+        "runtime bloom filter was not injected into the probe side"
+    )
+    assert n == 100  # 10k dim keys / 100
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Partition-advice output is only worth anything if the engine then
+    PRUNES those partitions: writing the fact partitioned on the
+    recommended key and joining through a filtered dim must plan a
+    dynamicpruning subquery on the fact scan (DPP), reading only the
+    matching partition directories."""
+    fact = spark.range(50_000).select(
+        (F.col("id") % 12).alias("month_key"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(12).select(
+        F.col("id").alias("month_key"),
+        F.when(F.col("id") < 2, F.lit("Q1")).otherwise(F.lit("rest")).alias("q"),
+    )
+    fact_path = str(tmp_path / "dpp_fact")
+    fact.write.mode("overwrite").partitionBy("month_key").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim_path = str(tmp_path / "dpp_dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    with _confs(
+        spark,
+        **{
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+            # force the reuse-broadcast DPP path to be considered even
+            # though local sizes are tiny
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10.0",
+        },
+    ):
+        joined = fact.join(dim.where(F.col("q") == "Q1"), "month_key").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 4).alias("sv")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        row = joined.collect()[0]
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan is not dynamically pruned by the dim filter"
+    )
+    # ids 0..49999 with id % 12 in {0, 1}: 4167 each
+    assert row["n"] == 8334
