@@ -165,3 +165,33 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     n_events = tables.load_table(spark, SMOKE_SF_DIR, "events").count()
     assert deduped.count() == n_events
     assert deduped.select("event_id").distinct().count() == n_events
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join + complete-mode rollup must equal the
+    identical batch join over the same files."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from trino_adaptive_partitioning_tool_spark.streaming import (
+        query_log_stream as qls,
+    )
+    from trino_adaptive_partitioning_tool_spark.streaming import stream_join as sj
+
+    in_dir = str(tmp_path / "events")
+    _write_event_files(spark, in_dir)
+    customer = tables.load_table(spark, SMOKE_SF_DIR, "customer")
+
+    stream = sj.stream_events_json(spark, in_dir)
+    enriched = sj.enriched_segment_rollup(stream, customer)
+    assert enriched.isStreaming
+    got = qls.run_available_now(
+        enriched, "enrich_eq_test", str(tmp_path / "ckpt_enr")
+    )
+
+    batch = sj.enriched_segment_rollup(
+        spark.read.schema(sj.EVENT_SCHEMA).json(in_dir), customer
+    )
+    key = ["c_mktsegment", "event_type", "n_events", "total_value"]
+    assert got.count() == batch.count()
+    assert got.join(batch, key, "inner").count() == batch.count()

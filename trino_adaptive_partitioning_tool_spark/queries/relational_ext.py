@@ -501,3 +501,68 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale_raw", 6).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap — exact set-intersection analytics across segments
+# (the query pattern HLL-sketch unions approximate; this is the exact
+# twin, expressed as distinct-pair self-join + per-set sizes).
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_user_overlap",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(p.n_both / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6)
+             AS user_jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: distinct-user
+    intersection sizes and Jaccard similarity of the user sets. The
+    distinct (user, type) projection shuffles once; the pair join fans
+    out per user (bounded by |types| per user), never |users|² — the
+    exact-set twin of HLL-union overlap estimation."""
+    events = tables.load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_type").distinct()
+    a = e.select("user_id", F.col("event_type").alias("type_a"))
+    b = e.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("user_jaccard"),
+        )
+    )

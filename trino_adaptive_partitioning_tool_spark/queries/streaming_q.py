@@ -191,3 +191,24 @@ def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     isink.maintain_partition_stats(stream, stats_path, f"{tmp}/ckpt", keys)
     return incremental.merge_sketch_stats(spark.read.parquet(stats_path), keys)
+
+
+@register("streaming_static_enrichment")
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joined to the
+    static customer dimension, rolled up per (segment, event_type) in
+    complete mode. rows-only check; stream==batch equivalence is
+    asserted in tests/test_streaming.py."""
+    import uuid as _uuid
+
+    from ..sources import tables
+    from ..streaming import query_log_stream as qls
+    from ..streaming import stream_join as sj
+
+    tmp = _events_json_dir(spark, sf_dir)
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    customer = tables.load_table(spark, sf_dir, "customer")
+    name = f"stream_enr_{_uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(
+        sj.enriched_segment_rollup(stream, customer), name, f"{tmp}/ckpt"
+    )

@@ -117,3 +117,23 @@ def run_append_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def enriched_segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a static
+    customer dimension (user_id -> c_custkey) and rolled up per
+    (segment, event_type). Stream-static equi-joins need no watermark —
+    the static side is planned as a broadcast build per micro-batch, so
+    state stays empty regardless of stream length. Works identically on
+    a batch `events` frame (the stream==batch test runs both)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
