@@ -1,8 +1,16 @@
-"""Multimodal pipeline queries (extensions layer) — rows-only checks:
-the payloads are synthetic binaries and the decode stage is a documented
-deterministic stub (no codec libraries in this environment), but the
-Spark plumbing (binary columns, Arrow-batched mapInPandas stages, UDTF
-frame explosion, feature handoff to similarity search) is the real thing.
+"""Multimodal pipeline queries (extensions layer).
+
+The payloads are synthetic binaries and the codec is a documented
+deterministic stub (no image/audio libraries in this environment), but
+that determinism buys a REAL check: the stub derives everything from
+md5/sha256 of the payload, so DuckDB can replay the whole decode →
+rollup pipeline in SQL and hash-compare it against the Arrow-batched
+mapInPandas path. Three of the four queries are therefore
+oracle-checked end-to-end — the Python worker plumbing (binary columns,
+batch shapes, UDTF frame explosion) is verified, not just smoke-run.
+multimodal_feature_search stays rows-only: its features are float32
+numpy vectors, and DuckDB has no float32 arithmetic to replay them
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -14,10 +22,44 @@ from ..operators import multimodal as mm
 from ..operators import similarity
 from .registry import register
 
+# DuckDB replay of synth_assets(n): asset ids, media types and the
+# 128-byte payload (= unhex(repeat(md5(id), 8)), so any byte statistic
+# reduces to the 16 md5 digest bytes).
+_MEDIA_CASE = (
+    "CASE CAST(t.asset_id % 3 AS INT) WHEN 0 THEN 'image' "
+    "WHEN 1 THEN 'audio' ELSE 'video' END"
+)
 
-@register("multimodal_decode_stats")
+
+@register(
+    "multimodal_decode_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             {_MEDIA_CASE} AS media_type,
+             -- mean over the 128 payload bytes == mean over the 16 md5
+             -- digest bytes (the payload is the digest repeated 8x)
+             list_avg(list_transform(range(1, 17),
+               i -> CAST(('0x' || substr(md5(CAST(t.asset_id AS VARCHAR)),
+                                         CAST(2 * i - 1 AS INT), 2))
+                         AS INT))) AS mean_intensity
+      FROM range(0, 256) t(asset_id)
+    )
+    SELECT media_type,
+           COUNT(*) AS n_assets,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity,
+           CAST(COUNT(*) * 128 AS BIGINT) AS total_bytes
+    FROM a GROUP BY media_type
+    """,
+)
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary assets → Arrow-batched decode → per-media-type rollup."""
+    """Binary assets → Arrow-batched decode → per-media-type rollup.
+
+    Hash-checked: the stub decoder's mean-intensity is a pure function
+    of the md5-derived payload, which the oracle recomputes from the hex
+    digits — the check verifies the mapInPandas decode path end-to-end
+    (byte handling included; a payload-corruption bug would flip the
+    intensity sums)."""
     decoded = mm.decode_assets(mm.synth_assets(spark, n=256))
     return decoded.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
@@ -28,7 +70,9 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_feature_search")
 def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub feature extraction feeding the real cosine top-k operator."""
+    """Stub feature extraction feeding the real cosine top-k operator.
+    rows-only: the byte-histogram features are float32 numpy vectors
+    (no DuckDB float32 arithmetic to replay)."""
     feats = (
         mm.extract_features(mm.synth_assets(spark, n=128), dim=64)
         .withColumnRenamed("feature", "embedding")
@@ -40,10 +84,29 @@ def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(feats, queries, k=5)
 
 
-@register("multimodal_resize_stats")
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id, {_MEDIA_CASE} AS media_type,
+             t.asset_id % 1920 + 1 AS w,
+             t.asset_id % 1080 + 1 AS h
+      FROM range(0, 256) t(asset_id)
+    )
+    SELECT media_type,
+           COUNT(*) AS n_assets,
+           -- 128-byte payloads resize to min(128, 224*224/256) = 128 bytes
+           CAST(COUNT(*) * 128 AS BIGINT) AS total_resized_bytes,
+           ROUND(AVG(224.0 / w), 4) AS avg_scale_x,
+           ROUND(AVG(224.0 / h), 4) AS avg_scale_y
+    FROM a WHERE media_type IN ('image', 'video')
+    GROUP BY media_type
+    """,
+)
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize (thumbnail / model-input prep) stage → per-media rollup of
-    output sizes and scale factors."""
+    output sizes and scale factors. Hash-checked against the metadata
+    arithmetic the stub resizer implements."""
     resized = mm.resize_assets(mm.synth_assets(spark, n=256))
     return resized.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
@@ -53,11 +116,24 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT t.asset_id,
+           CAST(GREATEST((t.asset_id % 60000) // 10000, 1) AS BIGINT)
+             AS n_frames,
+           CAST((GREATEST((t.asset_id % 60000) // 10000, 1) - 1) * 10000
+                AS BIGINT) AS last_frame_ms
+    FROM range(0, 128) t(asset_id)
+    WHERE t.asset_id % 3 = 2
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDTF-shaped frame sampling: one video asset → many frame rows."""
+    """UDTF-shaped frame sampling: one video asset → many frame rows,
+    rolled up per asset. Hash-checked: frame counts and offsets are pure
+    functions of the synthetic duration metadata."""
     frames = mm.sample_frames(mm.synth_assets(spark, n=128), every_ms=10_000)
     return frames.groupBy("asset_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
-        F.max("frame_ms").alias("last_frame_ms"),
+        F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
     )
