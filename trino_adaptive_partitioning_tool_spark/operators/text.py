@@ -228,16 +228,20 @@ def ngram_hashes(
     n: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, h): the DISTINCT md5_60 hashes of every n-token shingle.
+    """(id, h): md5_60 hashes of every n-token shingle, deduped per
+    document by default.
 
     The shingle stream is built with posexplode + lead() windows (the
     codegen'd form — see minhash_signatures for why the higher-order
-    array-expression form is off the hot path), hashed once per shingle,
-    and deduped per document. Documents shorter than n tokens emit no
-    rows. This is the shared substrate for containment / contamination
-    checks: at 100 TB the (id, h) stream shuffles once for the distinct
-    and once for whatever join consumes it."""
+    array-expression form is off the hot path), hashed once per shingle.
+    Documents shorter than n tokens emit no rows. This is the shared
+    substrate for containment / contamination checks. `distinct=False`
+    skips the dedup EXCHANGE — consumers whose aggregation is already
+    distinct-aware (countDistinct downstream) should pass it: the window
+    has partitioned the stream by id, so a following groupBy(id) then
+    needs no further shuffle at all."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -250,17 +254,14 @@ def ngram_hashes(
     parts = [F.col("token")] + [
         F.lead("token", i).over(w) for i in range(1, n)
     ]
-    return (
-        toks.select(
-            "id",
-            F.when(
-                F.lead("token", n - 1).over(w).isNotNull(),
-                md5_60(F.concat_ws(" ", *parts)),
-            ).alias("h"),
-        )
-        .where(F.col("h").isNotNull())
-        .distinct()
-    )
+    out = toks.select(
+        "id",
+        F.when(
+            F.lead("token", n - 1).over(w).isNotNull(),
+            md5_60(F.concat_ws(" ", *parts)),
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
+    return out.distinct() if distinct else out
 
 
 def decontamination_overlap(
@@ -276,26 +277,31 @@ def decontamination_overlap(
     many distinct benchmark docs it collides with.
 
     This is the standard pre-training decontamination primitive (n-gram
-    collision against held-out eval sets). Both sides reduce to DISTINCT
-    (id, h) streams joined on the 60-bit hash — candidate volume crosses
-    the shuffle, never |train| x |benchmark|. The benchmark side is
-    eval-set-sized, so Spark broadcasts it under AQE at any corpus
-    scale."""
-    t = ngram_hashes(train, n, id_col, text_col)
+    collision against held-out eval sets). The train side's DISTINCT
+    (id, h) stream is scanned ONCE: a broadcast LEFT join against the
+    (eval-set-sized) benchmark hashes marks collisions, and a single
+    groupBy derives totals, overlap and bench-doc counts together — no
+    second pass over the corpus, no |train| x |benchmark| product. The
+    countDistinct on h corrects for h matching multiple benchmark
+    docs."""
+    # distinct=False on the train side: the countDistinct aggregates
+    # below already implement set semantics, so the dedup exchange would
+    # be pure overhead on the corpus-sized stream
+    t = ngram_hashes(train, n, id_col, text_col, distinct=False)
     b = ngram_hashes(benchmark, n, id_col, text_col).withColumnRenamed(
         "id", "bench_id"
     )
-    totals = t.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    overlap = (
-        t.join(b, "h")
-        .groupBy("id")
+    j = t.join(F.broadcast(b), "h", "left")
+    return (
+        j.groupBy("id")
         .agg(
-            F.count_distinct("h").alias("n_overlap"),
+            F.count_distinct("h").alias("n_ngrams"),
+            F.count_distinct(
+                F.when(F.col("bench_id").isNotNull(), F.col("h"))
+            ).alias("n_overlap"),
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
-    )
-    return (
-        overlap.join(totals, "id")
+        .where(F.col("n_overlap") > 0)
         .select(
             F.col("id").alias(id_col),
             "n_overlap",
