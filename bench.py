@@ -50,6 +50,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_lsh_topk",
     "text_quality_scores",
     "text_token_stats",
     "text_winnow_fingerprints",
@@ -61,10 +62,21 @@ HEADLINE_QUERIES = [
     "sequence_packing_stats",
     "incremental_distinct_rollup",
     "embedding_quantization_stats",
+    "multimodal_decode_stats",
+    "train_test_split_counts",
 ]
 
 
 def main() -> None:
+    # exact all-pairs oracle twins are sf<=0.01 ground-truth baselines;
+    # they must never enter a headline (scale) benchmark
+    from trino_adaptive_partitioning_tool_spark.queries.similarity import (
+        ORACLE_BASELINE_ONLY,
+    )
+
+    banned = ORACLE_BASELINE_ONLY.intersection(HEADLINE_QUERIES)
+    assert not banned, f"oracle-baseline-only queries in headline set: {banned}"
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 

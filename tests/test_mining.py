@@ -68,13 +68,129 @@ def test_unparseable_statement():
     assert not m["join_columns"] and not m["where_columns"]
 
 
-def test_subquery_in_from_skipped():
+def test_subquery_in_from_mined_recursively():
     m = mining.mine_statement(
         "SELECT x FROM (SELECT o_orderkey AS x FROM orders) t WHERE x > 1"
     )
-    # derived table: no base-table attribution, where still mined
-    assert m["tables"] == []
+    # derived table: base table attributed (sqlglot parity), outer WHERE
+    # still mined; the derived-table alias t is not a table
+    assert m["tables"] == ["orders"]
     assert m["where_columns"] == {"x": 1}
+
+
+# ---------------------------------------------------------------------------
+# Adversarial corpus — parser-grade inputs a naive tokenizer mishandles
+# (VERDICT r2 item 5; reference semantics: sqlglot tree walk,
+# src/partitioning.py:34-60)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_derived_tables_with_aliased_as():
+    m = mining.mine_statement(
+        "SELECT a AS b FROM (SELECT x AS y FROM "
+        "(SELECT l_orderkey AS x FROM lineitem WHERE l_discount > 0) AS inner1"
+        " WHERE x > 2) AS outer1 WHERE b < 9"
+    )
+    assert m["tables"] == ["lineitem"]
+    assert m["where_columns"] == {"l_discount": 1, "x": 1, "b": 1}
+
+
+def test_cte_shadowing_table_name_not_counted_as_scan():
+    m = mining.mine_statement(
+        "WITH orders AS (SELECT * FROM lineitem WHERE l_tax > 0) "
+        "SELECT 1 FROM orders WHERE x = 3"
+    )
+    # `orders` here is the CTE, not the base table; lineitem is the scan
+    assert m["tables"] == ["lineitem"]
+    assert m["where_columns"] == {"l_tax": 1, "x": 1}
+
+
+def test_multiple_ctes_with_recursive_keyword():
+    m = mining.mine_statement(
+        "WITH RECURSIVE a AS (SELECT 1 FROM t1), b (c1, c2) AS "
+        "(SELECT * FROM a JOIN t2 ON a.k = t2.k) "
+        "SELECT * FROM b WHERE c1 > 0"
+    )
+    assert m["tables"] == ["t1", "t2"]
+    assert m["join_columns"] == {"k": 2}
+    assert m["where_columns"] == {"c1": 1}
+
+
+def test_quoted_identifier_with_dot_is_one_name():
+    m = mining.mine_statement(
+        'SELECT 1 FROM "my.schema"."weird.table" WHERE "od.d" = 1'
+    )
+    # dots inside quotes are part of the name, not qualifiers
+    assert m["tables"] == ["weird.table"]
+    assert m["where_columns"] == {"od.d": 1}
+
+
+def test_quoted_keyword_identifier():
+    m = mining.mine_statement(
+        'SELECT 1 FROM "select" WHERE "where" = 2'
+    )
+    assert m["tables"] == ["select"]
+    assert m["where_columns"] == {"where": 1}
+
+
+def test_using_join_columns_counted():
+    m = mining.mine_statement(
+        "SELECT 1 FROM orders JOIN customer USING (custkey) "
+        "JOIN nation USING (nationkey, regionkey)"
+    )
+    assert m["tables"] == ["orders", "customer", "nation"]
+    assert m["join_columns"] == {
+        "custkey": 1, "nationkey": 1, "regionkey": 1,
+    }
+
+
+def test_in_subquery_tables_attributed_not_counted_as_columns():
+    m = mining.mine_statement(
+        "SELECT 1 FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 0)"
+    )
+    assert m["tables"] == ["orders", "customer"]
+    # customer must NOT appear as a where_column (r2 flat-scan bug class)
+    assert m["where_columns"] == {"o_custkey": 1, "c_acctbal": 1}
+
+
+def test_lateral_comma_join():
+    m = mining.mine_statement(
+        "SELECT 1 FROM orders o, LATERAL (SELECT * FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey) x WHERE o.o_totalprice > 5"
+    )
+    assert m["tables"] == ["orders", "lineitem"]
+    assert m["where_columns"] == {
+        "l_orderkey": 1, "o_orderkey": 1, "o_totalprice": 1,
+    }
+
+
+def test_join_to_derived_table():
+    m = mining.mine_statement(
+        "SELECT 1 FROM orders o JOIN "
+        "(SELECT l_orderkey FROM lineitem) q ON o.o_orderkey = q.l_orderkey"
+    )
+    assert m["tables"] == ["orders", "lineitem"]
+    assert m["join_columns"] == {"o_orderkey": 1, "l_orderkey": 1}
+
+
+def test_exists_subquery():
+    m = mining.mine_statement(
+        "SELECT 1 FROM supplier s WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"
+    )
+    assert m["tables"] == ["supplier", "lineitem"]
+    assert m["where_columns"] == {"l_suppkey": 1, "s_suppkey": 1}
+
+
+def test_cte_not_leaked_across_statements():
+    # CTE names are per-statement scope
+    m1 = mining.mine_statement(
+        "WITH x AS (SELECT 1 FROM t1) SELECT * FROM x"
+    )
+    m2 = mining.mine_statement("SELECT * FROM x")
+    assert m1["tables"] == ["t1"]
+    assert m2["tables"] == ["x"]
 
 
 def test_comma_join_from_list():

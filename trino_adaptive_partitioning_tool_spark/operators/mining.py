@@ -31,9 +31,9 @@ from pyspark.sql import types as T
 _TOKEN_RE = re.compile(
     r"""
     '(?:[^']|'')*'            # single-quoted string
-  | "(?:[^"]|"")*"            # double-quoted identifier
   | \d+(?:\.\d+)?             # number
-  | [A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*   # (qualified) identifier
+  | (?:"(?:[^"]|"")+"|[A-Za-z_][\w$]*)      # (qualified) identifier,
+    (?:\.(?:"(?:[^"]|"")+"|[A-Za-z_][\w$]*))*   # quoted segments allowed
   | <> | <= | >= | != | \|\|
   | .                         # any single char punctuation
     """,
@@ -48,7 +48,7 @@ _KEYWORDS = frozenset(
     date timestamp time interval cast extract substring trim count sum avg
     min max coalesce nullif over partition rows range preceding following
     unbounded current row using natural values insert into update delete
-    create materialized view table if replace true false
+    create materialized view table if replace true false lateral recursive
     """.split()
 )
 
@@ -65,17 +65,32 @@ def tokenize(sql: str) -> list[str]:
 
 
 def _is_identifier(tok: str) -> bool:
+    if tok.startswith('"'):
+        # double-quoted → identifier by definition (even if it spells a
+        # keyword), matching standard SQL and sqlglot semantics
+        return True
     return bool(re.match(r"^[A-Za-z_]", tok)) and tok.lower() not in _KEYWORDS
 
 
-def _base_column(tok: str) -> str:
-    """`alias.col` → `col` (the reference counts sqlglot Column names the
-    same way — qualifier stripped, src/partitioning.py:53-55)."""
-    return tok.split(".")[-1].strip('"').lower()
+_SEGMENT_RE = re.compile(r'"(?:[^"]|"")*"|[A-Za-z_][\w$]*')
 
 
-def _base_table(tok: str) -> str:
-    return tok.split(".")[-1].strip('"').lower()
+def _base_name(tok: str) -> str:
+    """Last segment of a possibly-quoted qualified name, unquoted +
+    lowercased: `alias.col` → `col`, `"s"."Tab"` → `tab`, `"a.b"` → `a.b`
+    (dots INSIDE quotes are part of the name, not qualifiers). The
+    reference counts sqlglot Column names the same way — qualifier
+    stripped (src/partitioning.py:53-55)."""
+    segs = _SEGMENT_RE.findall(tok)
+    last = segs[-1] if segs else tok
+    if last.startswith('"'):
+        return last[1:-1].replace('""', '"').lower()
+    return last.lower()
+
+
+# both call sites read as their role; same canonicalization
+_base_column = _base_name
+_base_table = _base_name
 
 
 def extract_select_statement(ddl: str) -> str | None:
@@ -96,6 +111,172 @@ def extract_select_statement(ddl: str) -> str | None:
     if stripped.lower().startswith(("select", "with")):
         return stripped.rstrip(";")
     return None
+
+
+def _skip_parens(toks: list[str], i: int) -> int:
+    """toks[i] == '(' → index just past the matching ')'."""
+    depth = 1
+    i += 1
+    while i < len(toks) and depth:
+        depth += toks[i] == "("
+        depth -= toks[i] == ")"
+        i += 1
+    return i
+
+
+def _mine_tokens(
+    toks: list[str],
+    tables: list[str],
+    join_cols: Counter,
+    where_cols: Counter,
+    outer_aliases: frozenset[str],
+) -> None:
+    """Recursive token walk: mines one SELECT/WITH scope, descending into
+    derived tables and predicate subqueries (the reference's sqlglot
+    walks the whole statement tree the same way — a flat scan would miss
+    base tables and filters inside them). Aliases and CTE names are
+    scoped: inherited from enclosing scopes, never leaked back out."""
+    low = [t.lower() for t in toks]
+    aliases: set[str] = set(outer_aliases)
+
+    # CTE pre-scan — WITH [RECURSIVE] name [(cols)] AS ( body ) [, ...]:
+    # the names must be known BEFORE any FROM references them (a CTE
+    # shadowing a real table name is an alias, not a base-table scan).
+    # Bodies are mined by the main walk below, which visits every token.
+    i = 0
+    if low and low[0] == "with":
+        i = 1
+        if i < len(low) and low[i] == "recursive":
+            i += 1
+        while i < len(toks) and _is_identifier(toks[i]):
+            aliases.add(_base_table(toks[i]))
+            i += 1
+            if i < len(toks) and toks[i] == "(":  # optional column list
+                i = _skip_parens(toks, i)
+            if i < len(low) and low[i] == "as":
+                i += 1
+            if i < len(toks) and toks[i] == "(":  # CTE body
+                i = _skip_parens(toks, i)
+            if i < len(toks) and toks[i] == ",":
+                i += 1
+                continue
+            break
+
+    def recurse_if_subquery(i: int) -> int:
+        """toks[i] == '(': if it opens a subquery, mine it recursively;
+        either way return the index just past the matching ')'."""
+        end = _skip_parens(toks, i)
+        inner = toks[i + 1 : end - 1]
+        if inner and inner[0].lower() in ("select", "with"):
+            _mine_tokens(
+                inner, tables, join_cols, where_cols, frozenset(aliases)
+            )
+        return end
+
+    def read_table_ref(i: int) -> int:
+        """Consume `tbl [AS] [alias]` starting at toks[i]; returns next idx."""
+        if i < len(toks) and _is_identifier(toks[i]):
+            name = _base_table(toks[i])
+            if name not in aliases:  # CTE/alias reference → not a scan
+                tables.append(name)
+            i += 1
+            if i < len(low) and low[i] == "as":
+                i += 1
+            if i < len(toks) and _is_identifier(toks[i]):
+                aliases.add(_base_name(toks[i]))
+                i += 1
+        return i
+
+    def collect_columns(i: int, sink: Counter) -> int:
+        """Collect column identifiers until a clause boundary; returns idx.
+        Predicate subqueries (IN / EXISTS / scalar) are mined recursively
+        as their own scope, not flattened into this clause's columns."""
+        while i < len(toks):
+            tl = low[i]
+            if tl in _CLAUSE_BOUNDARY:
+                break
+            if toks[i] == "(":
+                end = _skip_parens(toks, i)
+                inner = toks[i + 1 : end - 1]
+                if inner and inner[0].lower() in ("select", "with"):
+                    i = recurse_if_subquery(i)
+                else:
+                    i += 1  # expression parens: walk the inside normally
+                continue
+            if _is_identifier(toks[i]):
+                # skip function calls: identifier immediately followed by (
+                if i + 1 < len(toks) and toks[i + 1] == "(":
+                    i += 1
+                    continue
+                name = _base_column(toks[i])
+                if name not in aliases:
+                    sink[name] += 1
+            i += 1
+        return i
+
+    def collect_using(i: int) -> int:
+        """USING (a, b) → join columns a and b; returns idx past ')'."""
+        if i < len(toks) and toks[i] == "(":
+            end = _skip_parens(toks, i)
+            for t in toks[i + 1 : end - 1]:
+                if _is_identifier(t):
+                    join_cols[_base_column(t)] += 1
+            return end
+        return i
+
+    def consume_derived(i: int) -> int:
+        """toks[i] == '(': mine the derived table and consume its
+        [AS] alias; returns the next index."""
+        i = recurse_if_subquery(i)
+        if i < len(low) and low[i] == "as":
+            i += 1
+        if i < len(toks) and _is_identifier(toks[i]):
+            aliases.add(_base_name(toks[i]))
+            i += 1
+        return i
+
+    i = 0
+    while i < len(toks):
+        tl = low[i]
+        if tl == "from":
+            i += 1
+            # comma-separated table list; derived tables recurse
+            while i < len(toks):
+                if low[i] == "lateral":
+                    i += 1
+                    continue
+                if toks[i] == "(":
+                    i = consume_derived(i)
+                    if i < len(toks) and toks[i] == ",":
+                        i += 1
+                    continue
+                if _is_identifier(toks[i]):
+                    i = read_table_ref(i)
+                elif toks[i] == ",":
+                    i += 1
+                    continue
+                else:
+                    break
+                if i < len(toks) and toks[i] == ",":
+                    i += 1
+                    continue
+                break
+        elif tl == "join":
+            i += 1
+            if i < len(low) and low[i] == "lateral":
+                i += 1
+            if i < len(toks) and toks[i] == "(":
+                i = consume_derived(i)
+            else:
+                i = read_table_ref(i)
+        elif tl == "on":
+            i = collect_columns(i + 1, join_cols)
+        elif tl == "using":
+            i = collect_using(i + 1)
+        elif tl == "where":
+            i = collect_columns(i + 1, where_cols)
+        else:
+            i += 1
 
 
 def mine_statement(sql: str) -> dict[str, Any]:
@@ -122,94 +303,17 @@ def mine_statement(sql: str) -> dict[str, Any]:
         return empty
 
     toks = tokenize(body)
-    low = [t.lower() for t in toks]
-
     tables: list[str] = []
-    aliases: set[str] = set()
     join_cols: Counter = Counter()
     where_cols: Counter = Counter()
-
-    def read_table_ref(i: int) -> int:
-        """Consume `tbl [AS] [alias]` starting at toks[i]; returns next idx."""
-        if i < len(toks) and _is_identifier(toks[i]):
-            tables.append(_base_table(toks[i]))
-            i += 1
-            if i < len(low) and low[i] == "as":
-                i += 1
-            if i < len(toks) and _is_identifier(toks[i]):
-                aliases.add(low[i])
-                i += 1
-        return i
-
-    def collect_columns(i: int, sink: Counter) -> int:
-        """Collect column identifiers until a clause boundary; returns idx."""
-        while i < len(toks):
-            tl = low[i]
-            if tl in _CLAUSE_BOUNDARY and tl != "on":
-                break
-            if tl == "on":
-                break
-            if _is_identifier(toks[i]):
-                # skip function calls: identifier immediately followed by (
-                if i + 1 < len(toks) and toks[i + 1] == "(":
-                    i += 1
-                    continue
-                name = _base_column(toks[i])
-                if name not in aliases:
-                    sink[name] += 1
-            i += 1
-        return i
-
-    i = 0
-    while i < len(toks):
-        tl = low[i]
-        if tl == "from":
-            i += 1
-            # comma-separated table list; skip subqueries `( select ...`
-            while i < len(toks):
-                if toks[i] == "(":
-                    depth = 1
-                    i += 1
-                    while i < len(toks) and depth:
-                        depth += toks[i] == "("
-                        depth -= toks[i] == ")"
-                        i += 1
-                    # derived table: consume its [AS] alias (it is NOT a
-                    # base table) before continuing the FROM list
-                    if i < len(low) and low[i] == "as":
-                        i += 1
-                    if i < len(toks) and _is_identifier(toks[i]):
-                        aliases.add(low[i])
-                        i += 1
-                    if i < len(toks) and toks[i] == ",":
-                        i += 1
-                    continue
-                if _is_identifier(toks[i]):
-                    i = read_table_ref(i)
-                elif toks[i] == ",":
-                    i += 1
-                    continue
-                else:
-                    break
-                if i < len(toks) and toks[i] == ",":
-                    i += 1
-                    continue
-                break
-        elif tl == "join":
-            i = read_table_ref(i + 1)
-        elif tl == "on":
-            i = collect_columns(i + 1, join_cols)
-        elif tl == "where":
-            i = collect_columns(i + 1, where_cols)
-        else:
-            i += 1
+    _mine_tokens(toks, tables, join_cols, where_cols, frozenset())
 
     return {
         "parsed": True,
         "tables": list(dict.fromkeys(tables)),
         "join_columns": join_cols,
         "where_columns": where_cols,
-        "has_limit": "limit" in low,
+        "has_limit": any(t.lower() == "limit" for t in toks),
     }
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from typing import Protocol, runtime_checkable
 
 import numpy as np
 import pandas as pd
@@ -79,14 +80,90 @@ def synth_assets(spark: SparkSession, n: int = 256, partitions: int = 8) -> Data
     return base.select("asset_id", "media_type", payload.alias("payload"), meta.alias("meta"))
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB decoder: deterministic pseudo-dimensions + mean intensity from
-    the payload bytes (replace with PIL/imageio when available)."""
-    digest = hashlib.sha256(payload).digest()
-    width = int.from_bytes(digest[0:2], "big") % 2048 + 1
-    height = int.from_bytes(digest[2:4], "big") % 2048 + 1
-    mean_intensity = float(np.frombuffer(payload, dtype=np.uint8).mean())
-    return width, height, mean_intensity
+@runtime_checkable
+class Codec(Protocol):
+    """Pluggable codec seam: the ONLY piece of this module that is
+    stubbed. A real media stack (PIL / libav / cv2) drops in by
+    implementing these three methods — none of the Spark plumbing
+    (schemas, mapInPandas stages, partitioning, batch shapes) changes.
+    Implementations must be picklable (they ship inside the Arrow UDF
+    closure to executors) and deterministic per payload.
+
+    ``is_real`` distinguishes an actual decoder from the deterministic
+    stub; pipeline stages called with ``require_codec=True`` refuse to
+    run on a non-real codec instead of silently emitting fake values.
+    """
+
+    is_real: bool
+
+    def decode(self, payload: bytes, media_type: str) -> tuple[int, int, float]:
+        """payload → (width, height, mean_intensity)."""
+        ...
+
+    def resize(
+        self, payload: bytes, target_width: int, target_height: int
+    ) -> bytes:
+        """payload → resized payload bytes for the target dimensions."""
+        ...
+
+    def frames(
+        self, payload: bytes, duration_ms: int, every_ms: int
+    ) -> list[tuple[int, int, bytes]]:
+        """video payload → [(frame_idx, frame_ms, frame_payload)]."""
+        ...
+
+
+class StubCodec:
+    """Deterministic fake codec (no media libraries in this container):
+    pseudo-dimensions and intensity derived from payload bytes, byte
+    striding for resize, payload slicing for frame sampling. Stable
+    across runs/executors — the multimodal queries are oracle-checked
+    against this exact arithmetic."""
+
+    is_real = False
+
+    def decode(self, payload: bytes, media_type: str) -> tuple[int, int, float]:
+        del media_type
+        digest = hashlib.sha256(payload).digest()
+        width = int.from_bytes(digest[0:2], "big") % 2048 + 1
+        height = int.from_bytes(digest[2:4], "big") % 2048 + 1
+        mean_intensity = float(np.frombuffer(payload, dtype=np.uint8).mean())
+        return width, height, mean_intensity
+
+    def resize(
+        self, payload: bytes, target_width: int, target_height: int
+    ) -> bytes:
+        # fake resample: keep every k-th byte so output size tracks the
+        # target area the way a real thumbnail would
+        target_len = max(
+            min(len(payload), (target_width * target_height) // 256), 1
+        )
+        step = max(len(payload) // target_len, 1)
+        return payload[::step]
+
+    def frames(
+        self, payload: bytes, duration_ms: int, every_ms: int
+    ) -> list[tuple[int, int, bytes]]:
+        n_frames = max(int(duration_ms or 0) // every_ms, 1)
+        step = max(len(payload) // n_frames, 1)
+        return [
+            (i, i * every_ms, payload[i * step : (i + 1) * step])
+            for i in range(n_frames)
+        ]
+
+
+DEFAULT_CODEC: Codec = StubCodec()
+
+
+def _check_codec(codec: Codec | None, require_codec: bool) -> Codec:
+    codec = codec if codec is not None else DEFAULT_CODEC
+    if require_codec and not codec.is_real:
+        raise NotImplementedError(
+            "real image/audio/video codecs are not available in this "
+            "environment; pass a Codec implementation with is_real=True "
+            "or run with require_codec=False for the deterministic stub"
+        )
+    return codec
 
 
 DECODED_SCHEMA = T.StructType(
@@ -101,15 +178,16 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_assets(assets: DataFrame, require_codec: bool = False) -> DataFrame:
+def decode_assets(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
     """Arrow-batched decode stage. Batch shape: payloads arrive as a
     pandas Series of bytes per partition chunk — exactly how a real
-    PIL/libav decode loop would consume them."""
-    if require_codec:
-        raise NotImplementedError(
-            "real image/audio codecs are not available in this environment; "
-            "run with require_codec=False for the deterministic stub decoder"
-        )
+    PIL/libav decode loop would consume them. The codec is the pluggable
+    seam (Codec protocol); everything else is production plumbing."""
+    codec = _check_codec(codec, require_codec)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,7 +196,7 @@ def decode_assets(assets: DataFrame, require_codec: bool = False) -> DataFrame:
                 pdf["asset_id"], pdf["media_type"], pdf["payload"]
             ):
                 raw = bytes(payload)
-                w, h, mi = _fake_decode(raw)
+                w, h, mi = codec.decode(raw, mt)
                 out.append((int(aid), mt, w, h, mi, len(raw)))
             yield pd.DataFrame(
                 out,
@@ -174,15 +252,15 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    assets: DataFrame, every_ms: int = 5000, require_codec: bool = False
+    assets: DataFrame,
+    every_ms: int = 5000,
+    require_codec: bool = False,
+    codec: Codec | None = None,
 ) -> DataFrame:
-    """STUB frame sampler for video assets: one fake frame per `every_ms`
-    of duration (payload slice stands in for the decoded frame). UDTF
-    shape: one asset row → many frame rows."""
-    if require_codec:
-        raise NotImplementedError(
-            "real video decoding unavailable; use the stub sampler"
-        )
+    """Frame sampler for video assets: one frame per `every_ms` of
+    duration via the pluggable codec (stub: payload slice stands in for
+    the decoded frame). UDTF shape: one asset row → many frame rows."""
+    codec = _check_codec(codec, require_codec)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,12 +269,10 @@ def sample_frames(
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 raw = bytes(payload)
-                n_frames = max(int(dur or 0) // every_ms, 1)
-                step = max(len(raw) // n_frames, 1)
-                for i in range(n_frames):
-                    out.append(
-                        (int(aid), i, i * every_ms, raw[i * step:(i + 1) * step])
-                    )
+                for idx, ms, frame in codec.frames(
+                    raw, int(dur or 0), every_ms
+                ):
+                    out.append((int(aid), idx, ms, frame))
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "frame_idx", "frame_ms", "frame_payload"],
@@ -228,17 +304,14 @@ def resize_assets(
     target_width: int = 224,
     target_height: int = 224,
     require_codec: bool = False,
+    codec: Codec | None = None,
 ) -> DataFrame:
-    """STUB resize stage for image/video assets: emits the target
-    dimensions, the scale factors vs the source metadata, and a
-    deterministic downsampled payload (byte stride stands in for pixel
-    resampling — replace the body with PIL/cv2 when a codec is
-    available). Arrow-batched mapInPandas, one output row per asset:
-    the real plumbing a thumbnailing / model-input-prep pass uses."""
-    if require_codec:
-        raise NotImplementedError(
-            "real image resampling unavailable; use the stub resizer"
-        )
+    """Resize stage for image/video assets: emits the target dimensions,
+    the scale factors vs the source metadata, and the codec's resized
+    payload (stub: byte stride stands in for pixel resampling).
+    Arrow-batched mapInPandas, one output row per asset: the real
+    plumbing a thumbnailing / model-input-prep pass uses."""
+    codec = _check_codec(codec, require_codec)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,13 +321,7 @@ def resize_assets(
                 pdf["width"], pdf["height"],
             ):
                 raw = bytes(payload)
-                # fake resample: keep every k-th byte so output size tracks
-                # the target area the way a real thumbnail would
-                target_len = max(
-                    min(len(raw), (target_width * target_height) // 256), 1
-                )
-                step = max(len(raw) // target_len, 1)
-                resized = raw[::step]
+                resized = codec.resize(raw, target_width, target_height)
                 sx = float(target_width) / float(w) if w else None
                 sy = float(target_height) / float(h) if h else None
                 out.append(

@@ -309,18 +309,72 @@ def transform_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is the miner's own deterministic fixture output as literals.
 
 
+_STRIP_BUCKET_RE = r"bucket\(\d+, "
+
+
+def _partition_recommendations_oracle() -> str:
+    """Decision-level oracle for the approx flagship: the exact twin's
+    scored CTEs, projected to the order-insensitive decision — sorted
+    partition-key set + sorted transform KINDS (bucket counts stripped;
+    the exact twin checks the counts). Built lazily: _scored_sql /
+    _all_transform_legs are defined later in this module."""
+    strip = (
+        "REGEXP_REPLACE(tr.transform, 'bucket\\(\\d+, ', 'bucket(', 'g')"
+    )
+    return f"""
+    WITH scored AS ({_scored_sql()}),
+    top3 AS (
+      SELECT view_name, column_name, candidate_rank FROM (
+        SELECT view_name, column_name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY view_name ORDER BY score DESC, column_name
+               ) AS candidate_rank
+        FROM scored WHERE score > 0
+      ) r WHERE candidate_rank <= 3
+    ),
+    trans AS (
+      {_all_transform_legs()}
+    )
+    SELECT t.view_name,
+      string_agg(t.column_name, ', ' ORDER BY t.column_name)
+        AS partition_keys_csv,
+      string_agg({strip}, ', ' ORDER BY {strip})
+        AS transform_kinds_csv
+    FROM top3 t
+    JOIN trans tr
+      ON t.view_name = tr.view_name AND t.column_name = tr.column_name
+    GROUP BY t.view_name
+    """
+
+
 @register("partition_recommendations", memo=True)
 def partition_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship end-to-end pipeline at the given scale factor.
+    """The flagship end-to-end pipeline at the given scale factor, run
+    with its production approx (HLL) statistics.
 
-    partition_keys/transforms are emitted comma-joined (the driver's
-    pandas canonicalizer cannot hash array cells — r01 TypeError)."""
+    Checked at DECISION level: the oracle recomputes the pipeline with
+    exact stats in SQL, and both sides canonicalize to the
+    order-insensitive decision — the sorted set of recommended partition
+    keys plus the sorted set of transform KINDS with bucket counts
+    stripped. Scores, ranked key order, and bucket counts legitimately
+    wiggle with NDV estimation error (that exactness is what
+    partition_scores_exact / partition_recommendations_exact pin down);
+    a green row here proves the approx pipeline lands the same
+    partitioning decision as the exact one."""
     from ..operators import recommend
 
     rec = recommend.recommendations(spark, sf_dir)
-    return rec.withColumn(
-        "partition_keys", F.array_join("partition_keys", ",")
-    ).withColumn("transforms", F.array_join("transforms", ","))
+    kinds = F.transform(
+        "transforms",
+        lambda c: F.regexp_replace(c, _STRIP_BUCKET_RE, "bucket("),
+    )
+    return rec.where(F.size("partition_keys") > 0).select(
+        F.col("view").alias("view_name"),
+        F.array_join(F.array_sort("partition_keys"), ", ").alias(
+            "partition_keys_csv"
+        ),
+        F.array_join(F.array_sort(kinds), ", ").alias("transform_kinds_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +678,16 @@ def partition_recommendations_exact(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# The approx flagship's decision-level oracle needs _scored_sql /
+# _all_transform_legs, which are defined above — attach it here (the
+# register() decorator for the flagship ran before they existed).
+from .registry import _ORACLES as _registry_oracles  # noqa: E402
+
+_registry_oracles["partition_recommendations"] = (
+    _partition_recommendations_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # A10 — dashboard rollups the reference computes in pandas/plotly
 # (ui/app.py:416-421 histogram; app.py:427 interactive/batch counts),
@@ -716,19 +780,70 @@ def incremental_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.merge_histograms(parts, 0.0, 500.0, 20)
 
 
-@register("incremental_distinct_rollup")
+@register(
+    "incremental_distinct_rollup",
+    oracle="""
+    SELECT 'n_partitions' AS metric,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS value_checked
+    FROM events
+    UNION ALL
+    SELECT 'n_rows', CAST(COUNT(*) AS DOUBLE) FROM events
+    UNION ALL
+    SELECT 'ndv_event_type', CAST(COUNT(DISTINCT event_type) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'ndv_user_id', CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+    FROM events
+    ORDER BY metric
+    """,
+)
 def incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch upgrade of the reference's per-run approx_distinct
     rescan (src/partitioning.py:102-121): per-day HLL partial sketches
     over events, rolled up by sketch union. At 100 TB only delta
     partitions are ever sketched; the rollup reads KB-sized sketch rows.
-    Sketch binaries are engine-specific -> rows-only check; exact twin is
-    cardinality_profile. Incremental == full-recompute equality is
-    asserted in tests/test_incremental_stats.py."""
+
+    Sketch binaries are engine-specific, so the oracle checks the
+    merge==recompute identity on exact counts plus a ±2% tolerance gate
+    on the sketch NDVs: `n_partitions`/`n_rows` come straight from the
+    merged partials (green iff the rollup conserved the exact counts),
+    and each `ndv_*` row emits the Spark-side EXACT distinct count when
+    the merged-sketch estimate is within ±2% of it, else the raw
+    estimate (guaranteed mismatch against the oracle's exact NDV)."""
     from ..operators import incremental
 
     events = tables.load_table(spark, sf_dir, "events")
     parts = incremental.sketch_partition_stats(
-        events, F.to_date("ts"), ["user_id", "event_type"]
+        events, F.to_date("ts"), ["user_id", "event_type"], lg_k=14
     )
-    return incremental.merge_sketch_stats(parts, ["user_id", "event_type"])
+    merged = incremental.merge_sketch_stats(parts, ["user_id", "event_type"])
+    exact = events.agg(
+        F.count_distinct("user_id").alias("e_user_id"),
+        F.count_distinct("event_type").alias("e_event_type"),
+    )
+    joined = merged.crossJoin(exact)  # both single-row
+
+    def gated(approx: F.Column, exact_c: F.Column) -> F.Column:
+        within = F.abs(approx - exact_c) <= 0.02 * F.abs(exact_c)
+        return F.when(within, exact_c).otherwise(approx)
+
+    rows = [
+        ("n_partitions", F.col("n_partitions")),
+        ("n_rows", F.col("n_rows")),
+        (
+            "ndv_event_type",
+            gated(F.col("approx_distinct_event_type"), F.col("e_event_type")),
+        ),
+        (
+            "ndv_user_id",
+            gated(F.col("approx_distinct_user_id"), F.col("e_user_id")),
+        ),
+    ]
+    out = None
+    for metric, col in rows:
+        leg = joined.select(
+            F.lit(metric).alias("metric"),
+            col.cast("double").alias("value_checked"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("metric")

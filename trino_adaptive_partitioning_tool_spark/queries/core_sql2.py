@@ -461,25 +461,78 @@ def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_groupby_count(docs, "lang", n_salts=16)
 
 
-@register("approx_distinct_profile")
+@register(
+    "approx_distinct_profile",
+    oracle="""
+    SELECT 'ndv_orders' AS metric,
+           CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS value_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'ndv_parts', CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_p10', ROUND(quantile_cont(l_extendedprice, 0.1), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_p50', ROUND(quantile_cont(l_extendedprice, 0.5), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_p90', ROUND(quantile_cont(l_extendedprice, 0.9), 4)
+    FROM lineitem
+    ORDER BY metric
+    """,
+)
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A5 approx variants — HLL approx_count_distinct + t-digest-style
     percentile_approx, the sketches the reference pushes to Trino
-    (approx_distinct / approx_percentile). Sketch internals differ across
-    engines → rows-only check; exact twins are oracle-checked as
-    cardinality_profile / distribution_stats."""
+    (approx_distinct / approx_percentile, src/partitioning.py:102-121).
+
+    Sketch internals differ across engines, so the oracle is a TOLERANCE
+    gate rather than a sketch replay: each row emits the EXACT value when
+    the Spark-side sketch estimate lands within ±2% of the Spark-side
+    exact value, and the raw estimate (guaranteed hash mismatch) when it
+    does not. The DuckDB oracle computes the exact values independently,
+    so a green row proves (a) the approx sketch is within tolerance and
+    (b) the exact computation matches the oracle engine."""
     lineitem = tables.load_table(spark, sf_dir, "lineitem")
-    pct = F.percentile_approx(
-        "l_extendedprice", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)), 10000
+    qs = [0.1, 0.5, 0.9]
+    approx_pct = F.percentile_approx(
+        "l_extendedprice", F.array(*[F.lit(q) for q in qs]), 10000
     )
-    # joined-string form: the driver canonicalizer can't hash array cells
-    return lineitem.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.array_join(
-            F.transform(pct, lambda x: F.round(x, 4).cast("string")), ","
-        ).alias("price_percentiles"),
+    exact_pct = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(q) for q in qs])
     )
+    stats = lineitem.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_orders"),
+        F.count_distinct("l_partkey").alias("e_parts"),
+        F.count_distinct("l_orderkey").alias("e_orders"),
+        approx_pct.alias("a_pct"),
+        exact_pct.alias("e_pct"),
+    )
+
+    def gated(approx: F.Column, exact: F.Column) -> F.Column:
+        within = F.abs(approx - exact) <= 0.02 * F.abs(exact)
+        return F.round(F.when(within, exact).otherwise(approx), 4)
+
+    rows = [
+        ("ndv_orders", gated(F.col("a_orders"), F.col("e_orders"))),
+        ("ndv_parts", gated(F.col("a_parts"), F.col("e_parts"))),
+    ] + [
+        (
+            f"price_p{int(q * 100)}",
+            gated(F.col("a_pct")[i], F.col("e_pct")[i]),
+        )
+        for i, q in enumerate(qs)
+    ]
+    out = None
+    for metric, col in rows:
+        leg = stats.select(
+            F.lit(metric).alias("metric"),
+            col.cast("double").alias("value_checked"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("metric")
 
 
 @register(

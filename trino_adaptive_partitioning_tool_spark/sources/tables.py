@@ -19,6 +19,7 @@ from functools import lru_cache
 import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -78,6 +79,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # division drifts by a few µs.
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    # Parquet timestamp[us] (no timezone) arrives as TIMESTAMP_NTZ, which
+    # functions like unix_micros/session_window reject. With the session
+    # TZ pinned to UTC the NTZ → TIMESTAMP cast is a pure type relabel:
+    # the µs epoch values are bit-identical and every DuckDB oracle
+    # (which reads the same files as naive timestamps) matches. Pin the
+    # TZ here too (runtime conf) so the relabel is exact even under a
+    # caller-built session that skipped our factory (session.py).
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )
     return df
 
