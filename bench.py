@@ -55,6 +55,9 @@ HEADLINE_QUERIES = [
     "text_token_stats",
     "text_winnow_fingerprints",
     "text_repetition_stats",
+    "text_entropy_scores",
+    "pii_redaction_stats",
+    "document_chunking_stats",
     "decontamination_ngram_overlap",
     "corpus_top_tokens",
     "bm25_search_topk",

@@ -1,0 +1,101 @@
+"""Static HTML dashboard tests (sources/dashboard.py — the offline
+analog of the reference's five-page Streamlit UI, src/ui/app.py:62-471).
+
+No browser in this environment, so the render is checked structurally:
+all five page sections present, every chart carries per-mark tooltips
+and a table view, metric tiles reflect the analysis counts, and
+user-controlled strings are HTML-escaped.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_adaptive_partitioning_tool_spark.operators import recommend
+from trino_adaptive_partitioning_tool_spark.sources import dashboard
+
+from conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    return recommend.run_analysis(
+        spark, SMOKE_SF_DIR, profile_percentiles=False
+    )
+
+
+@pytest.fixture(scope="module")
+def html_out(results):
+    return dashboard.render_dashboard(results)
+
+
+def test_all_five_pages_present(html_out):
+    sections = re.findall(r"<h2>([^<]+)</h2>", html_out)
+    for page in (
+        "Overview",
+        "Column statistics",
+        "Resource usage",
+        "Partition recommendations",
+        "Query analysis",
+    ):
+        assert page in sections, page
+
+
+def test_metric_tiles_match_analysis(results, html_out):
+    n_views = results["recommendations"].count()
+    n_cols = results["profiles"].count()
+    by_label = {
+        label: value
+        for value, label in re.findall(
+            r"<div class='v'>([^<]+)</div><div class='k'>([^<]+)</div>",
+            html_out,
+        )
+    }
+    assert int(by_label["views analyzed"].replace(",", "")) == n_views
+    assert int(by_label["columns analyzed"].replace(",", "")) == n_cols
+
+
+def test_every_bar_has_hover_tooltip(html_out):
+    bars = len(re.findall(r"class='bar'", html_out))
+    titles = len(re.findall(r"<title>", html_out)) - 1  # page <title>
+    assert bars > 0
+    assert bars == titles
+
+
+def test_charts_have_table_views(html_out):
+    # a table view accompanies each charted section
+    assert len(re.findall(r"<table>", html_out)) >= 4
+
+
+def test_histogram_counts_sum_to_query_count(results, html_out):
+    n_queries = results["resource_scores"].count()
+    # histogram bar value labels live in <text> right after the bar path
+    hist = re.search(
+        r"Query resource-score distribution.*?</svg>", html_out, re.S
+    ).group(0)
+    counts = [
+        int(m.replace(",", ""))
+        for m in re.findall(r"text-anchor='middle'>([0-9,]+)<", hist)
+    ]
+    assert sum(counts) == n_queries
+
+
+def test_html_escaping_of_values(spark, results):
+    # poison one result set with markup and confirm it renders escaped
+    poisoned = dict(results)
+    poisoned["resource_scores"] = results["resource_scores"].withColumn(
+        "query_id", F.concat(F.lit("<script>x</script>"), "query_id")
+    )
+    out = dashboard.render_dashboard(poisoned)
+    assert "<script>x</script>" not in out
+    assert "&lt;script&gt;" in out
+
+
+def test_write_dashboard_roundtrip(tmp_path, results):
+    path = dashboard.write_dashboard(results, str(tmp_path / "d.html"))
+    content = open(path).read()
+    assert content.startswith("<!doctype html>")
+    assert "prefers-color-scheme: dark" in content

@@ -1,0 +1,80 @@
+"""Unit tests for the PII-scrub and chunking operators
+(operators/text.redact_pii / chunk_documents); their end-to-end oracle
+parity runs in test_oracle_parity (pii_redaction_stats /
+document_chunking_stats)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trino_adaptive_partitioning_tool_spark.operators import text as ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    rows = [
+        (1, "mail a@b.io and c.d+x@e.org, see https://x.y/z?q=1 now"),
+        (2, "call +1 (555) 010-1234 today"),
+        (3, "nothing here"),
+    ]
+    out = {
+        r["doc_id"]: r for r in ops.redact_pii(_docs(spark, rows)).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_url"], out[1]["n_phone"]) == (2, 1, 0)
+    assert out[1]["redacted_text"] == (
+        "mail [REDACTED] and [REDACTED], see [REDACTED] now"
+    )
+    assert out[2]["n_phone"] == 1
+    assert "[REDACTED]" in out[2]["redacted_text"]
+    assert out[3]["redacted_text"] == "nothing here"
+
+
+def test_chunk_documents_boundaries(spark):
+    # chunk=10, overlap=4 -> stride 6; len 22 -> chunks at 0,6,12 (3)
+    rows = [(1, "abcdefghijklmnopqrstuv"), (2, "short"), (3, "")]
+    out = ops.chunk_documents(
+        _docs(spark, rows), chunk_chars=10, overlap=4
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk"] for r in c1] == [
+        "abcdefghij", "ghijklmnop", "mnopqrstuv"
+    ]
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert c1[0]["chunk"][-4:] == c1[1]["chunk"][:4]
+    # shorter than one chunk -> exactly one chunk; empty -> one empty
+    assert [r["chunk"] for r in by_doc[2]] == ["short"]
+    assert [r["chunk"] for r in by_doc[3]] == [""]
+
+
+def test_chunk_documents_exact_multiple(spark):
+    # len == chunk_chars -> exactly one chunk, no phantom second
+    rows = [(1, "0123456789")]
+    out = ops.chunk_documents(
+        _docs(spark, rows), chunk_chars=10, overlap=2
+    ).collect()
+    assert len(out) == 1 and out[0]["chunk_len"] == 10
+
+
+def test_chunk_documents_invalid_overlap(spark):
+    with pytest.raises(ValueError):
+        ops.chunk_documents(_docs(spark, [(1, "x")]), 10, 10)
+
+
+def test_scrub_and_chunk_plans_are_map_only(spark):
+    """Both prep operators must stay shuffle-free (embarrassingly
+    parallel over documents) — the property that makes them linear at
+    100 TB."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.plans import inspect
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
+    assert inspect.shuffle_count(ops.redact_pii(docs)) == 0
+    assert inspect.shuffle_count(ops.chunk_documents(docs)) == 0

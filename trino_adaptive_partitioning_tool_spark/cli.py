@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--report", action="store_true",
         help="also write a markdown analysis report to <out>/report.md",
     )
+    p.add_argument(
+        "--dashboard", action="store_true",
+        help="also write a static HTML dashboard (the reference's "
+        "five-page Streamlit UI rendered offline) to <out>/dashboard.html",
+    )
     return p
 
 
@@ -89,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
         with open(report_path, "w") as fh:
             fh.write(render_report(results))
         print(f"Report written: {report_path}")
+
+    if args.dashboard:
+        from .sources.dashboard import write_dashboard
+
+        dash_path = write_dashboard(results, f"{args.out}/dashboard.html")
+        print(f"Dashboard written: {dash_path}")
 
     if args.execute:
         for r in recs:

@@ -357,3 +357,126 @@ def repetition_stats(
             F.col("top_bigram_count") / F.col("n_bigrams").cast("double"), 6
         ).alias("top_bigram_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + sequence chunking (training-data prep extensions)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, portable regexes (no lookaround / unicode classes):
+# both Spark's JVM regex and DuckDB's RE2 execute them identically, so the
+# scrub is fully oracle-checkable. A production deployment swaps in its
+# compliance-approved patterns; the pipeline shape is unchanged.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Per-document PII scrub: counts each pattern class and emits the
+    redacted text. Pure Column expressions (JVM regex, whole-stage
+    codegen) — one projection, no shuffle, trivially 100 TB-safe: the
+    scrub is embarrassingly parallel over documents."""
+    text = F.col(text_col)
+    out = docs.select(
+        F.col(id_col),
+        *[
+            (
+                F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            ).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+        _chained_redact(text, replacement).alias("redacted_text"),
+    )
+    return out
+
+
+def _chained_redact(text: Column, replacement: str) -> Column:
+    col = text
+    for pat in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, replacement)
+    return col
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-width character windows with
+    overlap — the sequence-prep step before tokenization/packing in a
+    training pipeline. Implemented as sequence+explode (UDTF shape, no
+    Python): chunk starts are 0, stride, 2*stride, ... with
+    stride = chunk_chars - overlap; every chunk except possibly the last
+    is exactly chunk_chars long, and a document shorter than one chunk
+    yields exactly one chunk. Map-only: no shuffle, scales linearly."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("require 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    text = F.col(text_col)
+    n = F.length(text)
+    # number of chunks = 1 + ceil(max(n - chunk_chars, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_chars, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col),
+        text.alias("_text"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        "start",
+        F.expr(f"substr(_text, start + 1, {int(chunk_chars)})").alias(
+            "chunk"
+        ),
+    ).withColumn("chunk_len", F.length("chunk"))
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of the within-document token distribution — a
+    standard corpus-quality signal (low entropy ≈ repetitive/boilerplate,
+    used alongside the Gopher-style repetition fractions). Two hash
+    aggregations (doc,token) → (doc), both map-side partial; no window,
+    no UDF."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.col("n") * F.log2("n")).alias("_sum_nlogn"),
+    )
+    # H = log2(N) - (1/N) * sum(n_i * log2(n_i))  (exact rearrangement —
+    # one aggregate instead of a p_i projection per group)
+    h = F.log2("n_tokens") - F.col("_sum_nlogn") / F.col("n_tokens")
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(h, 6).alias("token_entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct_tokens") > 1,
+                h / F.log2("n_distinct_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("normalized_entropy"),
+    )

@@ -432,3 +432,157 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + two aggregations (operators/text.repetition_stats)."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.repetition_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + sequence chunking (r3 extensions)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no PII, so both engines append the SAME
+# deterministic PII fixture (one email, one URL, one phone, derived from
+# doc_id) before scrubbing — the regex paths are exercised on real hits
+# and the redacted output is hash-checked end to end.
+_PII_SUFFIX_SQL = (
+    "' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com via "
+    "https://example.org/d/' || CAST(doc_id AS VARCHAR) || "
+    "' or call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_suffix_col() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(" contact: user"),
+        did,
+        F.lit("@example.com via https://example.org/d/"),
+        did,
+        F.lit(" or call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)
+        AS n_email,
+      CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT)
+        AS n_url,
+      CAST(len(regexp_extract_all(text,
+        '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]')) AS INT) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[REDACTED]', 'g'),
+        'https?://[^\\s]+', '[REDACTED]', 'g'),
+        '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '[REDACTED]', 'g'))
+        AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (operators/text.redact_pii): per-class
+    match counts + md5 of the fully redacted text, hash-checked against
+    DuckDB's RE2 on identical inputs. Map-only JVM regex — no shuffle,
+    linear at 100 TB. The deterministic fixture suffix (see module
+    comment) guarantees real matches for every class."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), _pii_suffix_col()).alias("text")
+    )
+    red = ops.redact_pii(docs)
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_url").cast("int").alias("n_url"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5("redacted_text").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "document_chunking_stats",
+    oracle="""
+    WITH params AS (SELECT 512 AS chunk, 448 AS stride),
+    chunks AS (
+      SELECT d.doc_id,
+             s.start,
+             SUBSTR(d.text, s.start + 1, 512) AS chunk
+      FROM documents d, params p,
+      LATERAL (
+        SELECT UNNEST(range(0,
+          (CAST(CEIL(GREATEST(LENGTH(d.text) - p.chunk, 0) / (p.stride * 1.0))
+            AS INT)) * p.stride + 1,
+          p.stride)) AS start
+      ) s
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chunk_chars,
+      md5(string_agg(chunk, '|' ORDER BY start)) AS chunks_md5
+    FROM chunks
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def document_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping character chunking (512/64 — the sequence
+    prep before tokenize/pack; operators/text.chunk_documents), rolled to
+    per-doc counts + an order-sensitive md5 over the chunk stream so the
+    oracle verifies every chunk boundary and byte. sequence+posexplode
+    UDTF shape, map-only."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    chunks = ops.chunk_documents(docs, chunk_chars=512, overlap=64)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_chunk_chars"),
+            F.md5(F.concat_ws("|", ordered)).alias("chunks_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_entropy_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, token, COUNT(*) AS n FROM tok GROUP BY doc_id, token
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(n) AS n_tokens,
+             COUNT(*) AS n_distinct_tokens,
+             SUM(n * log2(n)) AS sum_nlogn
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+      ROUND(log2(n_tokens) - sum_nlogn / n_tokens, 6) AS token_entropy,
+      ROUND(CASE WHEN n_distinct_tokens > 1
+            THEN (log2(n_tokens) - sum_nlogn / n_tokens)
+                 / log2(n_distinct_tokens)
+            ELSE 0.0 END, 6) AS normalized_entropy
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token-distribution Shannon entropy + normalized
+    entropy (operators/text.token_entropy) — the low-entropy/boilerplate
+    quality filter beside the repetition stats. Hash-checked via the
+    identical H = log2 N - Σ n·log2 n / N rearrangement in DuckDB."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.token_entropy(docs).orderBy("doc_id")

@@ -1,0 +1,353 @@
+"""Static HTML dashboard — the self-contained analog of the reference's
+Streamlit dashboard (reference: src/ui/app.py:62-471, five page
+renderers; src/ui_dashboard.py:6-24 launcher).
+
+The reference runs a Streamlit server with plotly charts over the saved
+analysis result sets. This environment has no UI stack, so the same five
+information surfaces (Overview, Column Statistics, Resource Usage,
+Partition Recommendations, Query Analysis) render to ONE dependency-free
+HTML file: inline SVG charts + tables, light/dark via CSS custom
+properties, per-mark hover tooltips. Everything is computed from the
+same `run_analysis()` result dict the markdown report and the JSON/CSV
+sinks consume — the dashboard is a sink, not a second pipeline.
+
+Chart conventions (single-series magnitude bars): one sequential hue
+from a validated palette, thin marks with a rounded data-end anchored to
+a flat baseline, ≥2px gaps between bars, values direct-labeled in text
+ink (never in the series color), a table under every chart, no legend
+for single-series charts (the title names the series).
+"""
+
+from __future__ import annotations
+
+import html
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Validated default palette (light / dark): surface, text inks, and the
+# single sequential series hue. Dark mode is a selected palette step for
+# the dark surface, not an automatic flip.
+_CSS = """
+:root {
+  color-scheme: light;
+  --surface-1: #fcfcfb; --surface-2: #f2f1ef;
+  --text-primary: #0b0b0b; --text-secondary: #52514e;
+  --series-1: #2a78d6; --series-1-soft: #2a78d622;
+  --border: #d9d8d4;
+}
+@media (prefers-color-scheme: dark) {
+  :root {
+    color-scheme: dark;
+    --surface-1: #1a1a19; --surface-2: #242423;
+    --text-primary: #ffffff; --text-secondary: #c3c2b7;
+    --series-1: #3987e5; --series-1-soft: #3987e533;
+    --border: #3a3936;
+  }
+}
+body { background: var(--surface-1); color: var(--text-primary);
+  font: 14px/1.45 system-ui, sans-serif; margin: 0 auto; max-width: 980px;
+  padding: 24px; }
+h1 { font-size: 22px; } h2 { font-size: 17px; margin-top: 36px; }
+h1, h2 { font-weight: 600; }
+.tiles { display: flex; gap: 12px; flex-wrap: wrap; }
+.tile { background: var(--surface-2); border: 1px solid var(--border);
+  border-radius: 8px; padding: 12px 18px; min-width: 150px; }
+.tile .v { font-size: 26px; font-weight: 650; }
+.tile .k { color: var(--text-secondary); font-size: 12px; }
+table { border-collapse: collapse; margin-top: 10px; width: 100%; }
+th { text-align: left; color: var(--text-secondary); font-weight: 600; }
+th, td { padding: 4px 10px 4px 0; border-bottom: 1px solid var(--border);
+  font-size: 13px; }
+td.num { text-align: right; font-variant-numeric: tabular-nums; }
+svg text { fill: var(--text-primary); font: 12px system-ui, sans-serif; }
+svg text.lab { fill: var(--text-secondary); }
+svg .bar { fill: var(--series-1); }
+svg .bar:hover { opacity: 0.8; }
+.note { color: var(--text-secondary); font-size: 12px; }
+"""
+
+
+def _esc(v: Any) -> str:
+    return html.escape(str(v))
+
+
+def _fmt(v: Any) -> str:
+    if isinstance(v, float):
+        return f"{v:,.2f}"
+    if isinstance(v, int):
+        return f"{v:,}"
+    return str(v)
+
+
+def _rounded_hbar(x: float, y: float, w: float, h: float, r: float = 4) -> str:
+    """Bar path: flat at the baseline (left), rounded at the data end."""
+    r = min(r, w, h / 2)
+    return (
+        f"M{x:.1f},{y:.1f} h{w - r:.1f} q{r:.1f},0 {r:.1f},{r:.1f} "
+        f"v{h - 2 * r:.1f} q0,{r:.1f} -{r:.1f},{r:.1f} h-{w - r:.1f} z"
+    )
+
+
+def _hbar_chart(
+    items: list[tuple[str, float]], title: str, value_name: str
+) -> str:
+    """Horizontal magnitude bars: label (text ink) | bar | value label.
+    Per-mark hover tooltip via SVG <title>; table view rendered by the
+    caller. Empty input → a note, not an empty plot."""
+    if not items:
+        return f"<h2>{_esc(title)}</h2><p class='note'>(no data)</p>"
+    label_w, chart_w, bar_h, gap = 190, 520, 18, 6
+    vmax = max(v for _, v in items) or 1.0
+    rows_h = len(items) * (bar_h + gap)
+    parts = [
+        f"<h2>{_esc(title)}</h2>",
+        f"<svg role='img' aria-label='{_esc(title)}' width='{label_w + chart_w + 90}'"
+        f" height='{rows_h + 8}'>",
+    ]
+    for i, (label, value) in enumerate(items):
+        y = 4 + i * (bar_h + gap)
+        w = max((value / vmax) * chart_w, 2)
+        short = label if len(label) <= 26 else label[:24] + "…"
+        parts.append(
+            "<g class='row'>"
+            f"<title>{_esc(label)}: {value:,.2f} {_esc(value_name)}</title>"
+            f"<text class='lab' x='{label_w - 8}' y='{y + bar_h - 5}'"
+            f" text-anchor='end'>{_esc(short)}</text>"
+            f"<path class='bar' d='{_rounded_hbar(label_w, y, w, bar_h)}'/>"
+            f"<text x='{label_w + w + 6}' y='{y + bar_h - 5}'>{value:,.1f}</text>"
+            "</g>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _vbar_chart(
+    buckets: list[tuple[str, int]], title: str, value_name: str
+) -> str:
+    """Vertical histogram bars, same mark spec rotated: flat baseline at
+    the bottom, rounded top, count labels above each bar."""
+    if not buckets:
+        return f"<h2>{_esc(title)}</h2><p class='note'>(no data)</p>"
+    bar_w, gap, chart_h, base = 46, 8, 180, 210
+    vmax = max(v for _, v in buckets) or 1
+    parts = [
+        f"<h2>{_esc(title)}</h2>",
+        f"<svg role='img' aria-label='{_esc(title)}'"
+        f" width='{len(buckets) * (bar_w + gap) + 20}' height='{base + 24}'>",
+    ]
+    for i, (label, value) in enumerate(buckets):
+        x = 10 + i * (bar_w + gap)
+        h = max((value / vmax) * chart_h, 2)
+        y = base - h
+        r = min(4.0, bar_w, h / 2)
+        path = (
+            f"M{x},{base} v-{h - r:.1f} q0,-{r:.1f} {r:.1f},-{r:.1f} "
+            f"h{bar_w - 2 * r:.1f} q{r:.1f},0 {r:.1f},{r:.1f} v{h - r:.1f} z"
+        )
+        parts.append(
+            "<g class='row'>"
+            f"<title>{_esc(label)}: {value:,} {_esc(value_name)}</title>"
+            f"<path class='bar' d='{path}'/>"
+            f"<text x='{x + bar_w / 2}' y='{y - 5}' text-anchor='middle'>"
+            f"{value:,}</text>"
+            f"<text class='lab' x='{x + bar_w / 2}' y='{base + 16}'"
+            f" text-anchor='middle'>{_esc(label)}</text>"
+            "</g>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _table(rows: list[dict[str, Any]], columns: list[str]) -> str:
+    if not rows:
+        return "<p class='note'>(empty)</p>"
+    head = "".join(f"<th>{_esc(c)}</th>" for c in columns)
+    body = []
+    for r in rows:
+        cells = []
+        for c in columns:
+            v = r.get(c)
+            klass = " class='num'" if isinstance(v, (int, float)) else ""
+            cells.append(f"<td{klass}>{_esc(_fmt(v))}</td>")
+        body.append("<tr>" + "".join(cells) + "</tr>")
+    return f"<table><tr>{head}</tr>{''.join(body)}</table>"
+
+
+def _tiles(metrics: list[tuple[str, Any]]) -> str:
+    tiles = "".join(
+        f"<div class='tile'><div class='v'>{_esc(_fmt(v))}</div>"
+        f"<div class='k'>{_esc(k)}</div></div>"
+        for k, v in metrics
+    )
+    return f"<div class='tiles'>{tiles}</div>"
+
+
+def render_dashboard(results: dict[str, DataFrame]) -> str:
+    """One self-contained HTML page over run_analysis() results, section
+    for section against the reference dashboard:
+
+    * Overview            (src/ui/app.py:87-152)
+    * Column Statistics   (src/ui/app.py:156-250)
+    * Resource Usage      (src/ui/app.py:254-312)
+    * Partition Recs      (src/ui/app.py:316-387)
+    * Query Analysis      (src/ui/app.py:391-470)
+    """
+    recs = results["recommendations"]
+    usage = results["usage"]
+    profiles = results["profiles"]
+    col_perf = results["column_performance"]
+    resource = results["resource_scores"]
+    classified = results["classified_queries"]
+
+    # -- Overview -----------------------------------------------------
+    n_views = recs.count()
+    n_columns = profiles.count()
+    n_recommended = recs.where(F.size("partition_keys") > 0).count()
+    top_usage = [
+        (r["name"], float(r["wf"]))
+        for r in usage.groupBy("name")
+        .agg(F.sum("weighted_frequency").alias("wf"))
+        .orderBy(F.desc("wf"), "name")
+        .limit(5)
+        .collect()
+    ]
+    benefits = [
+        r.asDict()
+        for r in recs.where(F.size("partition_keys") > 0)
+        .select(
+            F.col("view").alias("table"),
+            F.array_join("partition_keys", ", ").alias("partition keys"),
+            F.round("total_score", 1).alias("total score"),
+        )
+        .orderBy(F.desc("total score"), "table")
+        .collect()
+    ]
+
+    # -- Column statistics -------------------------------------------
+    col_usage = [
+        (f'{r["name"]} ({r["source"]})', float(r["wf"]))
+        for r in usage.groupBy("name", "source")
+        .agg(F.sum("weighted_frequency").alias("wf"))
+        .orderBy(F.desc("wf"), "name", "source")
+        .limit(12)
+        .collect()
+    ]
+    cardinality = [
+        r.asDict()
+        for r in profiles.select(
+            F.col("table"),
+            F.col("column"),
+            F.col("data_type").alias("type"),
+            F.col("distinct_count").alias("distinct values"),
+        )
+        .orderBy(F.desc("distinct values"), "table", "column")
+        .limit(12)
+        .collect()
+    ]
+
+    # -- Resource usage ----------------------------------------------
+    col_resource = [
+        (r["column"], float(r["v"]))
+        for r in col_perf.groupBy("column")
+        .agg(F.sum("col_execution_time_ms").alias("v"))
+        .orderBy(F.desc("v"), "column")
+        .limit(12)
+        .collect()
+    ]
+
+    # -- Recommendations ---------------------------------------------
+    rec_rows = [
+        r.asDict()
+        for r in recs.where(F.size("partition_keys") > 0)
+        .select(
+            F.col("view").alias("table"),
+            F.array_join("transforms", ", ").alias("partition spec"),
+            F.round("total_score", 1).alias("score"),
+            F.substring_index("script", "\n", -1).alias("alter ddl"),
+        )
+        .orderBy(F.desc("score"), "table")
+        .collect()
+    ]
+
+    # -- Query analysis ----------------------------------------------
+    hist = {
+        int(r["bucket"]): int(r["n"])
+        for r in resource.groupBy(
+            F.least(F.floor(F.col("resource_score") / 10.0), F.lit(9.0))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hist_buckets = [
+        (f"{b * 10}–{b * 10 + 9}", hist.get(b, 0)) for b in range(10)
+    ]
+    top_queries = [
+        r.asDict()
+        for r in resource.select(
+            "query_id",
+            F.round("resource_score", 1).alias("score"),
+            F.col("execution_time_ms").alias("exec ms"),
+        )
+        .orderBy(F.desc("score"), "query_id")
+        .limit(5)
+        .collect()
+    ]
+    mix = {
+        bool(r["is_interactive"]): int(r["n"])
+        for r in classified.groupBy("is_interactive")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    sections = [
+        "<h1>Adaptive partitioning dashboard</h1>",
+        "<p class='note'>Static render of the analysis result sets — the"
+        " same five surfaces as the reference dashboard.</p>",
+        "<h2>Overview</h2>",
+        _tiles(
+            [
+                ("views analyzed", n_views),
+                ("columns analyzed", n_columns),
+                ("partition recommendations", n_recommended),
+                ("interactive queries", mix.get(True, 0)),
+                ("batch queries", mix.get(False, 0)),
+            ]
+        ),
+        _hbar_chart(top_usage, "Top columns by usage", "weighted frequency"),
+        _table(benefits, ["table", "partition keys", "total score"]),
+        "<h2>Column statistics</h2>",
+        _hbar_chart(
+            col_usage, "Column usage frequency by signal", "weighted frequency"
+        ),
+        _table(cardinality, ["table", "column", "type", "distinct values"]),
+        "<h2>Resource usage</h2>",
+        _hbar_chart(
+            col_resource,
+            "Column resource usage (total execution ms attributed)",
+            "ms",
+        ),
+        "<h2>Partition recommendations</h2>",
+        _table(rec_rows, ["table", "partition spec", "score", "alter ddl"]),
+        "<h2>Query analysis</h2>",
+        _vbar_chart(
+            hist_buckets, "Query resource-score distribution", "queries"
+        ),
+        _table(top_queries, ["query_id", "score", "exec ms"]),
+    ]
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>Adaptive partitioning dashboard</title>"
+        f"<style>{_CSS}</style></head><body>"
+        + "".join(sections)
+        + "</body></html>"
+    )
+
+
+def write_dashboard(results: dict[str, DataFrame], path: str) -> str:
+    with open(path, "w") as fh:
+        fh.write(render_dashboard(results))
+    return path
