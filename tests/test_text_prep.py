@@ -78,3 +78,45 @@ def test_scrub_and_chunk_plans_are_map_only(spark):
     docs = tables.load_table(spark, SMOKE_SF_DIR, "documents")
     assert inspect.shuffle_count(ops.redact_pii(docs)) == 0
     assert inspect.shuffle_count(ops.chunk_documents(docs)) == 0
+
+
+def test_chunk_reconstruction_property(spark):
+    """Lossless-coverage invariant: chunk0 + chunk1[overlap:] +
+    chunk2[overlap:] + ... reconstructs the original text exactly, for
+    any (chunk_chars, overlap) and any text length — chunk boundaries
+    can't drop or duplicate a byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.text(alphabet="abcxyz ", min_size=0, max_size=200),
+        st.integers(min_value=2, max_value=40),
+        st.integers(min_value=0, max_value=39),
+    )
+    def collect(text, chunk_chars, overlap):
+        if overlap < chunk_chars:
+            cases.append((len(cases), text, chunk_chars, overlap))
+
+    collect()
+    # one Spark job for all generated cases (per-example Spark runs
+    # would take minutes): chunk each case with its own params via a
+    # per-row filter — params are data here, not plan constants — so
+    # group identical params and run one chunk_documents per group
+    from collections import defaultdict
+
+    by_params = defaultdict(list)
+    for i, text, c, o in cases:
+        by_params[(c, o)].append((i, text))
+    for (c, o), rows in by_params.items():
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ops.chunk_documents(df, chunk_chars=c, overlap=o).collect()
+        chunks_by_doc = defaultdict(list)
+        for r in out:
+            chunks_by_doc[r["doc_id"]].append((r["chunk_idx"], r["chunk"]))
+        for i, text in rows:
+            ordered = [ch for _, ch in sorted(chunks_by_doc[i])]
+            rebuilt = ordered[0] + "".join(ch[o:] for ch in ordered[1:])
+            assert rebuilt == text, (text, c, o, ordered)

@@ -380,13 +380,17 @@ def redact_pii(
     text_col: str = "text",
     replacement: str = "[REDACTED]",
 ) -> DataFrame:
-    """Per-document PII scrub: counts each pattern class and emits the
-    redacted text. Pure Column expressions (JVM regex, whole-stage
-    codegen) — one projection, no shuffle, trivially 100 TB-safe: the
-    scrub is embarrassingly parallel over documents."""
+    """Per-document PII scrub: counts each pattern class and replaces the
+    text column with the redacted text; every other column passes
+    through. Pure Column expressions (JVM regex, whole-stage codegen) —
+    one projection, no shuffle and no state, so it runs unchanged on a
+    batch DataFrame or a streaming one (streaming_pii_scrub); trivially
+    100 TB-safe: embarrassingly parallel over documents."""
+    del id_col  # kept for signature stability; all columns pass through
     text = F.col(text_col)
+    passthrough = [c for c in docs.columns if c != text_col]
     out = docs.select(
-        F.col(id_col),
+        *passthrough,
         *[
             (
                 F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))

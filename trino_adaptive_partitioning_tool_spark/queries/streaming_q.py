@@ -212,3 +212,75 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qls.run_available_now(
         sj.enriched_segment_rollup(stream, customer), name, f"{tmp}/ckpt"
     )
+
+
+@register(
+    "streaming_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, lang, text || ' contact: user' ||
+        CAST(doc_id AS VARCHAR) || '@example.com via https://example.org/d/'
+        || CAST(doc_id AS VARCHAR) || ' or call +1 (555) 010-' ||
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+        AS total_emails,
+      CAST(SUM(len(regexp_extract_all(text, 'https?://[^\\s]+'))) AS BIGINT)
+        AS total_urls,
+      CAST(SUM(len(regexp_extract_all(text,
+        '\\+?[0-9][0-9()\\-. ]{7,}[0-9]'))) AS BIGINT) AS total_phones
+    FROM aug
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub executed as a Structured Streaming pipeline: the
+    fixture-augmented corpus (same deterministic suffix as
+    pii_redaction_stats) streams from JSON files, operators/text.
+    redact_pii applies UNCHANGED on the streaming DataFrame (stateless
+    projection), and a per-language rollup drains with availableNow.
+
+    The map-only scrub plus a complete-mode aggregate is deterministic,
+    so this is the one streaming query with a full DuckDB oracle — the
+    hash check proves stream == SQL, not just stream == batch."""
+    from pyspark.sql import functions as F
+
+    from ..operators import text as text_ops
+    from ..sources import tables
+    from .text import _pii_suffix_col
+
+    tmp = tempfile.mkdtemp(prefix="tapt_pii_stream_")
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("text"), _pii_suffix_col()).alias("text"),
+    )
+    docs.coalesce(4).write.mode("overwrite").json(f"{tmp}/docs")
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .json(f"{tmp}/docs")
+    )
+    scrubbed = text_ops.redact_pii(stream)
+    rollup = scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_url").cast("bigint").alias("total_urls"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+    )
+    name = f"stream_pii_{uuid.uuid4().hex[:8]}"
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("lang")
