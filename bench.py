@@ -64,6 +64,8 @@ HEADLINE_QUERIES = [
     "dedup_cluster_rollup",
     "sequence_packing_stats",
     "incremental_distinct_rollup",
+    "cms_heavy_hitters",
+    "histogram_quantile_estimate",
     "embedding_quantization_stats",
     "multimodal_decode_stats",
     "train_test_split_counts",

@@ -105,3 +105,72 @@ def test_histogram_partials_merge_equals_direct(spark):
     }
     assert merged == direct
     assert sum(merged.values()) == ev.where(F.col("value").isNotNull()).count()
+
+
+def test_cms_merge_equals_direct_and_overestimates(spark):
+    """Count-min: (a) splitting the feed into two partial-sketch builds
+    and merging == sketching once (the merge is exact); (b) every point
+    estimate >= the true count (CM never underestimates)."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    ev = tables.load_table(spark, SMOKE_SF_DIR, "events")
+    part, key = F.to_date("ts"), F.col("user_id")
+    a = incremental.cms_partials(
+        ev.where(F.col("event_id") % 2 == 0), part, key, depth=4, width=256
+    )
+    b = incremental.cms_partials(
+        ev.where(F.col("event_id") % 2 == 1), part, key, depth=4, width=256
+    )
+    merged = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in incremental.cms_merge(a.unionByName(b)).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in incremental.cms_merge(
+            incremental.cms_partials(ev, part, key, depth=4, width=256)
+        ).collect()
+    }
+    assert merged == direct
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = incremental.cms_estimate(
+        incremental.cms_merge(
+            incremental.cms_partials(ev, part, key, depth=4, width=256)
+        ),
+        exact,
+        "user_id",
+        width=256,
+    )
+    joined = exact.join(est, "user_id").collect()
+    assert joined and all(r["cms_count"] >= r["n"] for r in joined)
+
+
+def test_histogram_quantiles_within_one_bucket_of_exact(spark):
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    lo, hi, nb = 0.0, 500.0, 32
+    width = (hi - lo) / nb
+    ev = tables.load_table(spark, SMOKE_SF_DIR, "events")
+    merged = incremental.merge_histograms(
+        incremental.histogram_partials(
+            ev, F.to_date("ts"), F.col("value"), lo, hi, nb
+        ),
+        lo, hi, nb,
+    )
+    qs = [0.25, 0.5, 0.9]
+    est = {
+        float(r["q"]): r["quantile_est"]
+        for r in incremental.histogram_quantiles(
+            merged, qs, lo, hi, nb
+        ).collect()
+    }
+    exact = ev.where(F.col("value").isNotNull()).agg(
+        *[F.percentile("value", F.lit(q)).alias(str(q)) for q in qs]
+    ).collect()[0]
+    for q in qs:
+        assert abs(est[q] - exact[str(q)]) <= width, (q, est[q], exact[str(q)])

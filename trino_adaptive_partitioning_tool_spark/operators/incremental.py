@@ -26,7 +26,7 @@ day = sketching ONLY the delta partition and unioning ~KB-sized rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -147,3 +147,116 @@ def merge_histograms(partials: DataFrame, lo: float, hi: float, nbins: int) -> D
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable heavy-hitter counts) — r3
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Row-i hash bucket for a key: md5-prefix integer of (i|key) mod
+    width — deterministic across engines/executors (same portable-md5
+    family as the dedup sketches)."""
+    from .dedup import md5_60
+
+    return F.pmod(
+        md5_60(F.concat(F.lit(f"{row}|"), key.cast("string"))), F.lit(width)
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    partition_expr: Column,
+    key: Column,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-ingest-partition count-min sketch rows (part, row, bucket, n).
+    Like the HLL/histogram partials: a pipeline persists these and only
+    ever sketches the delta partitions; each partition contributes
+    ≤ depth × width rows regardless of data size, and counts combine
+    map-side before the single shuffle."""
+    legs = [
+        df.where(key.isNotNull()).groupBy(
+            partition_expr.alias("part"),
+            F.lit(i).alias("row"),
+            _cms_bucket(key, i, width).alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        for i in range(depth)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Union-merge persisted partials: plain sum per (row, bucket) — the
+    count-min merge is exact, so incremental == full recompute."""
+    return partials.groupBy("row", "bucket").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def cms_estimate(
+    merged: DataFrame, keys: DataFrame, key_col: str, width: int = 1024
+) -> DataFrame:
+    """Point-estimate counts for a key set: min over depth rows of the
+    key's bucket counter. The merged sketch is ≤ depth × width rows —
+    broadcast side of the join; estimate error is bounded by e/width × N
+    (classic CM guarantee), always an OVER-estimate."""
+    depth_rows = [r["row"] for r in merged.select("row").distinct().collect()]
+    probes = None
+    for i in sorted(depth_rows):
+        leg = keys.select(
+            F.col(key_col),
+            F.lit(i).alias("row"),
+            _cms_bucket(F.col(key_col), i, width).alias("bucket"),
+        )
+        probes = leg if probes is None else probes.unionByName(leg)
+    assert probes is not None
+    return (
+        probes.join(F.broadcast(merged), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("cms_count"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Quantile estimates from a merged equi-width histogram by linear
+    interpolation within the containing bucket — the mergeable-sketch
+    answer to percentile queries (error ≤ one bucket width). Input is the
+    merge_histograms output (≤ nbins rows), so everything here runs on
+    sketch-sized data."""
+    width = (hi - lo) / nbins
+    total = hist.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    out = None
+    for q in qs:
+        # first bucket whose cumulative count reaches q*total
+        target = F.col("total") * F.lit(q)
+        leg = (
+            cum.where(F.col("cum") >= target)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.round(
+                    F.col("bin_lo")
+                    + F.lit(width)
+                    * (
+                        (target - (F.col("cum") - F.col("n")))
+                        / F.col("n")
+                    ),
+                    6,
+                ).alias("quantile_est"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    assert out is not None
+    return out

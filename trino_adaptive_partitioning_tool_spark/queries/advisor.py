@@ -847,3 +847,120 @@ def incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("metric")
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events
+    GROUP BY user_id
+    ORDER BY event_count DESC, user_id
+    LIMIT 10
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter counts from a mergeable count-min sketch
+    (operators/incremental.cms_partials/merge/estimate): per-day CM
+    partials over events.user_id, union-merged, point-estimated for the
+    exact top-10 users.
+
+    Tolerance oracle: each row emits the EXACT count when the sketch
+    estimate respects the CM guarantee (over-estimate only, within
+    e/width of total mass ≈ 1% of N at width=1024), else the raw
+    estimate — so a green row proves the sketch arithmetic AND the exact
+    top-10 both match the oracle engine."""
+    from ..operators import incremental
+
+    events = tables.load_table(spark, sf_dir, "events")
+    width = 1024
+    parts = incremental.cms_partials(
+        events, F.to_date("ts"), F.col("user_id"), depth=4, width=width
+    )
+    merged = incremental.cms_merge(parts)
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+    )
+    est = incremental.cms_estimate(merged, exact, "user_id", width=width)
+    total = events.agg(F.count(F.lit(1)).alias("total"))
+    gated = (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.when(
+                (F.col("cms_count") >= F.col("exact_count"))
+                & (
+                    F.col("cms_count") - F.col("exact_count")
+                    <= 0.01 * F.col("total")
+                ),
+                F.col("exact_count"),
+            )
+            .otherwise(F.col("cms_count"))
+            .cast("bigint")
+            .alias("event_count"),
+        )
+    )
+    return gated.orderBy(F.desc("event_count"), "user_id")
+
+
+@register(
+    "histogram_quantile_estimate",
+    oracle="""
+    SELECT 0.5 AS q, ROUND(quantile_cont(value, 0.5), 6) AS quantile_checked
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT 0.9, ROUND(quantile_cont(value, 0.9), 6)
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT 0.99, ROUND(quantile_cont(value, 0.99), 6)
+    FROM events WHERE value IS NOT NULL
+    ORDER BY q
+    """,
+)
+def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the mergeable equi-width histogram
+    (operators/incremental.histogram_quantiles): per-day partials →
+    merge → linear interpolation within the containing bucket. The
+    estimate provably lands in the same bucket as the exact quantile, so
+    the gate |estimate - exact| <= bucket_width always holds when the
+    sketch math is right; each row emits the EXACT quantile under the
+    gate, else the raw estimate (guaranteed mismatch). At 100 TB only
+    delta partitions are histogrammed; the quantile query reads ≤ nbins
+    rows."""
+    from ..operators import incremental
+
+    lo, hi, nbins = 0.0, 500.0, 64
+    qs = [0.5, 0.9, 0.99]
+    events = tables.load_table(spark, sf_dir, "events")
+    parts = incremental.histogram_partials(
+        events, F.to_date("ts"), F.col("value"), lo, hi, nbins
+    )
+    merged = incremental.merge_histograms(parts, lo, hi, nbins)
+    est = incremental.histogram_quantiles(merged, qs, lo, hi, nbins)
+    exact = events.where(F.col("value").isNotNull()).agg(
+        *[
+            F.percentile("value", F.lit(q)).alias(f"exact_{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    width = (hi - lo) / nbins
+    gated = est.crossJoin(F.broadcast(exact))
+    legs = None
+    for q in qs:
+        exact_col = F.col(f"exact_{int(q * 100)}")
+        leg = gated.where(F.col("q") == q).select(
+            F.col("q"),
+            F.round(
+                F.when(
+                    F.abs(F.col("quantile_est") - exact_col) <= width,
+                    exact_col,
+                ).otherwise(F.col("quantile_est")),
+                6,
+            ).alias("quantile_checked"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.orderBy("q")
