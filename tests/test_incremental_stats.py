@@ -142,6 +142,7 @@ def test_cms_merge_equals_direct_and_overestimates(spark):
         ),
         exact,
         "user_id",
+        depth=4,
         width=256,
     )
     joined = exact.join(est, "user_id").collect()

@@ -221,3 +221,43 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     # ids 0..49999 with id % 12 in {0, 1}: 4167 each
     assert row["n"] == 8334
+
+
+# Shuffle-count ceilings for the driver-window flagships (measured at
+# r3, +1 headroom). Not micro-pinning: the point is to catch silent plan
+# regressions — a lost broadcast hint or an accidental extra exchange
+# shows up as a ceiling break long before it shows up as a slow bench.
+_SHUFFLE_CEILINGS = {
+    "pricing_summary": 2,
+    "shipping_priority": 2,
+    "region_revenue": 2,
+    "event_hourly_rollup": 2,
+    # dedup_minhash_lsh is deliberately absent: it is memo=True with an
+    # internal signature-cache barrier, so its printed plan (and exchange
+    # count) depends on whether that cache is materialized — the
+    # no-broadcast/no-cartesian test above guards its join shape instead.
+    "similarity_lsh_topk": 3,
+    "decontamination_ngram_overlap": 5,
+    "text_repetition_stats": 2,
+    "bm25_search_topk": 7,
+    "train_test_split_counts": 2,
+    "multimodal_decode_stats": 2,
+    "cms_heavy_hitters": 8,
+    "histogram_quantile_estimate": 13,
+    "incremental_histogram_rollup": 3,
+    "text_entropy_scores": 4,
+    "pii_redaction_stats": 1,
+    "document_chunking_stats": 3,
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(_SHUFFLE_CEILINGS), ids=sorted(_SHUFFLE_CEILINGS)
+)
+def test_flagship_shuffle_ceilings(spark, name):
+    df = _QUERIES[name](spark, SMOKE_SF_DIR)
+    n = inspect.shuffle_count(df)
+    assert n <= _SHUFFLE_CEILINGS[name], (
+        f"{name}: {n} exchanges > ceiling {_SHUFFLE_CEILINGS[name]} — "
+        "plan regressed (lost broadcast / extra shuffle?)"
+    )

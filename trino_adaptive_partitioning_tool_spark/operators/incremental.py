@@ -174,20 +174,27 @@ def cms_partials(
     """Per-ingest-partition count-min sketch rows (part, row, bucket, n).
     Like the HLL/histogram partials: a pipeline persists these and only
     ever sketches the delta partitions; each partition contributes
-    ≤ depth × width rows regardless of data size, and counts combine
-    map-side before the single shuffle."""
-    legs = [
-        df.where(key.isNotNull()).groupBy(
-            partition_expr.alias("part"),
-            F.lit(i).alias("row"),
-            _cms_bucket(key, i, width).alias("bucket"),
-        ).agg(F.count(F.lit(1)).alias("n"))
-        for i in range(depth)
-    ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    ≤ depth × width rows regardless of data size.
+
+    ONE scan + ONE shuffle: the depth hash rows explode from an inline
+    array per input row (not one groupBy leg per row — that plan scans
+    the table depth times), and counts combine map-side before the
+    exchange."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_bucket(key, i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(partition_expr.alias("part"), F.explode(rows).alias("rb"))
+        .groupBy("part", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def cms_merge(partials: DataFrame) -> DataFrame:
@@ -199,15 +206,20 @@ def cms_merge(partials: DataFrame) -> DataFrame:
 
 
 def cms_estimate(
-    merged: DataFrame, keys: DataFrame, key_col: str, width: int = 1024
+    merged: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
 ) -> DataFrame:
     """Point-estimate counts for a key set: min over depth rows of the
     key's bucket counter. The merged sketch is ≤ depth × width rows —
     broadcast side of the join; estimate error is bounded by e/width × N
-    (classic CM guarantee), always an OVER-estimate."""
-    depth_rows = [r["row"] for r in merged.select("row").distinct().collect()]
+    (classic CM guarantee), always an OVER-estimate. depth/width must
+    match the cms_partials build (they are sketch parameters, not
+    data — no discovery scan)."""
     probes = None
-    for i in sorted(depth_rows):
+    for i in range(depth):
         leg = keys.select(
             F.col(key_col),
             F.lit(i).alias("row"),

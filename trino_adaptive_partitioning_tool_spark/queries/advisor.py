@@ -884,7 +884,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), "user_id")
         .limit(10)
     )
-    est = incremental.cms_estimate(merged, exact, "user_id", width=width)
+    est = incremental.cms_estimate(
+        merged, exact, "user_id", depth=4, width=width
+    )
     total = events.agg(F.count(F.lit(1)).alias("total"))
     gated = (
         exact.join(est, "user_id")
