@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "text_quality_scores",
     "text_token_stats",
     "text_winnow_fingerprints",
+    "winnow_containment_pairs",
     "text_repetition_stats",
     "text_entropy_scores",
     "pii_redaction_stats",

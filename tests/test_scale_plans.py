@@ -246,6 +246,7 @@ _SHUFFLE_CEILINGS = {
     "histogram_quantile_estimate": 13,
     "incremental_histogram_rollup": 3,
     "text_entropy_scores": 4,
+    "winnow_containment_pairs": 5,
     "pii_redaction_stats": 1,
     "document_chunking_stats": 3,
 }

@@ -484,3 +484,60 @@ def token_entropy(
             6,
         ).alias("normalized_entropy"),
     )
+
+
+def winnow_containment(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 4,
+    keep_every: int = 2,
+    max_df: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cross-document containment pairs from winnowing fingerprints: the
+    inter-document complement of `fingerprints` (which is per-doc).
+    Pipeline: fingerprint sample → drop stop-fingerprints appearing in
+    more than `max_df` docs (the quadratic-blowup guard — a fingerprint
+    shared by k docs creates k² candidate pairs, so ubiquitous shingles
+    must be cut the way IDF cuts stopwords) → self-equi-join on the hash
+    → per-pair shared count and containment = shared / min(|fp_a|,|fp_b|).
+    All candidate generation flows through the hash equi-join: volume is
+    collision-bounded, never n²."""
+    fp = fingerprints(
+        docs, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, keep_every=keep_every,
+    )
+    ex = fp.select(
+        F.col(id_col).alias("id"),
+        F.col("winnow_size").alias("sz"),
+        F.explode("winnow_fp").alias("h"),
+    )
+    docfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    ex = ex.join(
+        F.broadcast(docfreq.where(F.col("ndocs") <= max_df)), "h"
+    ).drop("ndocs")
+    a = ex.select(
+        F.col("h"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = ex.select(
+        F.col("h"), F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.min(F.least("sz_a", "sz_b")).alias("min_sz"),
+        )
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared_fps",
+        F.round(
+            F.col("shared_fps") / F.col("min_sz").cast("double"), 6
+        ).alias("containment"),
+    )

@@ -586,3 +586,63 @@ def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical H = log2 N - Σ n·log2 n / N rearrangement in DuckDB."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.token_entropy(docs).orderBy("doc_id")
+
+
+def _containment_oracle(
+    k: int = 4, keep_every: int = 2, max_df: int = 50, min_shared: int = 1
+) -> str:
+    from ..operators.dedup import md5_60_sql
+
+    shingle = f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= {k}
+          THEN list_distinct(list_transform(
+                 range(1, len(toks) - {k - 2}), i -> {shingle}))
+          ELSE [array_to_string(toks, ' ')] END AS shs
+      FROM tok
+    ),
+    fp AS (
+      SELECT doc_id,
+        list_filter(list_transform(shs, s -> {md5_60_sql('s')}),
+                    h -> h % {keep_every} = 0) AS fps
+      FROM sh
+    ),
+    ex AS (
+      SELECT doc_id, len(fps) AS sz, UNNEST(fps) AS h FROM fp
+    ),
+    keepers AS (
+      SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= {max_df}
+    ),
+    ex2 AS (SELECT ex.* FROM ex JOIN keepers USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS shared_fps,
+             MIN(LEAST(a.sz, b.sz)) AS min_sz
+      FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {min_shared}
+    )
+    SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+           ROUND(shared_fps / CAST(min_sz AS DOUBLE), 6) AS containment
+    FROM pairs
+    ORDER BY id_a, id_b
+    """
+
+
+@register("winnow_containment_pairs", oracle=_containment_oracle())
+def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document containment report from winnowing fingerprints
+    (operators/text.winnow_containment): which documents share sampled
+    shingle content, and how much of the smaller document is covered —
+    the exact-substring-overlap complement to MinHash (set similarity)
+    and decontamination (n-gram membership). Stop-fingerprints (df >
+    50 docs) are cut before pairing, so candidate volume stays
+    collision-bounded at scale. Fully hash-checked: md5_60 fingerprints
+    replay in DuckDB."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.winnow_containment(
+        docs, shingle_k=4, keep_every=2, max_df=50, min_shared=1
+    ).orderBy("id_a", "id_b")
