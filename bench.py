@@ -64,6 +64,7 @@ HEADLINE_QUERIES = [
     "bm25_search_topk",
     "dedup_cluster_rollup",
     "sequence_packing_stats",
+    "corpus_mixture_plan",
     "incremental_distinct_rollup",
     "cms_heavy_hitters",
     "histogram_quantile_estimate",

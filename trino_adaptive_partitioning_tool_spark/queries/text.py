@@ -646,3 +646,88 @@ def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.winnow_containment(
         docs, shingle_k=4, keep_every=2, max_df=50, min_shared=1
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, len({_TOKS}) AS n_tokens,
+             len(list_distinct({_TOKS})) AS n_distinct
+      FROM documents
+    ),
+    grp AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             SUM(n_tokens) AS total_tokens,
+             ROUND(AVG(n_distinct / GREATEST(n_tokens, 1)::DOUBLE), 6)
+               AS mean_diversity
+      FROM tok GROUP BY lang, source
+    ),
+    weighted AS (
+      SELECT *, total_tokens * mean_diversity AS raw_w FROM grp
+    ),
+    tot AS (SELECT SUM(raw_w) AS w FROM weighted)
+    SELECT lang, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           mean_diversity,
+           ROUND(raw_w / w, 6) AS mixture_share,
+           CAST(ROUND(ROUND(raw_w / w, 6) * 1000000, 0) AS BIGINT)
+             AS budget_tokens
+    FROM weighted, tot
+    ORDER BY lang, source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: per (lang, source) strata, token mass
+    and a diversity-weighted sampling share, projected onto a 1M-token
+    budget — the reweighting table a data-mixing stage consumes (quality-
+    weighted source mixing a la Doremi-style planning, here with the
+    deterministic distinct-token diversity signal so the arithmetic is
+    fully oracle-checkable). One token pass + one strata rollup; the
+    strata table is dimension-sized at any corpus scale."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    grp = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.avg(
+                F.col("n_distinct")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("mean_diversity"),
+    )
+    weighted = grp.withColumn(
+        "raw_w", F.col("total_tokens") * F.col("mean_diversity")
+    )
+    tot = weighted.agg(F.sum("raw_w").alias("w"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_diversity",
+            F.round(F.col("raw_w") / F.col("w"), 6).alias("mixture_share"),
+            # round(round(share,6)*1e6): the inner round-6 pins both
+            # engines to the same 6-decimal share, so the outer round
+            # lands on an exact integer — never a floor() fp boundary
+            F.round(F.round(F.col("raw_w") / F.col("w"), 6) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("budget_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
