@@ -59,3 +59,32 @@ def test_partition_layout_discovery(spark, tmp_path):
     assert df.where(
         F.col("o_orderdate_month") == layout["o_orderdate_month"][0]
     ).count() > 0
+
+
+def test_plan_cache_keyed_on_application_id(spark):
+    """A memoized plan must be keyed by applicationId, not id(spark):
+    a stopped session's id() can be reused by a new SparkSession object,
+    which would resurrect a DataFrame bound to a dead session."""
+    from trino_adaptive_partitioning_tool_spark.queries import registry
+
+    calls = {"n": 0}
+
+    @registry.register("_cache_probe_test", memo=True)
+    def _probe(s, sf_dir):
+        calls["n"] += 1
+        return s.range(1)
+
+    try:
+        fn = registry._QUERIES["_cache_probe_test"]
+        fn(spark, "/x")
+        fn(spark, "/x")
+        assert calls["n"] == 1  # memoized within one session
+        app_id = spark.sparkContext.applicationId
+        assert ("_cache_probe_test" in k and app_id in k for k in registry._PLAN_CACHE)
+        key = (app_id, "/x", "_cache_probe_test")
+        assert key in registry._PLAN_CACHE
+        # a different applicationId (fresh context after stop()) misses
+        assert (id(spark), "/x", "_cache_probe_test") not in registry._PLAN_CACHE
+    finally:
+        registry._QUERIES.pop("_cache_probe_test", None)
+        registry._PLAN_CACHE.pop((spark.sparkContext.applicationId, "/x", "_cache_probe_test"), None)

