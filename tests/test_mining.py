@@ -252,3 +252,66 @@ def test_mine_query_log_dataframe(spark):
     }
     # unparseable q_0011 yields nothing
     assert not [r for r in mined if r["query_id"] == "q_0011"]
+
+
+def test_select_list_scalar_subquery_scoped():
+    """A scalar subquery in the select list is its own scope: its WHERE
+    must not swallow the outer FROM, and the outer alias/table names must
+    not leak into where-column counts."""
+    m = mining.mine_statement(
+        "SELECT (SELECT MAX(x) FROM t2 WHERE t2.y = t1.y) AS mx "
+        "FROM t1 WHERE z = 1"
+    )
+    assert sorted(m["tables"]) == ["t1", "t2"]
+    assert dict(m["where_columns"]) == {"y": 2, "z": 1}
+    assert dict(m["join_columns"]) == {}
+
+
+def test_cte_body_join_columns_scoped():
+    """ON-clause collection must stop at the CTE body's closing paren —
+    the outer select list is not a join column."""
+    m = mining.mine_statement(
+        "WITH a AS (SELECT 1 FROM t1 JOIN t2 ON t1.k = t2.k) "
+        "SELECT c5 FROM a"
+    )
+    assert sorted(m["tables"]) == ["t1", "t2"]
+    assert dict(m["join_columns"]) == {"k": 2}
+    assert dict(m["where_columns"]) == {}
+
+
+def test_set_ops_terminate_where_collection():
+    m = mining.mine_statement(
+        "SELECT a FROM t1 WHERE x = 1 EXCEPT SELECT a FROM t2 WHERE y = 2"
+    )
+    assert sorted(m["tables"]) == ["t1", "t2"]
+    assert dict(m["where_columns"]) == {"x": 1, "y": 1}
+    m = mining.mine_statement(
+        "SELECT a FROM t1 WHERE x IN (1, 2) UNION ALL SELECT b FROM t2"
+    )
+    assert sorted(m["tables"]) == ["t1", "t2"]
+    assert dict(m["where_columns"]) == {"x": 1}
+
+
+def test_window_function_over_clause_not_collected():
+    m = mining.mine_statement(
+        "SELECT rank() OVER (PARTITION BY seg ORDER BY amt DESC) AS r "
+        "FROM t1 WHERE d = 5"
+    )
+    assert m["tables"] == ["t1"]
+    assert dict(m["where_columns"]) == {"d": 1}
+    assert dict(m["join_columns"]) == {}
+
+
+def test_nested_expression_parens_collect_through():
+    """Depth-tracked parens: a ')' closing an expression group must not
+    terminate the clause; only a ')' closing the enclosing scope does."""
+    m = mining.mine_statement("SELECT 1 FROM t WHERE (a = 1 OR b = 2) AND c = 3")
+    assert dict(m["where_columns"]) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_quoted_alias_spelling_keyword():
+    m = mining.mine_statement(
+        'SELECT "from".x FROM t1 AS "from" WHERE "from".y = 1'
+    )
+    assert m["tables"] == ["t1"]
+    assert dict(m["where_columns"]) == {"y": 1}

@@ -49,12 +49,19 @@ _KEYWORDS = frozenset(
     min max coalesce nullif over partition rows range preceding following
     unbounded current row using natural values insert into update delete
     create materialized view table if replace true false lateral recursive
+    except intersect minus
     """.split()
 )
 
+# Tokens that end a clause-column collection at nesting depth 0.
+# `select`/`from` can only appear at depth 0 after a WHERE/ON when a
+# set-op continuation starts a new query block (UNION/EXCEPT/INTERSECT
+# keyword itself, or a bare second SELECT) — inside expressions they are
+# always behind parens, which collect_columns depth-tracks.
 _CLAUSE_BOUNDARY = frozenset(
     {"join", "where", "group", "order", "limit", "having", "union", "on",
-     "inner", "left", "right", "full", "outer", "cross"}
+     "inner", "left", "right", "full", "outer", "cross",
+     "except", "intersect", "minus", "select", "from"}
 )
 
 _STATEMENT_HEADS = ("select", "with", "create")
@@ -190,10 +197,15 @@ def _mine_tokens(
     def collect_columns(i: int, sink: Counter) -> int:
         """Collect column identifiers until a clause boundary; returns idx.
         Predicate subqueries (IN / EXISTS / scalar) are mined recursively
-        as their own scope, not flattened into this clause's columns."""
+        as their own scope, not flattened into this clause's columns.
+        Parens are depth-tracked: boundary keywords only terminate at
+        depth 0, and a ')' at depth 0 is a HARD boundary — it closes an
+        enclosing scope, so running past it would bleed this clause's
+        collection into the parent query block."""
+        depth = 0
         while i < len(toks):
             tl = low[i]
-            if tl in _CLAUSE_BOUNDARY:
+            if depth == 0 and tl in _CLAUSE_BOUNDARY:
                 break
             if toks[i] == "(":
                 end = _skip_parens(toks, i)
@@ -201,7 +213,14 @@ def _mine_tokens(
                 if inner and inner[0].lower() in ("select", "with"):
                     i = recurse_if_subquery(i)
                 else:
+                    depth += 1
                     i += 1  # expression parens: walk the inside normally
+                continue
+            if toks[i] == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+                i += 1
                 continue
             if _is_identifier(toks[i]):
                 # skip function calls: identifier immediately followed by (
@@ -275,6 +294,15 @@ def _mine_tokens(
             i = collect_using(i + 1)
         elif tl == "where":
             i = collect_columns(i + 1, where_cols)
+        elif toks[i] == "(":
+            # Select-list / expression subqueries (scalar subqueries, CTE
+            # bodies reached by the main walk) are their own scope:
+            # recurse instead of walking them flatly, which would bleed
+            # their FROM/WHERE into this scope's collections (and swallow
+            # this scope's own FROM). Non-subquery parens (OVER(...),
+            # CASE groups, VALUES lists) are skipped wholesale — the main
+            # walk collects nothing outside on/using/where clauses.
+            i = recurse_if_subquery(i)
         else:
             i += 1
 
