@@ -26,14 +26,17 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {
-        r["node"]: r["component"]
-        for r in graph.connected_components(df).collect()
-    }
     want = _union_find(edges)
-    # min-label propagation converges to the min node id per component;
-    # path-compressed union-find with min-root merging yields the same
-    assert got == want
+    # both dispatch paths must converge to the min node id per component,
+    # same as path-compressed union-find with min-root merging
+    for threshold in (2_000_000, 0):  # single-task path, star path
+        got = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(
+                df, single_task_threshold=threshold
+            ).collect()
+        }
+        assert got == want, f"threshold={threshold}"
 
 
 def test_random_graph_matches_union_find(spark):
@@ -62,3 +65,24 @@ def test_disjoint_cliques(spark):
         for r in graph.cluster_rollup(graph.connected_components(df)).collect()
     }
     assert roll == {0: 5, 100: 5, 200: 5}
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    """A 500-node path has diameter 499: min-label propagation would need
+    ~500 rounds (and 500 Spark jobs); large-star/small-star must converge
+    in O(log n) — the max_iter=20 budget only holds under the star
+    algorithm."""
+    edges = [(i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(
+            df, max_iter=20, single_task_threshold=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(501)}
+
+
+def test_duplicate_and_bidirectional_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 2), (5, 4), (4, 5)]
+    _check(spark, edges)

@@ -2,32 +2,153 @@
 
 Pairwise dedup (minhash/simhash/jaccard — operators/dedup.py) emits
 EDGES; an actual dedup pass needs CLUSTERS (keep one representative per
-transitively-connected group). This is min-label propagation:
+transitively-connected group). This is alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): each round rewires every node toward the minimum id
+in its neighborhood,
 
-    label(v) := min(label(v), min label of v's neighbors)   until fixed
+    large-star: for each u, emit (v, min(N(u) ∪ {u})) for v ∈ N(u), v > u
+    small-star: orient edges (big → small); for each u, emit
+                (v, min(N(u) ∪ {u})) for its smaller neighbors v and u
 
-which converges to the minimum node id of each component — the same
-value a transitive-closure oracle computes, so the full pipeline
-(pairs → clusters → rollup) stays hash-checkable in DuckDB via a
-recursive CTE.
+which converges to a star per component rooted at the minimum node id —
+the same value a transitive-closure oracle computes, so the full
+pipeline (pairs → clusters → rollup) stays hash-checkable in DuckDB via
+a recursive CTE.
 
-Scale properties:
-* Each round is one shuffle join (edges ⋈ labels on src) + a min-groupBy
-  — all JVM-side, partial-aggregated map-side.
-* Rounds needed = graph diameter. Near-dup clusters are
-  shallow (duplicates of a common source), so a handful of rounds; for
-  adversarially long chains switch to large-star/small-star (Kiveris et
-  al., "Connected Components in MapReduce"), same join primitive,
-  O(log n) rounds.
-* `localCheckpoint` truncates lineage every round — without it the plan
-  doubles per iteration and re-executes earlier rounds at every action
-  (the classic iterative-Spark trap).
+Dispatch is size-adaptive (see ``connected_components``): edge sets
+small enough to fold in one task (the common near-dup case — pairs are a
+tiny fraction of the corpus) skip the iterative dataflow entirely and
+run union-find in a single Arrow-batched executor task; only genuinely
+large graphs pay for distributed rounds.
+
+Scale properties of the star path:
+* O(log n) rounds regardless of graph diameter (min-label propagation,
+  the previous implementation here, needed diameter rounds — pathological
+  on long chains).
+* Each round is two groupBy-min + two co-keyed joins, all JVM-side and
+  map-side partial-aggregated; candidate volume never exceeds the edge
+  count, and no step materializes anything driver-side.
+* One eager `localCheckpoint` per round truncates lineage (without it
+  the plan doubles per iteration and re-executes earlier rounds at every
+  action — the classic iterative-Spark trap); convergence is detected by
+  a (count, hash-sum) checksum computed by a cheap scan OVER the
+  checkpointed (already materialized) edges, so each round costs one
+  real job plus one sketch-sized one — not the two full shuffel jobs of
+  the label-propagation version.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every larger neighbor of u to the min of u's neighborhood."""
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    return (
+        und.where(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of u (and u) to the neighborhood min."""
+    o = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    mins = o.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        o.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            mins.select("src", F.col("mn").alias("dst"))
+        )
+    )
+
+
+def _cc_single_task(e: DataFrame) -> DataFrame:
+    """Solve a SMALL edge set (already counted ≤ threshold) with
+    path-compressed min-root union-find inside one Arrow-batched executor
+    task. Near-dup edge sets are orders of magnitude smaller than the
+    corpus they came from, so below the threshold the iterative dataflow
+    is pure fixed cost — ~10 Spark stages to converge a graph one task
+    folds in milliseconds. The same size-dispatch philosophy as a
+    broadcast-join threshold: bounded data earns a bounded-parallelism
+    plan."""
+    import pandas as pd
+
+    def _fold(batches):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-root merging ⇒ component label = min node id,
+                    # identical to the star fixed point and the
+                    # recursive-CTE transitive-closure oracle
+                    parent[max(ra, rb)] = min(ra, rb)
+        yield pd.DataFrame(
+            {"node": list(parent), "component": [find(n) for n in parent]}
+        )
+
+    return e.repartition(1).mapInPandas(_fold, schema="node long, component long")
+
+
+def _cc_star_rounds(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds — the 100 TB path."""
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        e = (
+            _small_star(_large_star(e))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # checksum over the just-materialized (in-memory) edges: edge
+        # SETS are equal iff (count, order-independent hash sum) agree —
+        # the fixed point of ls∘ss is a literal edge-set fixed point
+        # (stars map to themselves), so equality == convergence.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a sum of int64 hashes overflows LONG
+            # (an error under ANSI mode, silent wrap otherwise)
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixed point every edge is (member, root) with the root never
+    # appearing as a source; add the root's own row to label it too
+    return e.select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    ).unionByName(
+        e.select(
+            F.col("dst").alias("node"), F.col("dst").alias("component")
+        ).distinct()
+    )
 
 
 def connected_components(
@@ -35,52 +156,37 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    single_task_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component =
-    min node id in the node's connected component."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    min node id in the node's connected component.
+
+    Size-adaptive dispatch: edge sets at or below
+    ``single_task_threshold`` (≈ tens of MB — bounded, known AFTER the
+    count) are folded by union-find in a single executor task; larger
+    graphs run alternating large-star/small-star rounds, which converge
+    in O(log n) rounds regardless of diameter. ``max_iter`` bounds the
+    star rounds; a trillion-node graph converges in ~40, so the default
+    budget is never the binding constraint. Both paths produce the
+    identical min-id labeling.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
-    # Size the iteration state to the graph, not the session: near-dup
-    # edge sets are orders of magnitude smaller than the corpus, and at
-    # 32+ shuffle partitions the per-round fixed task overhead dominates
-    # (measured 2x on a 76k-edge graph). Grows back to full parallelism
-    # at ~500k edges/partition.
-    sc = edges.sparkSession.sparkContext
-    n_parts = max(1, min(sc.defaultParallelism, e.count() // 500_000 + 1))
-    e = e.repartition(n_parts, "src").localCheckpoint(eager=True)
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr = e.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label", F.lit(False).alias("own"))
-        # Fold the node's own (old) label into the same min-aggregation:
-        # convergence detection then reads the checkpointed result with a
-        # cheap scan instead of a second shuffle join per round.
-        merged = (
-            labels.withColumn("own", F.lit(True))
-            .unionByName(nbr)
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("own"), F.col("label"))).alias("old_label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.where(F.col("label") != F.col("old_label")).count()
-        labels = merged.select("node", "label")
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+    # Cache the input ONCE: both paths reference the edge set more than
+    # once (the dispatch count + union legs / join sides / the fold), so
+    # without this the whole upstream pair-generation pipeline (minhash,
+    # simhash, ...) re-executes per reference. persist() rather than
+    # localCheckpoint: Spark's CacheManager matches canonicalized plans,
+    # so repeated calls over the same (memoized) pair pipeline share one
+    # entry and the dispatch count becomes a cache scan — and MEMORY_ONLY
+    # blocks are evictable (recompute on miss), so no unbounded pinning.
+    # Duplicate / bidirectional input edges need no dedup pass —
+    # min-aggregation and union-find are both insensitive to them.
+    e = e.persist(StorageLevel.MEMORY_ONLY)
+    if e.count() <= single_task_threshold:
+        return _cc_single_task(e)
+    return _cc_star_rounds(e, max_iter)
 
 
 def cluster_rollup(components: DataFrame) -> DataFrame:

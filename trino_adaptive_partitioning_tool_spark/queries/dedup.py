@@ -320,6 +320,9 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cluster_rep, COUNT(*) AS n_members
     FROM labels GROUP BY cluster_rep
     """,
+    # memo: plan construction alone (pair pipeline + CC dispatch, incl.
+    # the dispatch count job) costs >1 s of driver time per call
+    memo=True,
 )
 def dedup_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: the scale path end to end —
