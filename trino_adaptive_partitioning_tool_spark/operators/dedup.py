@@ -82,15 +82,31 @@ def tokens_expr(text_col: str = "text"):
 
 def shingles_expr(tokens, k: int = DEFAULT_SHINGLE_K):
     """k-token shingles of a token array (distinct), JVM-side only:
-    transform over a sliding index sequence + concat_ws."""
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k))),
-        ).otherwise(F.array(F.concat_ws(" ", tokens)))
-    )
+    transform over a sliding index sequence + concat_ws.
+
+    The input expression is BOUND ONCE via a single-element transform
+    before use: the shingle logic references the token array four times
+    (size guard, index bound, per-position slice, short-doc fallback),
+    and the per-position slice sits inside a lambda — inlining an
+    unevaluated `tokens` expression there re-tokenizes the whole
+    document for every shingle position, turning an O(tokens) projection
+    into O(tokens x positions). Catalyst collapses projections, so a
+    plain intermediate column does not prevent that; a lambda variable
+    is evaluated exactly once by construction."""
+
+    def _sh(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.when(
+                n >= k,
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return F.transform(F.array(tokens), _sh)[0]
 
 
 def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

@@ -513,6 +513,13 @@ def winnow_containment(
         F.col("winnow_size").alias("sz"),
         F.explode("winnow_fp").alias("h"),
     )
+    # Referenced three times below (document-frequency pass + both join
+    # legs): cache so fingerprinting runs once, not per reference. Plan-
+    # matched by Spark's CacheManager, MEMORY_ONLY so blocks are
+    # evictable (recompute on miss) rather than pinned.
+    from pyspark import StorageLevel
+
+    ex = ex.persist(StorageLevel.MEMORY_ONLY)
     docfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     ex = ex.join(
         F.broadcast(docfreq.where(F.col("ndocs") <= max_df)), "h"
