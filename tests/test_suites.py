@@ -18,7 +18,19 @@ from trino_adaptive_partitioning_tool_spark.queries.registry import _PRIORITY
 
 from conftest import SMOKE_SF_DIR
 
-_ALL_SPECS = suites._RELATIONAL + suites._GROUPING + suites._FUNCTIONS
+_SPEC_GROUPS = (
+    suites._RELATIONAL,
+    suites._GROUPING,
+    suites._FUNCTIONS,
+    suites._TPCH,
+    suites._CDC_TIMESERIES,
+    suites._TEXT_EXTENDED,
+    suites._DEDUP_SIMILARITY,
+    suites._STATS_FUNCTIONS,
+    suites._QUALITY_SAMPLING,
+    suites._STREAMING,
+)
+_ALL_SPECS = [t for g in _SPEC_GROUPS for t in g]
 
 
 @pytest.mark.parametrize(
@@ -40,9 +52,13 @@ def test_digest_specs_sorted_for_stable_order():
     # both sides ORDER BY op; the spec lists must be sorted so the
     # oracle's UNION ALL branches and the Spark union enumerate the
     # same ops
-    for spec in (suites._RELATIONAL, suites._GROUPING, suites._FUNCTIONS):
+    for spec in _SPEC_GROUPS:
         names = [s[0] for s in spec]
         assert names == sorted(names)
+    # no query folded twice across digests (a double fold would be
+    # harmless but wasteful and confusing in the driver output)
+    all_names = [s[0] for s in _ALL_SPECS]
+    assert len(all_names) == len(set(all_names))
 
 
 def test_priority_window_is_exactly_50_and_resolvable():
@@ -59,3 +75,15 @@ def test_priority_window_is_exactly_50_and_resolvable():
     oracles = registry.oracle_sql()
     unoracled = [n for n in _PRIORITY if n not in oracles]
     assert not unoracled, f"windowed queries without oracle: {unoracled}"
+
+
+def test_folded_row_counts_fit_exact_hash_sum(duck):
+    """sum(36-bit hash x n_rows) must stay exactly representable in the
+    final DOUBLE: n_rows * 2^36 < 2^53 needs n_rows < ~131k. Checked
+    against the DuckDB oracle at the driver's correctness scale (cheap;
+    no Spark execution). Streaming specs are fixture-sized and excluded
+    (their oracles replay VALUES CTEs, trivially small)."""
+    for name, _, _ in _ALL_SPECS:
+        sql = registry.oracle_sql()[name]
+        n = duck.sql(f"SELECT COUNT(*) FROM ({sql}) q").fetchone()[0]
+        assert n < 120_000, (name, n)

@@ -29,12 +29,36 @@ def _drain(spark: SparkSession, build) -> DataFrame:
     return qls.run_available_now(build(stream), name, f"{tmp}/ckpt")
 
 
-@register("streaming_window_rollup")
+@register(
+    "streaming_window_rollup",
+    oracle=f"""
+    WITH {fixtures.query_logs_values_cte()}
+    SELECT
+      -- DuckDB date_trunc('day') yields DATE; cast back so the VARCHAR
+      -- rendering matches Spark's timestamp ('... 00:00:00')
+      CAST(date_trunc('day', create_time) AS TIMESTAMP) AS window_start,
+      date_trunc('day', create_time) + INTERVAL 1 DAY AS window_end,
+      COUNT(*) AS query_count,
+      SUM(execution_time_ms) AS total_exec_ms,
+      MAX(execution_time_ms) AS max_exec_ms,
+      SUM(input_bytes) AS total_input_bytes
+    FROM query_logs
+    WHERE create_time IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+)
 def streaming_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window resource rollup executed as a stream."""
+    """Tumbling-window resource rollup executed as a stream.
+
+    A complete-mode availableNow drain of a static fixture directory is
+    deterministic, and 1-day tumbling windows under the UTC session
+    align with calendar days — so unlike the other streaming rows this
+    one carries a full DuckDB oracle (date_trunc twin): the hash check
+    proves stream == SQL, not just stream == batch."""
     return _drain(
         spark, lambda s: qls.windowed_resource_rollup(s, "1 day", "2 days")
-    )
+    ).orderBy("window_start")
 
 
 @register("streaming_interactive_share")

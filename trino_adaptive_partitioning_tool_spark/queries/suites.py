@@ -39,7 +39,22 @@ from . import registry
 # the folded sub-queries live in these modules; importing them here makes
 # the digest oracles buildable even when suites is imported standalone
 # (outside registry._load_all's ordering)
-from . import core_sql, core_sql2  # noqa: F401
+from . import (  # noqa: F401
+    advisor,
+    cdc,
+    core_sql,
+    core_sql2,
+    dedup,
+    multimodal,
+    quality,
+    relational_ext,
+    sampling,
+    similarity,
+    streaming_q,
+    text,
+    timeseries,
+    tpch_shapes,
+)
 from .registry import register
 
 # (query_name, exact_cols, double_cols) — column split per live schema;
@@ -133,17 +148,28 @@ def _digest_sql(spec: list[tuple[str, list[str], list[str]]]) -> str:
     for name, exact_cols, dbl_cols in spec:
         sub = registry._ORACLES[name]
         if exact_cols:
+            # identifiers quoted: folded queries include columns that
+            # collide with keywords ("count") or are case-sensitive ("F")
             key = (
                 "concat_ws('|', "
-                + ", ".join(f"CAST({c} AS VARCHAR)" for c in exact_cols)
+                + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in exact_cols)
                 + ")"
             )
         else:
             key = "''"
         row_hash = f"('0x' || substr(md5({key}), 1, 9))::BIGINT"
+        # Round via VARCHAR -> DECIMAL, not ROUND(double): Spark's ROUND
+        # converts through BigDecimal.valueOf (the SHORTEST decimal
+        # representation) then rounds HALF_UP, so an upstream value of
+        # 0.123450 — whose binary double is a hair below the tie — rounds
+        # UP in Spark but DOWN under DuckDB's binary-value rounding.
+        # DuckDB's VARCHAR cast is the same shortest round-trip repr, and
+        # decimal ROUND is the same half-away-from-zero, so this emulates
+        # Spark's semantics exactly (verified on the tie cases).
         num = (
             " + ".join(
-                f"COALESCE(ROUND({c}, 4)::DECIMAL(38,6), 0)"
+                f'COALESCE(ROUND(CAST("{c}" AS VARCHAR)::DECIMAL(38,12), 4)'
+                f"::DECIMAL(38,6), 0)"
                 for c in dbl_cols
             )
             or "0::DECIMAL(38,6)"
@@ -182,3 +208,245 @@ def functions_windows_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     suites and the correlated-subquery scalars into one checked digest
     row each."""
     return _digest_df(spark, sf_dir, _FUNCTIONS)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 expansion: certify the remaining registered surface inside the
+# driver's 50-row window. Same reduction as above; specs generated from
+# the live Spark/DuckDB schemas (scripts/gen_digest_specs.py) and pinned
+# here as literals so schema drift breaks tests/test_suites.py loudly.
+# ---------------------------------------------------------------------------
+
+_TPCH: list[tuple[str, list[str], list[str]]] = [
+    ("bulk_suppliers_for_part_family", ["s_name"], ["s_acctbal"]),
+    ("customer_order_count_distribution", ["c_count", "custdist"], []),
+    ("disjunctive_predicate_revenue", [], ["revenue"]),
+    ("idle_wealthy_customers", ["name_bucket", "numcust"], ["totacctbal"]),
+    (
+        "large_volume_customers",
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate"],
+        ["o_totalprice", "sum_qty"],
+    ),
+    ("late_ship_priority_counts", ["o_orderpriority", "order_count"], []),
+    (
+        "min_acctbal_supplier_per_part",
+        ["p_partkey", "p_name", "s_name"],
+        ["supplier_acctbal"],
+    ),
+    ("multi_supplier_late_orders", ["s_name", "numwait"], []),
+    ("nation_market_share", ["o_year"], ["nation_volume", "total_volume"]),
+    ("null_safe_aggregation",
+     ["n_rows", "n_with_exec", "total_exec_ms", "n_null_exec", "n_null_cpu"],
+     []),
+    ("order_price_histogram", ["bucket", "n_orders", "bucket_value"], []),
+    ("part_supplier_variety",
+     ["p_brand", "p_type", "p_size", "supplier_cnt"], []),
+    ("part_value_concentration", ["l_partkey"], ["part_value"]),
+    (
+        "priority_shipping_channels",
+        ["l_linestatus", "high_line_count", "low_line_count"],
+        [],
+    ),
+    ("promo_revenue_share", [], ["promo_revenue", "total_revenue"]),
+    ("range_interval_join",
+     ["o_orderpriority", "lines_shipped_90d"], ["revenue_90d"]),
+    ("returned_item_revenue_topk",
+     ["c_custkey", "c_name", "n_name", "revenue"], []),
+    ("scan_filter_sort_limit",
+     ["o_orderkey", "o_custkey"], ["total_price"]),
+    ("simple_predicate_revenue", [], ["revenue"]),
+    ("top_revenue_supplier", ["s_suppkey", "s_name"], ["total_revenue"]),
+    ("volume_shipping_bilateral",
+     ["supp_nation", "cust_nation", "l_year"], ["revenue"]),
+]
+
+_CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
+    ("daily_gap_fill", ["event_type", "day", "n_events", "sum_value"], []),
+    ("forward_fill_daily_value", ["event_type", "day", "filled_value"], []),
+    ("full_outer_daily_activity", ["day", "n_orders", "n_events"], []),
+    ("rolling_7day_revenue",
+     ["o_orderpriority", "day", "days_in_window"], ["rev_7d"]),
+    ("user_value_trend",
+     ["user_id", "n_events"], ["slope_per_day", "value_time_corr"]),
+]
+
+_TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
+    ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
+    ("corpus_mixture_plan",
+     ["lang", "source", "n_docs", "total_tokens", "budget_tokens"],
+     ["mean_diversity", "mixture_share"]),
+    ("corpus_top_tokens", ["token", "cnt"], []),
+    ("dataset_quality_audit",
+     ["table_name", "column_name", "total_rows", "non_null",
+      "distinct_values"],
+     ["null_rate"]),
+    ("document_chunking_stats",
+     ["doc_id", "n_chunks", "total_chunk_chars", "chunks_md5"], []),
+    ("lateral_explode_tokens", ["doc_id", "tok"], []),
+    ("pii_redaction_stats",
+     ["doc_id", "n_email", "n_url", "n_phone", "redacted_md5"], []),
+    ("text_bpe_token_counts",
+     ["doc_id", "bpe_token_count", "ws_token_count", "vowel_count"], []),
+    ("text_entropy_scores",
+     ["doc_id", "n_tokens", "n_distinct_tokens"],
+     ["token_entropy", "normalized_entropy"]),
+    ("text_fingerprint_md5", ["doc_id", "content_md5"], []),
+    ("text_language_id", ["doc_id", "predicted_lang", "marker_hits"], []),
+    ("text_quality_scores",
+     ["doc_id"],
+     ["stopword_ratio", "punct_ratio", "repetition_ratio", "length_score",
+      "quality_score"]),
+    ("text_token_stats",
+     ["doc_id", "char_count", "token_count", "distinct_tokens"],
+     ["avg_token_len"]),
+    ("text_winnow_fingerprints",
+     ["doc_id", "winnow_fp", "winnow_size"], []),
+    ("winnow_containment_pairs",
+     ["id_a", "id_b", "shared_fps"], ["containment"]),
+]
+
+_DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
+    ("dedup_exact", ["canonical_doc_id", "dup_count", "n_chars"], []),
+    ("dedup_exact_groups", ["canonical_id", "dup_count"], []),
+    ("dedup_keep_canonical", ["doc_id", "lang", "source", "n_chars"], []),
+    ("dedup_minhash_verified", ["id_a", "id_b"], ["jaccard"]),
+    ("dedup_simhash", ["id_a", "id_b", "hamming"], []),
+    ("dedup_token_jaccard", ["id_a", "id_b"], ["jaccard"]),
+    ("embedding_dedup_keep_canonical", ["vec_id", "label"], []),
+    ("embedding_near_duplicates", ["id_a", "id_b"], ["cosine"]),
+    ("embedding_near_duplicates_exact", ["id_a", "id_b"], ["cosine"]),
+    ("embedding_quantization_stats",
+     ["vec_id", "label", "n_dims"], ["scale", "max_abs_err"]),
+    ("similarity_ivf_topk", ["query_id", "vec_id", "rank"], ["cosine"]),
+    ("similarity_topk_bruteforce",
+     ["query_id", "vec_id", "rank"], ["cosine"]),
+]
+
+_STATS_FUNCTIONS: list[tuple[str, list[str], list[str]]] = [
+    ("date_functions_suite",
+     ["order_year", "order_quarter", "n_orders", "first_month_end",
+      "max_day_of_year", "max_days_since_1995"], []),
+    ("event_type_share", ["event_type", "n", "is_heavy"], ["share"]),
+    ("grouped_bool_aggregates",
+     ["o_orderpriority", "all_over_1k", "any_finished", "n_open",
+      "n_large"], []),
+    ("median_and_spread",
+     ["c_mktsegment", "n_customers"],
+     ["median_bal", "mean_bal", "sd_bal"]),
+    ("mode_per_segment",
+     ["c_mktsegment", "modal_nation", "n_customers"], []),
+    ("part_name_fuzzy_pairs", ["name_a", "name_b", "edit_distance"], []),
+    ("pivot_api_segment_status", ["c_mktsegment", "F", "O", "P"], []),
+    ("ranking_distribution_suite",
+     ["c_mktsegment", "c_custkey", "acctbal_quartile"],
+     ["pct_rank", "cume_distribution"]),
+    ("regexp_functions_suite",
+     ["c_custkey", "extracted_id", "name_dezeroed", "n_name_parts",
+      "has_triple_zero"], []),
+    ("salted_group_count", ["key", "count"], []),
+    ("stat_moments_suite",
+     ["l_returnflag", "n_rows"],
+     ["qty_price_corr", "qty_price_covar", "qty_price_covar_pop",
+      "qty_var", "qty_var_pop", "qty_sd"]),
+    ("string_agg_brands", ["p_type", "brands", "n_brands"], []),
+    ("unpivot_part_metrics", ["p_partkey", "metric"], ["value"]),
+    ("window_frame_suite",
+     ["c_custkey", "c_mktsegment", "balance_quartile"],
+     ["balance_pct_rank", "second_lowest_bal", "max_bal"]),
+    ("zorder_cell_stats", ["zcell", "n_rows"], ["sum_qty"]),
+]
+
+_QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
+    ("cms_heavy_hitters", ["user_id", "event_count"], []),
+    ("dq_constraint_report",
+     ["table_name", "check_name", "n_rows", "n_violations"],
+     ["violation_rate"]),
+    ("dq_coverage_gaps", ["relation", "n_parents", "n_childless"], []),
+    ("dq_referential_orphans",
+     ["relation", "n_child_rows", "n_orphan_keys", "n_orphan_rows"], []),
+    ("event_type_user_overlap",
+     ["type_a", "type_b", "n_both", "n_a", "n_b"], ["user_jaccard"]),
+    ("histogram_quantile_estimate", [], ["q", "quantile_checked"]),
+    ("multimodal_frame_sample",
+     ["asset_id", "n_frames", "last_frame_ms"], []),
+    ("multimodal_resize_stats",
+     ["media_type", "n_assets", "total_resized_bytes"],
+     ["avg_scale_x", "avg_scale_y"]),
+    ("sequence_packing_stats",
+     ["lang", "shard", "pack_id", "n_docs", "pack_tokens"], []),
+    ("stratified_sample_stats", ["lang", "n_docs", "total_chars"], []),
+    ("weighted_bernoulli_sample",
+     ["lang", "n_kept", "n_total", "kept_chars"], []),
+]
+
+
+@register("tpch_digest", oracle=_digest_sql(_TPCH))
+def tpch_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the TPC-H query-shape sweep (Q4-Q22 analogs,
+    queries/tpch_shapes.py + queries/relational_ext.py) plus the core
+    scan/sort/null-guard/interval-join rows into one checked digest row
+    per query."""
+    return _digest_df(spark, sf_dir, _TPCH)
+
+
+@register("cdc_timeseries_digest", oracle=_digest_sql(_CDC_TIMESERIES))
+def cdc_timeseries_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the time-series completion surface (gap fill, forward fill,
+    rolling windows, full-outer day alignment, regression trends,
+    queries/timeseries.py)."""
+    return _digest_df(spark, sf_dir, _CDC_TIMESERIES)
+
+
+@register("text_extended_digest", oracle=_digest_sql(_TEXT_EXTENDED))
+def text_extended_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the extended text-pipeline surface (BM25, entropy, PII,
+    chunking, language-ID, BPE counts, winnow fingerprints, mixture
+    planning, queries/text.py)."""
+    return _digest_df(spark, sf_dir, _TEXT_EXTENDED)
+
+
+@register("dedup_similarity_digest", oracle=_digest_sql(_DEDUP_SIMILARITY))
+def dedup_similarity_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the dedup + embedding-similarity surface (exact dedup,
+    token-Jaccard, simhash, verified minhash, quantization, brute-force /
+    IVF top-k, and the exact all-pairs oracle twins — the twins stay
+    bench-banned (bench.py) but are correctness-checkable at the
+    driver's sf0.01)."""
+    return _digest_df(spark, sf_dir, _DEDUP_SIMILARITY)
+
+
+@register("stats_functions_digest", oracle=_digest_sql(_STATS_FUNCTIONS))
+def stats_functions_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the statistics / function-surface suites (moments, ranking,
+    window frames, regexp, date functions, mode, fuzzy pairs, z-order
+    cells, pivot/unpivot, salted grouping)."""
+    return _digest_df(spark, sf_dir, _STATS_FUNCTIONS)
+
+
+@register("quality_sampling_digest", oracle=_digest_sql(_QUALITY_SAMPLING))
+def quality_sampling_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds data-quality constraints/orphans/coverage, sampling
+    (weighted Bernoulli, stratified), user-overlap, sequence packing,
+    multimodal resize/frame plumbing, and the CMS / histogram-quantile
+    sketch probes."""
+    return _digest_df(spark, sf_dir, _QUALITY_SAMPLING)
+
+
+_STREAMING: list[tuple[str, list[str], list[str]]] = [
+    ("streaming_pii_scrub",
+     ["lang", "n_docs", "total_emails", "total_urls", "total_phones"], []),
+    ("streaming_window_rollup",
+     ["window_start", "window_end", "query_count", "total_exec_ms",
+      "max_exec_ms", "total_input_bytes"], []),
+]
+
+
+@register("streaming_digest", oracle=_digest_sql(_STREAMING))
+def streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the two deterministic, fully-oracled streaming queries (the
+    stateless PII scrub and the complete-mode tumbling-day rollup, both
+    real availableNow Structured Streaming drains — queries/streaming_q
+    .py) so the streaming layer has a driver-checked row. The remaining
+    streaming rows stay rows-only by design (watermark/update-mode
+    output depends on micro-batch slicing)."""
+    return _digest_df(spark, sf_dir, _STREAMING)
