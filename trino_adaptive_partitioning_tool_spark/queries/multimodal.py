@@ -137,3 +137,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
     )
+
+
+@register(
+    "multimodal_real_decode_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      SELECT asset_id, w, h,
+        -- pixel bytes cycle through the 16 md5 digest bytes; the P6
+        -- header is 11 bytes (single-digit dims by construction)
+        list_avg(list_transform(range(1, w * h * 3 + 1),
+          j -> CAST(('0x' || substr(hx, CAST((j - 1) % 16 AS INT) * 2 + 1,
+                                    2)) AS INT))) AS mean_intensity,
+        11 + w * h * 3 AS payload_bytes
+      FROM a
+    )
+    SELECT COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes
+    FROM d
+    """,
+)
+def multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format decode path: valid binary PPM (P6) payloads
+    (synth_ppm_assets) parsed by the pure-python PixmapCodec
+    (is_real=True, require_codec enforced) through the same Arrow
+    mapInPandas stage as the stub pipeline. The oracle re-derives the
+    parsed dimensions and true pixel-mean from the md5-generated pixel
+    bytes, so the check certifies actual header parsing and pixel
+    arithmetic — not stub arithmetic."""
+    decoded = mm.decode_assets(
+        mm.synth_ppm_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("decoded_width").cast("bigint").alias("sum_width"),
+        F.sum("decoded_height").cast("bigint").alias("sum_height"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+    )
