@@ -26,7 +26,7 @@ day = sketching ONLY the delta partition and unioning ~KB-sized rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -244,15 +244,24 @@ def histogram_quantiles(
     sketch-sized data."""
     width = (hi - lo) / nbins
     total = hist.agg(F.sum("n").alias("total"))
-    # The merged sketch is <= nbins rows, so a single-partition ordered
-    # window IS the intended plan. partitionBy(lit(0)) executes
-    # identically (every row hashes to one partition) but keeps
-    # `WindowExec: No Partition Defined` out of the logs — that warning
-    # channel should stay reserved for windows that are single-partition
-    # by accident over real data, not by design over a sketch.
-    w = Window.partitionBy(F.lit(0)).orderBy("bucket")
-    cum = hist.withColumn("cum", F.sum("n").over(w)).crossJoin(
-        F.broadcast(total)
+    # Cumulative count via a broadcast self-join instead of an
+    # unpartitioned ordered window: on a <= nbins-row sketch the
+    # triangular join is trivially cheap, and it keeps the
+    # `WindowExec: No Partition Defined` warning channel clean — that
+    # warning should stay reserved for windows that are single-partition
+    # by accident over real data, not by design over a sketch. (A
+    # constant partitionBy key does not silence it: Catalyst folds the
+    # literal away and the partition spec is empty again at execution.)
+    prior = hist.select(
+        F.col("bucket").alias("prior_bucket"), F.col("n").alias("prior_n")
+    )
+    cum = (
+        hist.join(
+            F.broadcast(prior), F.col("prior_bucket") <= F.col("bucket")
+        )
+        .groupBy("bucket", "bin_lo", "n")
+        .agg(F.sum("prior_n").alias("cum"))
+        .crossJoin(F.broadcast(total))
     )
     out = None
     for q in qs:
