@@ -90,15 +90,22 @@ def run_analysis(
         percentiles=profile_percentiles,
     ).cache()
 
+    # usage and the composite scores are also dimension-sized (one row
+    # per column/signal) and sit under several consumers each (scoring,
+    # top-N, transforms, scripts): cache them for the same reason as the
+    # frames above — notably usage's DDL-mining mapInPandas leg would
+    # otherwise re-run per downstream reference.
     usage = scoring.weighted_column_usage(
         candidates.select("view", "column"), views, logs, mined_logs
-    )
-    col_perf = scoring.column_performance(logs, mined_logs)
+    ).cache()
+    col_perf = scoring.column_performance(logs, mined_logs).cache()
     tab_perf = scoring.table_performance(logs, mined_logs)
     resource = scoring.resource_scores(logs)
     classified = scoring.classify_queries(logs, mined_logs)
 
-    scored = scoring.partition_scores(candidates, usage, profiled, col_perf)
+    scored = scoring.partition_scores(
+        candidates, usage, profiled, col_perf
+    ).cache()
     top = scoring.top_candidates(scored)
     transformed = transforms.with_transforms(top)
     scripts = transforms.partition_scripts(transformed, views)

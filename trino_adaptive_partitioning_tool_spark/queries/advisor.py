@@ -531,7 +531,7 @@ def _scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("partition_scores_exact", oracle=_scored_sql())
+@register("partition_scores_exact", oracle=_scored_sql(), memo=True)
 def partition_scores_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 composite scores for every candidate, via the production
     pipeline (run_analysis with exact stats) — hash-checked."""
@@ -540,6 +540,7 @@ def partition_scores_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_partition_candidates",
+    memo=True,
     oracle=f"""
     WITH scored AS ({_scored_sql()})
     SELECT view_name, column_name, score, candidate_rank FROM (
@@ -630,6 +631,7 @@ def _all_transform_legs() -> str:
 
 @register(
     "partition_recommendations_exact",
+    memo=True,
     oracle=f"""
     WITH scored AS ({_scored_sql()}),
     top3 AS (
