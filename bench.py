@@ -133,6 +133,10 @@ def main() -> None:
     from trino_adaptive_partitioning_tool_spark.operators import transforms
     from trino_adaptive_partitioning_tool_spark.sources import tables as tsrc
 
+    # The layout demo must never cost the round's headline number: any
+    # failure here degrades to null metrics, not a non-zero exit.
+    layout_speedup = None
+    layout_partitions = None
     scratch = tempfile.mkdtemp(prefix="tapt_bench_layout_")
     try:
         events = tsrc.load_table(spark, sf_dir, "events")
@@ -181,6 +185,8 @@ def main() -> None:
             f"{layout_partitions['total']})",
             file=sys.stderr,
         )
+    except Exception as exc:  # pragma: no cover - resilience path
+        print(f"# applied_layout_speedup failed: {exc!r}", file=sys.stderr)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

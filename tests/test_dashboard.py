@@ -99,3 +99,16 @@ def test_write_dashboard_roundtrip(tmp_path, results):
     content = open(path).read()
     assert content.startswith("<!doctype html>")
     assert "prefers-color-scheme: dark" in content
+
+
+def test_tables_are_interactive(html_out):
+    """Each table view ships the client-side filter box and sortable
+    headers, and the vanilla-JS handlers are embedded (no external
+    deps) — the interactivity analog of the reference Streamlit
+    widgets."""
+    assert html_out.count("class='tblfilter'") >= 4
+    assert "onclick='tblSort(this)'" in html_out
+    assert "function tblSort" in html_out
+    assert "function tblFilter" in html_out
+    # still a single self-contained file: no external script/style refs
+    assert "src=" not in html_out.split("<body>")[0]

@@ -29,6 +29,41 @@ from pyspark.sql import functions as F
 # Validated default palette (light / dark): surface, text inks, and the
 # single sequential series hue. Dark mode is a selected palette step for
 # the dark surface, not an automatic flip.
+# Client-side table interactivity (filter + sort). Pure vanilla JS,
+# no network, no dependencies; numeric-aware sorting strips the
+# thousands separators _fmt adds.
+_JS = """
+function tblFilter(inp) {
+  var q = inp.value.toLowerCase();
+  var rows = inp.parentNode.querySelector('table').rows;
+  for (var i = 1; i < rows.length; i++) {
+    rows[i].style.display =
+      rows[i].textContent.toLowerCase().indexOf(q) >= 0 ? '' : 'none';
+  }
+}
+function tblSort(th) {
+  var table = th.closest('table');
+  var idx = Array.prototype.indexOf.call(th.parentNode.children, th);
+  var asc = th.dataset.asc !== '1';
+  Array.prototype.forEach.call(
+    th.parentNode.children, function (h) { delete h.dataset.asc; });
+  th.dataset.asc = asc ? '1' : '0';
+  var rows = Array.prototype.slice.call(table.rows, 1);
+  var num = rows.every(function (r) {
+    var t = r.cells[idx].textContent.replace(/,/g, '').trim();
+    return t === '' || !isNaN(t);
+  });
+  rows.sort(function (a, b) {
+    var x = a.cells[idx].textContent.replace(/,/g, '').trim();
+    var y = b.cells[idx].textContent.replace(/,/g, '').trim();
+    var c = num ? (parseFloat(x) || 0) - (parseFloat(y) || 0)
+                : x.localeCompare(y);
+    return asc ? c : -c;
+  });
+  rows.forEach(function (r) { table.appendChild(r); });
+}
+"""
+
 _CSS = """
 :root {
   color-scheme: light;
@@ -61,6 +96,12 @@ th { text-align: left; color: var(--text-secondary); font-weight: 600; }
 th, td { padding: 4px 10px 4px 0; border-bottom: 1px solid var(--border);
   font-size: 13px; }
 td.num { text-align: right; font-variant-numeric: tabular-nums; }
+th { cursor: pointer; user-select: none; }
+th[data-asc='1']::after { content: ' \\2191'; }
+th[data-asc='0']::after { content: ' \\2193'; }
+.tblfilter { margin-top: 10px; padding: 4px 8px; font: inherit;
+  color: var(--text-primary); background: var(--surface-1);
+  border: 1px solid var(--border); border-radius: 6px; width: 220px; }
 svg text { fill: var(--text-primary); font: 12px system-ui, sans-serif; }
 svg text.lab { fill: var(--text-secondary); }
 svg .bar { fill: var(--series-1); }
@@ -161,9 +202,16 @@ def _vbar_chart(
 
 
 def _table(rows: list[dict[str, Any]], columns: list[str]) -> str:
+    """Interactive table view: a client-side filter box plus
+    click-to-sort headers (vanilla JS in _JS, no dependencies) — the
+    self-contained answer to the reference Streamlit pages' table
+    widgets (src/ui/app.py:62-471)."""
     if not rows:
         return "<p class='note'>(empty)</p>"
-    head = "".join(f"<th>{_esc(c)}</th>" for c in columns)
+    head = "".join(
+        f"<th onclick='tblSort(this)' title='click to sort'>{_esc(c)}</th>"
+        for c in columns
+    )
     body = []
     for r in rows:
         cells = []
@@ -172,7 +220,12 @@ def _table(rows: list[dict[str, Any]], columns: list[str]) -> str:
             klass = " class='num'" if isinstance(v, (int, float)) else ""
             cells.append(f"<td{klass}>{_esc(_fmt(v))}</td>")
         body.append("<tr>" + "".join(cells) + "</tr>")
-    return f"<table><tr>{head}</tr>{''.join(body)}</table>"
+    return (
+        "<div class='tblwrap'>"
+        "<input class='tblfilter' type='search' placeholder='Filter rows…'"
+        " oninput='tblFilter(this)'>"
+        f"<table><tr>{head}</tr>{''.join(body)}</table></div>"
+    )
 
 
 def _tiles(metrics: list[tuple[str, Any]]) -> str:
@@ -343,7 +396,7 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
         "<title>Adaptive partitioning dashboard</title>"
         f"<style>{_CSS}</style></head><body>"
         + "".join(sections)
-        + "</body></html>"
+        + f"<script>{_JS}</script></body></html>"
     )
 
 
