@@ -75,14 +75,18 @@ def test_codec_seam_drop_in_same_schema_and_rows(spark):
         ), stage.__name__
 
 
-def test_extract_features_unit_norm_and_dim(spark):
+def test_extract_features_integer_counts_and_dim(spark):
+    # raw integer bin counts (not normalized): exactly representable in
+    # float32, so downstream cosine is SQL-replayable; counts sum to the
+    # payload byte length
     assets = mm.synth_assets(spark, n=32)
     feats = mm.extract_features(assets, dim=64).collect()
     assert len(feats) == 32
     for r in feats:
         v = r["feature"]
         assert len(v) == 64
-        assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+        assert all(float(x).is_integer() for x in v)
+        assert sum(v) == 128  # synth payload = 8 x 16 digest bytes
 
 
 def test_features_flow_into_similarity_ops(spark):

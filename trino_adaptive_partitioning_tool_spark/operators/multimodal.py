@@ -422,16 +422,22 @@ def extract_features(assets: DataFrame, dim: int = 64) -> DataFrame:
     """STUB feature extractor producing a deterministic `array<float>`
     embedding per asset (byte-histogram projection) — the output column is
     directly consumable by operators/similarity.py. Real plumbing, fake
-    features."""
+    features.
+
+    The features are RAW bin counts (integer-valued, exactly
+    representable in float32): cosine similarity is scale-invariant, so
+    normalization adds nothing downstream — and skipping it keeps every
+    dot product / norm an exact integer sum, which is what lets a SQL
+    oracle replay the similarity search bit-for-bit
+    (queries/multimodal.multimodal_feature_search)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
-                norm = np.linalg.norm(hist)
-                feats.append((hist / norm if norm else hist).astype(np.float32))
+                hist = np.bincount(arr % dim, minlength=dim)
+                feats.append(hist.astype(np.float32))
                 ids.append(int(aid))
             yield pd.DataFrame({"asset_id": ids, "feature": feats})
 

@@ -5,12 +5,12 @@ deterministic stub (no image/audio libraries in this environment), but
 that determinism buys a REAL check: the stub derives everything from
 md5/sha256 of the payload, so DuckDB can replay the whole decode →
 rollup pipeline in SQL and hash-compare it against the Arrow-batched
-mapInPandas path. Three of the four queries are therefore
-oracle-checked end-to-end — the Python worker plumbing (binary columns,
-batch shapes, UDTF frame explosion) is verified, not just smoke-run.
-multimodal_feature_search stays rows-only: its features are float32
-numpy vectors, and DuckDB has no float32 arithmetic to replay them
-bit-for-bit.
+mapInPandas path. Every query here is oracle-checked end-to-end — the
+Python worker plumbing (binary columns, batch shapes, UDTF frame
+explosion) is verified, not just smoke-run. multimodal_feature_search
+earns its oracle by keeping features integer-valued (raw bin counts):
+every dot product and norm is an exact integer sum, so DuckDB
+reproduces the float64 cosines bit-for-bit.
 """
 
 from __future__ import annotations
@@ -68,11 +68,53 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_search")
+@register(
+    "multimodal_feature_search",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id, md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 128) t(asset_id)
+    ), b AS (
+      SELECT asset_id,
+             list_transform(range(1, 17),
+               i -> CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2))
+                         AS INT)) AS db
+      FROM a
+    ), f AS (
+      -- payload = digest repeated 8x, so the 64-bin byte histogram is
+      -- 8x the histogram of the 16 digest bytes; integer-valued
+      -- features make every dot product / norm an exact integer sum
+      SELECT asset_id,
+             list_transform(range(0, 64),
+               bin -> 8 * len(list_filter(db, x -> x % 64 = bin))) AS feat
+      FROM b
+    ), scored AS (
+      SELECT q.asset_id AS query_id, c.asset_id AS vec_id,
+        ROUND(
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.feat[i] * c.feat[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.feat, x -> CAST(x*x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.feat, x -> CAST(x*x AS DOUBLE))))),
+        6) AS cosine
+      FROM f q JOIN f c ON q.asset_id < 4
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) r WHERE rank <= 5
+    """,
+)
 def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub feature extraction feeding the real cosine top-k operator.
-    rows-only: the byte-histogram features are float32 numpy vectors
-    (no DuckDB float32 arithmetic to replay)."""
+
+    Fully oracle-checked (r2-r3 carried this rows-only): the byte-
+    histogram features are raw integer bin counts, so every dot product
+    and norm is an exact integer sum — DuckDB recomputes the identical
+    cosines from the md5-derived payload bytes and the rankings match
+    bit-for-bit (ties broken by vec_id on both sides)."""
     feats = (
         mm.extract_features(mm.synth_assets(spark, n=128), dim=64)
         .withColumnRenamed("feature", "embedding")

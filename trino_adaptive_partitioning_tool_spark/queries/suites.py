@@ -367,6 +367,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("event_type_user_overlap",
      ["type_a", "type_b", "n_both", "n_a", "n_b"], ["user_jaccard"]),
     ("histogram_quantile_estimate", [], ["q", "quantile_checked"]),
+    ("multimodal_feature_search",
+     ["query_id", "vec_id", "rank"], ["cosine"]),
     ("multimodal_frame_sample",
      ["asset_id", "n_frames", "last_frame_ms"], []),
     ("multimodal_real_decode_stats",
