@@ -180,6 +180,8 @@ def cms_partials(
     array per input row (not one groupBy leg per row — that plan scans
     the table depth times), and counts combine map-side before the
     exchange."""
+    from .dedup import ensure_parallelism
+
     rows = F.array(
         *[
             F.struct(
@@ -189,8 +191,11 @@ def cms_partials(
             for i in range(depth)
         ]
     )
+    # depth x md5 per row is CPU-bound; spread it when the scan itself
+    # can't (single-row-group files read as one task) — no-op on
+    # well-split inputs
     return (
-        df.where(key.isNotNull())
+        ensure_parallelism(df.where(key.isNotNull()))
         .select(partition_expr.alias("part"), F.explode(rows).alias("rb"))
         .groupBy("part", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
