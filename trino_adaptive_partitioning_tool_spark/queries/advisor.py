@@ -923,6 +923,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "histogram_quantile_estimate",
+    memo=True,
     oracle="""
     SELECT 0.5 AS q, ROUND(quantile_cont(value, 0.5), 6) AS quantile_checked
     FROM events WHERE value IS NOT NULL

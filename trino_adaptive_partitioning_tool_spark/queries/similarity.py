@@ -139,7 +139,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.cosine_topk(emb, queries, k=_K)
 
 
-@register("similarity_lsh_topk", oracle=_lsh_topk_oracle())
+@register("similarity_lsh_topk", oracle=_lsh_topk_oracle(), memo=True)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets (the
     100 TB scale path: candidates come from bucket joins, not full

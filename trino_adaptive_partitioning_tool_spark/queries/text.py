@@ -373,6 +373,7 @@ def _ngram_hash_cte(k: int) -> str:
 
 @register(
     "decontamination_ngram_overlap",
+    memo=True,
     oracle=f"""
     WITH {_ngram_hash_cte(_DECON_N)},
     train AS (SELECT * FROM e WHERE doc_id % {_DECON_MOD} != 0),
@@ -632,7 +633,7 @@ def _containment_oracle(
     """
 
 
-@register("winnow_containment_pairs", oracle=_containment_oracle())
+@register("winnow_containment_pairs", oracle=_containment_oracle(), memo=True)
 def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document containment report from winnowing fingerprints
     (operators/text.winnow_containment): which documents share sampled
