@@ -262,3 +262,31 @@ def test_flagship_shuffle_ceilings(spark, name):
         f"{name}: {n} exchanges > ceiling {_SHUFFLE_CEILINGS[name]} — "
         "plan regressed (lost broadcast / extra shuffle?)"
     )
+
+
+def test_star_cc_rounds_survive_no_broadcast_regime(spark):
+    """The large-star/small-star connected-components path (the 100 TB
+    branch of the size-adaptive dispatch — operators/graph.py) must keep
+    its per-round joins as shuffle joins under threshold=-1 and converge
+    to the same labeling as the single-task union-find path."""
+    import random
+
+    from trino_adaptive_partitioning_tool_spark.operators import graph
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = _canon_rows(graph.connected_components(df))
+    with _confs(spark, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        # force the distributed star path
+        labels = graph.connected_components(df, single_task_threshold=0)
+        # the iterative rounds checkpoint eagerly, so plan inspection of
+        # the per-round operators happens inside _large_star/_small_star;
+        # assert the ROUND building blocks plan as shuffle joins
+        e = df.selectExpr("src", "dst")
+        round_df = graph._small_star(graph._large_star(e)).distinct()
+        plan = inspect.physical_plan(round_df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = _canon_rows(labels)
+    assert got == want
