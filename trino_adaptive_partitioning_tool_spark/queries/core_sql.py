@@ -30,14 +30,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _shared_sql(name: str, sql: str) -> None:
     """Register a dialect-neutral SQL query: Spark executes the same text
-    DuckDB does (tables pre-registered as temp views on the Spark side)."""
+    DuckDB does (tables pre-registered as temp views on the Spark side).
+
+    memo=True is safe despite the session-global temp views: spark.sql
+    analyzes eagerly, so the memoized DataFrame's plan holds the RESOLVED
+    parquet relations for its own (session, sf_dir) key — later view
+    re-registrations for another sf_dir cannot re-bind it. Skipping the
+    per-call re-register + re-parse saves ~0.1-0.3s of driver time per
+    query."""
 
     def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
         tables.register_tables(spark, sf_dir)
         return spark.sql(_sql)
 
     fn.__name__ = name
-    register(name, oracle=sql)(fn)
+    register(name, oracle=sql, memo=True)(fn)
 
 
 # ---------------------------------------------------------------------------
