@@ -61,12 +61,31 @@ def streaming_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
-@register("streaming_interactive_share")
+@register(
+    "streaming_interactive_share",
+    oracle=f"""
+    WITH {fixtures.query_logs_values_cte()}
+    SELECT
+      CAST(date_trunc('day', create_time) AS TIMESTAMP) AS window_start,
+      (COALESCE(execution_time_ms < 10000, FALSE)
+       OR upper(query) LIKE '%LIMIT%') AS is_interactive,
+      COUNT(*) AS query_count
+    FROM query_logs
+    WHERE create_time IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY window_start, is_interactive
+    """,
+)
 def streaming_interactive_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interactive-vs-batch share per window, executed as a stream."""
+    """Interactive-vs-batch share per window, executed as a stream.
+
+    Same determinism argument as streaming_window_rollup (complete-mode
+    availableNow drain of a static fixture, UTC day windows), so it
+    carries a full DuckDB oracle replaying the reference's 10s/LIMIT
+    classification heuristic per day window."""
     return _drain(
         spark, lambda s: qls.interactive_share_stream(s, "1 day", "2 days")
-    )
+    ).orderBy("window_start", "is_interactive")
 
 
 @register("streaming_stateful_user_totals")
@@ -217,12 +236,27 @@ def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.merge_sketch_stats(spark.read.parquet(stats_path), keys)
 
 
-@register("streaming_static_enrichment")
+@register(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment, event_type
+    """,
+)
 def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: the event stream joined to the
     static customer dimension, rolled up per (segment, event_type) in
-    complete mode. rows-only check; stream==batch equivalence is
-    asserted in tests/test_streaming.py."""
+    complete mode. The complete-mode availableNow drain of a static file
+    feed is deterministic, so the join+rollup carries a full DuckDB
+    oracle over the same events/customer tables (stream == SQL, not
+    just stream == batch; tests/test_streaming.py keeps the
+    stream==batch assertion)."""
     import uuid as _uuid
 
     from ..sources import tables
@@ -235,7 +269,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_enr_{_uuid.uuid4().hex[:8]}"
     return qls.run_available_now(
         sj.enriched_segment_rollup(stream, customer), name, f"{tmp}/ckpt"
-    )
+    ).orderBy("c_mktsegment", "event_type")
 
 
 @register(

@@ -438,8 +438,12 @@ def quality_sampling_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAMING: list[tuple[str, list[str], list[str]]] = [
+    ("streaming_interactive_share",
+     ["window_start", "is_interactive", "query_count"], []),
     ("streaming_pii_scrub",
      ["lang", "n_docs", "total_emails", "total_urls", "total_phones"], []),
+    ("streaming_static_enrichment",
+     ["c_mktsegment", "event_type", "n_events"], ["total_value"]),
     ("streaming_window_rollup",
      ["window_start", "window_end", "query_count", "total_exec_ms",
       "max_exec_ms", "total_input_bytes"], []),
@@ -448,10 +452,12 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
 
 @register("streaming_digest", oracle=_digest_sql(_STREAMING))
 def streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Folds the two deterministic, fully-oracled streaming queries (the
-    stateless PII scrub and the complete-mode tumbling-day rollup, both
-    real availableNow Structured Streaming drains — queries/streaming_q
-    .py) so the streaming layer has a driver-checked row. The remaining
-    streaming rows stay rows-only by design (watermark/update-mode
-    output depends on micro-batch slicing)."""
+    """Folds the four deterministic, fully-oracled streaming queries —
+    the stateless PII scrub, the complete-mode tumbling-day rollup, the
+    interactive-share classification windows, and the stream-static
+    broadcast enrichment, all real availableNow Structured Streaming
+    drains (queries/streaming_q.py) — so the streaming layer has a
+    driver-checked row. The remaining streaming rows stay rows-only by
+    design (watermark/update-mode output depends on micro-batch
+    slicing)."""
     return _digest_df(spark, sf_dir, _STREAMING)
