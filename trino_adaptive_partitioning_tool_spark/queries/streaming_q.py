@@ -140,11 +140,52 @@ def _events_json_dir(spark: SparkSession, sf_dir: str, dupes: bool = False) -> s
     return tmp
 
 
-@register("streaming_sessionize")
+@register(
+    "streaming_sessionize",
+    oracle="""
+    WITH e AS (
+      -- the file feed serializes timestamps as JSON with millisecond
+      -- precision (truncation), so the oracle replays that truncation
+      SELECT user_id, date_trunc('milliseconds', ts) AS ts, value
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    -- append mode only emits sessions the final watermark (= max event
+    -- time at 0s delay) has passed; sessions still open at end-of-feed
+    -- stay in state — the oracle replays that cutoff
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+           <= (SELECT MAX(date_trunc('milliseconds', ts)) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation executed as a watermarked stream
     (append mode) — the streaming twin of the batch sessionize_events
-    query. rows-only check; stream==batch equivalence is asserted in
+    query. An availableNow drain emits every closed session exactly
+    once, so the output is deterministic and the gaps-and-islands SQL
+    twin (session end = last event + gap) is a full oracle; the
+    stream==batch equivalence remains asserted in
     tests/test_streaming.py."""
     import uuid as _uuid
 

@@ -442,6 +442,9 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
      ["window_start", "is_interactive", "query_count"], []),
     ("streaming_pii_scrub",
      ["lang", "n_docs", "total_emails", "total_urls", "total_phones"], []),
+    ("streaming_sessionize",
+     ["user_id", "session_start", "session_end", "n_events"],
+     ["session_value"]),
     ("streaming_static_enrichment",
      ["c_mktsegment", "event_type", "n_events"], ["total_value"]),
     ("streaming_window_rollup",
@@ -452,12 +455,14 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
 
 @register("streaming_digest", oracle=_digest_sql(_STREAMING))
 def streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Folds the four deterministic, fully-oracled streaming queries —
+    """Folds the five deterministic, fully-oracled streaming queries —
     the stateless PII scrub, the complete-mode tumbling-day rollup, the
-    interactive-share classification windows, and the stream-static
-    broadcast enrichment, all real availableNow Structured Streaming
-    drains (queries/streaming_q.py) — so the streaming layer has a
-    driver-checked row. The remaining streaming rows stay rows-only by
-    design (watermark/update-mode output depends on micro-batch
-    slicing)."""
+    interactive-share classification windows, the stream-static
+    broadcast enrichment, and the append-mode session windows (oracle
+    replays the JSON ms-truncation and the final-watermark cutoff), all
+    real availableNow Structured Streaming drains
+    (queries/streaming_q.py) — so the streaming layer has driver-checked
+    rows. The remaining streaming rows stay rows-only by design
+    (update-mode state, watermark dedup, stream-stream join, foreachBatch
+    sink outputs depend on micro-batch slicing)."""
     return _digest_df(spark, sf_dir, _STREAMING)
