@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "decontamination_ngram_overlap",
     "corpus_top_tokens",
     "bm25_search_topk",
+    "corpus_filter_funnel",
     "dedup_cluster_rollup",
     "sequence_packing_stats",
     "corpus_mixture_plan",

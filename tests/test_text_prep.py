@@ -120,3 +120,26 @@ def test_chunk_reconstruction_property(spark):
             ordered = [ch for _, ch in sorted(chunks_by_doc[i])]
             rebuilt = ordered[0] + "".join(ch[o:] for ch in ordered[1:])
             assert rebuilt == text, (text, c, o, ordered)
+
+
+def test_corpus_filter_funnel_monotone_and_complete(spark):
+    """The preprocessing funnel must enumerate every stage in order with
+    non-increasing document and token counts (each stage filters the
+    previous stage's survivors)."""
+    from trino_adaptive_partitioning_tool_spark.queries import registry
+
+    from conftest import SMOKE_SF_DIR
+
+    rows = (
+        registry.queries()["corpus_filter_funnel"](spark, SMOKE_SF_DIR)
+        .collect()
+    )
+    assert [r["stage"] for r in rows] == [
+        "input", "lang_consistent", "quality", "repetition",
+        "exact_dedup", "near_dedup",
+    ]
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] > 0 and docs[-1] > 0

@@ -21,9 +21,13 @@ _TOKS = (
 )
 
 
-def _minhash_sig_ctes(k: int = ops.DEFAULT_SHINGLE_K) -> str:
+def _minhash_sig_ctes(
+    k: int = ops.DEFAULT_SHINGLE_K, source: str = "documents"
+) -> str:
     """CTEs tok→sh→e→sig replaying minhash_signatures in DuckDB:
-    k-token shingle strings, md5_60 each, 64 MIN(xor(h, C_i)) aggregates."""
+    k-token shingle strings, md5_60 each, 64 MIN(xor(h, C_i)) aggregates.
+    `source` lets pipeline oracles (corpus_filter_funnel) run the sketch
+    over a filtered CTE instead of the base table."""
     h = ops.md5_60_sql
     consts = ops._xor_family_constants(ops.DEFAULT_NUM_HASHES)
     mins = ",\n        ".join(
@@ -32,7 +36,7 @@ def _minhash_sig_ctes(k: int = ops.DEFAULT_SHINGLE_K) -> str:
     shingle = h(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
     whole = h("array_to_string(toks, ' ')")
     return f"""
-    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
     sh AS (
       SELECT doc_id,
         CASE WHEN len(toks) >= {k}

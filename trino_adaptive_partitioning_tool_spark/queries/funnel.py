@@ -1,0 +1,206 @@
+"""Corpus preprocessing funnel: the end-to-end training-data filter
+pipeline as ONE query.
+
+Real LLM corpus preparation is a SEQUENCE of filters — language check,
+quality score, repetition cut, exact dedup, near-dedup — and what
+matters operationally is the ATTRITION at each stage (how many documents
+and tokens survive). This query composes the engine's own operators
+(language_id, quality_scores, repetition_stats, keep-canonical,
+MinHash-LSH → exact-Jaccard verify → connected components) into that
+funnel and reports one row per stage:
+
+    (stage_idx, stage, n_docs, n_tokens)
+
+The oracle nests the REGISTERED sub-oracles verbatim (language, quality,
+repetition — each already hash-green), chains the same filters in SQL,
+replays the minhash sketch over the filtered CTE (the `source` parameter
+of the sig CTEs), and closes near-dup clusters with a recursive CTE — so
+one digest row certifies the whole pipeline composition, not just its
+parts.
+
+Scale shape: every stage is a filter or equi-join keyed on doc_id/text
+(shuffle-safe); pair generation runs over stage-4 SURVIVORS only (the
+standard pipeline order — dedup last, on the already-shrunk corpus), and
+clustering goes through the size-adaptive connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dops
+from ..operators import graph
+from ..operators import text as tops
+from ..operators.dedup import tokens_expr
+from ..sources import tables
+from . import dedup as qdedup
+from . import text as qtext
+from .registry import register
+
+QUALITY_MIN = 37.0
+REPETITION_MAX = 0.08
+JACCARD_MIN = 0.7
+
+_STAGES = (
+    "input",
+    "lang_consistent",
+    "quality",
+    "repetition",
+    "exact_dedup",
+    "near_dedup",
+)
+
+
+def _funnel_oracle() -> str:
+    # nest the REGISTERED sub-oracles verbatim (qtext is imported above,
+    # so they are in the registry by the time this builder runs)
+    from . import registry as _registry
+
+    lang_sql = _registry._ORACLES["text_language_id"]
+    quality_sql = _registry._ORACLES["text_quality_scores"]
+    rep_sql = _registry._ORACLES["text_repetition_stats"]
+    toks = qtext._TOKS
+    sig_ctes = qdedup._minhash_sig_ctes(source="s4")
+    banded = qdedup._minhash_banded_cte()
+    jac = (
+        "ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)"
+    )
+    stage_legs = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" COUNT(*) AS n_docs,"
+        f" CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens"
+        f" FROM {src}"
+        for i, (name, src) in enumerate(
+            zip(_STAGES, ["base", "s1", "s2", "s3", "s4", "s5"])
+        )
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang, text, len({toks}) AS n_tokens FROM documents
+    ),
+    langp AS (SELECT doc_id, predicted_lang FROM ({lang_sql}) q),
+    quals AS (SELECT doc_id, quality_score FROM ({quality_sql}) q),
+    reps AS (SELECT doc_id, dup_bigram_ratio FROM ({rep_sql}) q),
+    s1 AS (
+      SELECT b.* FROM base b JOIN langp l USING (doc_id)
+      WHERE l.predicted_lang = b.lang
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1 JOIN quals USING (doc_id)
+      WHERE quality_score >= {QUALITY_MIN}
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 LEFT JOIN reps USING (doc_id)
+      WHERE COALESCE(dup_bigram_ratio, 0.0) <= {REPETITION_MAX}
+    ),
+    s4 AS (
+      SELECT s3.* FROM s3
+      JOIN (SELECT text, MIN(doc_id) AS mn FROM s3 GROUP BY text) c
+        ON s3.text = c.text AND s3.doc_id = c.mn
+    ),
+    {sig_ctes},
+    {banded},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    dtok AS (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
+    verified AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN dtok ta ON ta.doc_id = c.id_a
+      JOIN dtok tb ON tb.doc_id = c.id_b
+      WHERE {jac} >= {JACCARD_MIN}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, MIN(root) AS rep FROM reach GROUP BY node),
+    s5 AS (
+      SELECT s4.* FROM s4
+      LEFT JOIN labels ON s4.doc_id = labels.node
+      WHERE labels.node IS NULL OR labels.rep = s4.doc_id
+    )
+    SELECT * FROM (
+    {stage_legs}
+    ) funnel ORDER BY stage_idx
+    """
+
+
+@register("corpus_filter_funnel", oracle=_funnel_oracle(), memo=True)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage document/token attrition of the full preprocessing
+    funnel (see module docstring). Composes only already-verified
+    operators; the oracle replays the identical chain in SQL, including
+    the minhash sketch over survivors and a recursive-CTE closure for
+    the near-dup clusters."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "text",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+    )
+    langp = tops.language_id(docs).select("doc_id", "predicted_lang")
+    quals = tops.quality_scores(docs).select("doc_id", "quality_score")
+    reps = tops.repetition_stats(docs).select("doc_id", "dup_bigram_ratio")
+
+    s1 = base.join(langp, "doc_id").where(
+        F.col("predicted_lang") == F.col("lang")
+    ).drop("predicted_lang")
+    s2 = s1.join(quals, "doc_id").where(
+        F.col("quality_score") >= QUALITY_MIN
+    ).drop("quality_score")
+    s3 = s2.join(reps, "doc_id", "left").where(
+        F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
+    ).drop("dup_bigram_ratio")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    s4 = (
+        s3.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        # referenced by pair generation (two join sides via the sketch),
+        # the near-dup anti-join and two stage aggregates — cache one
+        # materialization (plan-matched; memo makes it consistent)
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    cands = dops.minhash_lsh_pairs(
+        s4.select("doc_id", "text"), jaccard_threshold=0.0
+    ).select("id_a", "id_b")
+    verified = dops.token_jaccard_pairs(
+        s4.select("doc_id", "text"), cands, threshold=JACCARD_MIN
+    ).select("id_a", "id_b")
+    comp = graph.connected_components(verified, "id_a", "id_b")
+    non_reps = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    s5 = s4.join(non_reps, "doc_id", "left_anti")
+
+    out: DataFrame | None = None
+    for i, (name, df) in enumerate(zip(_STAGES, [base, s1, s2, s3, s4, s5])):
+        leg = df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    assert out is not None
+    return out.orderBy("stage_idx")

@@ -61,6 +61,7 @@ def _load_all() -> None:
         core_sql,
         core_sql2,
         dedup,
+        funnel,
         multimodal,
         quality,
         relational_ext,

@@ -45,6 +45,7 @@ from . import (  # noqa: F401
     core_sql,
     core_sql2,
     dedup,
+    funnel,
     multimodal,
     quality,
     relational_ext,
@@ -272,6 +273,8 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
 
 _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
+    ("corpus_filter_funnel",
+     ["stage_idx", "stage", "n_docs", "n_tokens"], []),
     ("corpus_mixture_plan",
      ["lang", "source", "n_docs", "total_tokens", "budget_tokens"],
      ["mean_diversity", "mixture_share"]),
