@@ -157,23 +157,37 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     quals = tops.quality_scores(docs).select("doc_id", "quality_score")
     reps = tops.repetition_stats(docs).select("doc_id", "dup_bigram_ratio")
 
-    s1 = base.join(langp, "doc_id").where(
-        F.col("predicted_lang") == F.col("lang")
-    ).drop("predicted_lang")
-    s2 = s1.join(quals, "doc_id").where(
-        F.col("quality_score") >= QUALITY_MIN
-    ).drop("quality_score")
-    s3 = s2.join(reps, "doc_id", "left").where(
-        F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
-    ).drop("dup_bigram_ratio")
+    # ONE annotated pass instead of six sequential sub-DataFrames: each
+    # per-stage predicate becomes a boolean column, sequential survival
+    # is the prefix-AND, and the funnel counts come from conditional
+    # sums over a single aggregate — six stage legs re-executing the
+    # whole filter chain (6x corpus scans and ~100 plan exchanges at
+    # scale) collapse into one.
+    lang_ok = F.col("predicted_lang") == F.col("lang")
+    qual_ok = F.col("quality_score") >= QUALITY_MIN
+    rep_ok = F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
+    ann = (
+        base.join(langp, "doc_id")
+        .join(quals, "doc_id")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id", "text", "n_tokens",
+            lang_ok.alias("lang_ok"),
+            (lang_ok & qual_ok).alias("s2_ok"),
+            (lang_ok & qual_ok & rep_ok).alias("s3_ok"),
+        )
+    )
+    # exact dedup among stage-3 survivors: canonical = lowest doc_id per
+    # text (rank-1 window over the survivor partition)
     w = Window.partitionBy("text").orderBy("doc_id")
     s4 = (
-        s3.withColumn("rn", F.row_number().over(w))
+        ann.where("s3_ok")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
-        # referenced by pair generation (two join sides via the sketch),
-        # the near-dup anti-join and two stage aggregates — cache one
-        # materialization (plan-matched; memo makes it consistent)
+        # referenced by pair generation, the near-dup flag join and the
+        # final aggregate — cache one materialization (memo keeps the
+        # plan, so the cache is hit on every call)
         .persist(StorageLevel.MEMORY_ONLY)
     )
     cands = dops.minhash_lsh_pairs(
@@ -184,23 +198,37 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     comp = graph.connected_components(verified, "id_a", "id_b")
     non_reps = comp.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_dup")
     )
-    s5 = s4.join(non_reps, "doc_id", "left_anti")
-
-    out: DataFrame | None = None
-    for i, (name, df) in enumerate(zip(_STAGES, [base, s1, s2, s3, s4, s5])):
-        leg = df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0))
-            .cast("bigint")
-            .alias("n_tokens"),
-        ).select(
-            F.lit(i).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
+    flagged = (
+        s4.join(F.broadcast(non_reps), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit(True).alias("s4_ok"),
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("s5_ok"),
         )
-        out = leg if out is None else out.unionByName(leg)
-    assert out is not None
-    return out.orderBy("stage_idx")
+    )
+    final = ann.join(flagged, "doc_id", "left").select(
+        "n_tokens", "lang_ok", "s2_ok", "s3_ok",
+        F.coalesce(F.col("s4_ok"), F.lit(False)).alias("s4_ok"),
+        F.coalesce(F.col("s5_ok"), F.lit(False)).alias("s5_ok"),
+    )
+    flags = [F.lit(True), F.col("lang_ok"), F.col("s2_ok"),
+             F.col("s3_ok"), F.col("s4_ok"), F.col("s5_ok")]
+    aggs = []
+    for i, flag in enumerate(flags):
+        aggs.append(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias(f"n{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(flag, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    one = final.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', n{i}, t{i}" for i, name in enumerate(_STAGES)
+    )
+    return one.selectExpr(
+        f"stack(6, {stack_args}) AS (stage_idx, stage, n_docs, n_tokens)"
+    ).orderBy("stage_idx")
