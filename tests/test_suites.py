@@ -87,3 +87,74 @@ def test_folded_row_counts_fit_exact_hash_sum(duck):
         sql = registry.oracle_sql()[name]
         n = duck.sql(f"SELECT COUNT(*) FROM ({sql}) q").fetchone()[0]
         assert n < 120_000, (name, n)
+
+
+def test_digest_detects_value_and_count_mutations(duck):
+    """The digest reduction must CATCH corruption, not just pass when
+    things agree: perturbing one exact value, one double value (at the
+    4th decimal), or dropping one row in a folded query's SQL must
+    change the digest row. Runs entirely on the DuckDB side (the Spark
+    twin applies the identical reduction)."""
+    import re
+
+    base = registry.oracle_sql()["relational_ops_digest"]
+
+    def digest_of(sql):
+        return tuple(map(tuple, duck.sql(sql).fetchall()))
+
+    want = digest_of(base)
+
+    # (a) exact-column mutation: shift every customer key in one folded
+    # query (semi_join_suppliers keeps s_suppkey; mutate via +0 -> +1)
+    mutated = base.replace(
+        "SELECT '{n}' AS op".format(n="semi_join_suppliers"),
+        "SELECT 'semi_join_suppliers' AS op",
+    )
+    assert digest_of(mutated) == want  # no-op rewrite sanity
+
+    # inject a value shift inside the semi_join_suppliers subquery by
+    # wrapping its digest input: +1 on the hashed key column
+    pat = "FROM (" 
+    idx = base.find("'semi_join_suppliers'")
+    sub_start = base.find(pat, idx)
+    assert sub_start > 0
+    val_mutant = (
+        base[: sub_start + len(pat)]
+        + "SELECT s_suppkey + 1 AS s_suppkey, s_name FROM ("
+        + base[sub_start + len(pat):].replace(
+            ") AS digest_sub", ") inner_q ) AS digest_sub", 1
+        )
+    )
+    got = digest_of(val_mutant)
+    assert got != want, "exact-value mutation not detected"
+    # only the mutated op's row changes
+    diff = [a[0] for a, b in zip(got, want) if a != b]
+    assert diff == ["semi_join_suppliers"]
+
+    # (b) row-drop mutation on the same query
+    drop_mutant = (
+        base[: sub_start + len(pat)]
+        + "SELECT * FROM ("
+        + base[sub_start + len(pat):].replace(
+            ") AS digest_sub",
+            ") inner_q WHERE s_suppkey <> (SELECT MIN(s_suppkey) FROM supplier) ) AS digest_sub",
+            1,
+        )
+    )
+    got = digest_of(drop_mutant)
+    assert got != want, "row-drop mutation not detected"
+
+    # (c) double-column mutation at the 4th decimal in a num_sum query
+    base_g = registry.oracle_sql()["grouping_analytics_digest"]
+    idx = base_g.find("'grouping_sets_agg'")
+    sub_start = base_g.find(pat, idx)
+    dbl_mutant = (
+        base_g[: sub_start + len(pat)]
+        + "SELECT returnflag, linestatus, revenue + 0.0001 AS revenue FROM ("
+        + base_g[sub_start + len(pat):].replace(
+            ") AS digest_sub", ") inner_q ) AS digest_sub", 1
+        )
+    )
+    want_g = digest_of(base_g)
+    got_g = digest_of(dbl_mutant)
+    assert got_g != want_g, "1e-4 double mutation not detected"
