@@ -344,7 +344,10 @@ def simhash_near_pairs(
     pigeonhole trick: split the 60 bits into `chunks` 15-bit chunks — any
     pair within max_hamming ≤ chunks-1 must agree on ≥1 chunk, so the join
     key is (chunk_idx, chunk_value), never all-pairs."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    # same signature-cache barrier as minhash_lsh_pairs: the map-only
+    # signature plan has no shuffle boundary, so without this BOTH join
+    # sides would re-run the tokenize→hash→60-vote aggregation
+    sigs = simhash_signatures(docs, id_col, text_col).cache()
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     chunk_structs = [
