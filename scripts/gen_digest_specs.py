@@ -1,7 +1,9 @@
-"""Generate (name, exact_cols, double_cols, ts_cols) digest specs for
-candidate queries by comparing the Spark result schema (lazy, no
-execution) with the DuckDB oracle schema (LIMIT 0). Helper for authoring
-queries/suites.py — run manually, paste output."""
+"""Generate (name, exact_cols, double_cols) digest specs for candidate
+queries by comparing the Spark result schema (lazy, no execution) with
+the DuckDB oracle schema (LIMIT 0). Timestamp columns go in exact_cols
+(digests VARCHAR-compare them — same convention as the hand-written
+_STREAMING specs). Helper for authoring queries/suites.py — run
+manually, paste output."""
 import os, sys
 import duckdb
 
@@ -24,17 +26,13 @@ for name in CANDIDATES:
     sfields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     rel = con.sql(f"SELECT * FROM ({ors[name]}) q LIMIT 0")
     dtypes = dict(zip(rel.columns, [str(t).upper() for t in rel.types]))
-    exact, dbl, ts = [], [], []
+    exact, dbl = [], []
     rows = con.sql(f"SELECT COUNT(*) FROM ({ors[name]}) q").fetchone()[0]
     for c in df.schema.fieldNames():  # preserve Spark column order
         st, dt = sfields[c], dtypes.get(c, "?")
-        if st in ("double", "float") or dt in FLOATY or dt.startswith("DECIMAL") != (st.startswith("decimal")):
-            if st.startswith("timestamp") or "TIMESTAMP" in dt:
-                ts.append(c)
-            else:
-                dbl.append(c)
-        elif st.startswith("timestamp") or "TIMESTAMP" in dt:
-            ts.append(c)
+        is_ts = st.startswith("timestamp") or "TIMESTAMP" in dt
+        if not is_ts and (st in ("double", "float") or dt in FLOATY or dt.startswith("DECIMAL") != st.startswith("decimal")):
+            dbl.append(c)
         else:
             exact.append(c)
-    print(f'    ("{name}", {exact!r}, {dbl!r}, {ts!r}),  # rows={rows} spark={ [ (c, sfields[c]) for c in sfields ] } duck={dtypes}')
+    print(f'    ("{name}", {exact!r}, {dbl!r}),  # rows={rows} spark={ [ (c, sfields[c]) for c in sfields ] } duck={dtypes}')

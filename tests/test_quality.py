@@ -63,6 +63,27 @@ def test_referential_orphans_counts_keys_and_rows(spark):
     assert row["n_orphan_rows"] == 3
 
 
+def test_referential_orphans_pathological_all_orphans(spark):
+    """A fully-orphaned child table: the orphan key set equals the whole
+    child key set, so the op must neither force-broadcast it (it is
+    corpus-sized here) nor miscount. The plan assertion pins the r5 fix:
+    no forced broadcast hint survives under threshold=-1."""
+    child = spark.createDataFrame([(i,) for i in range(500)], "fk int")
+    parent = spark.createDataFrame([(10_000,)], "pk int")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = quality.referential_orphans(child, "fk", parent, "pk", "c->p")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan.split("== Initial Plan ==")[0]
+        row = df.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert row["n_child_rows"] == 500
+    assert row["n_orphan_keys"] == 500
+    assert row["n_orphan_rows"] == 500
+
+
 def test_childless_parents(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk int")
     child = spark.createDataFrame([(1,), (1,), (3,)], "fk int")

@@ -278,6 +278,46 @@ def test_flagship_shuffle_ceilings(spark, name):
     )
 
 
+# r5: the two queries that used to force corpus-sized broadcasts (the
+# winnow KEEP-set and the funnel non-representative set). Under
+# threshold=-1 every BroadcastExchange left in the initial plan is an
+# EXPLICIT hint, so the budget below pins exactly which bounded frames
+# may still be hinted: winnow broadcasts only the STOP-fingerprint set
+# (ndocs > max_df — ubiquitous shingles, small by construction); the
+# funnel has no forced broadcasts left at all (AQE may still convert at
+# runtime when a side actually fits — that is the desired behavior and
+# is invisible to the initial plan inspected here).
+_BOUNDED_BROADCAST_BUDGET = {
+    # the single stop-set broadcast sits above the persist point, so both
+    # legs of the pair self-join print it once each (one is runtime-reused)
+    "winnow_containment_pairs": 2,
+    "corpus_filter_funnel": 0,
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(_BOUNDED_BROADCAST_BUDGET), ids=sorted(_BOUNDED_BROADCAST_BUDGET)
+)
+def test_no_unbounded_broadcasts_under_scale_regime(spark, name):
+    fn = _QUERIES[name]
+    want = _canon_rows(fn(spark, SMOKE_SF_DIR))
+    # the reference run above may persist intermediates whose CACHED
+    # plans (built under the default threshold) would be printed inside
+    # InMemoryTableScan subtrees and miscounted as forced broadcasts —
+    # drop them so the scale-regime plan is built from scratch
+    spark.catalog.clearCache()
+    with _confs(spark, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        df = fn(spark, SMOKE_SF_DIR)
+        plan = inspect.physical_plan(df)
+        n_bc = plan.count("BroadcastExchange")
+        assert n_bc <= _BOUNDED_BROADCAST_BUDGET[name], (
+            f"{name}: {n_bc} forced broadcasts under threshold=-1 — an "
+            "unbounded-cardinality frame is being broadcast (OOM at 100 TB)"
+        )
+        got = _canon_rows(df)
+    assert got == want, f"{name} changes results without broadcast joins"
+
+
 def test_star_cc_rounds_survive_no_broadcast_regime(spark):
     """The large-star/small-star connected-components path (the 100 TB
     branch of the size-adaptive dispatch — operators/graph.py) must keep

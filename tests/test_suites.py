@@ -81,8 +81,9 @@ def test_folded_row_counts_fit_exact_hash_sum(duck):
     """sum(36-bit hash x n_rows) must stay exactly representable in the
     final DOUBLE: n_rows * 2^36 < 2^53 needs n_rows < ~131k. Checked
     against the DuckDB oracle at the driver's correctness scale (cheap;
-    no Spark execution). Streaming specs are fixture-sized and excluded
-    (their oracles replay VALUES CTEs, trivially small)."""
+    no Spark execution). Streaming specs ARE included via _ALL_SPECS —
+    their oracles replay VALUES CTEs, trivially small, so iterating them
+    is harmless and keeps the loop uniform."""
     for name, _, _ in _ALL_SPECS:
         sql = registry.oracle_sql()[name]
         n = duck.sql(f"SELECT COUNT(*) FROM ({sql}) q").fetchone()[0]
@@ -95,22 +96,12 @@ def test_digest_detects_value_and_count_mutations(duck):
     4th decimal), or dropping one row in a folded query's SQL must
     change the digest row. Runs entirely on the DuckDB side (the Spark
     twin applies the identical reduction)."""
-    import re
-
     base = registry.oracle_sql()["relational_ops_digest"]
 
     def digest_of(sql):
         return tuple(map(tuple, duck.sql(sql).fetchall()))
 
     want = digest_of(base)
-
-    # (a) exact-column mutation: shift every customer key in one folded
-    # query (semi_join_suppliers keeps s_suppkey; mutate via +0 -> +1)
-    mutated = base.replace(
-        "SELECT '{n}' AS op".format(n="semi_join_suppliers"),
-        "SELECT 'semi_join_suppliers' AS op",
-    )
-    assert digest_of(mutated) == want  # no-op rewrite sanity
 
     # inject a value shift inside the semi_join_suppliers subquery by
     # wrapping its digest input: +1 on the hashed key column

@@ -80,7 +80,6 @@ def test_plan_cache_keyed_on_application_id(spark):
         fn(spark, "/x")
         assert calls["n"] == 1  # memoized within one session
         app_id = spark.sparkContext.applicationId
-        assert ("_cache_probe_test" in k and app_id in k for k in registry._PLAN_CACHE)
         key = (app_id, "/x", "_cache_probe_test")
         assert key in registry._PLAN_CACHE
         # a different applicationId (fresh context after stop()) misses

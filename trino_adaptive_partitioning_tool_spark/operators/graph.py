@@ -116,13 +116,19 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
 
 def _cc_star_rounds(e: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star rounds — the 100 TB path."""
+    source = e
     prev: tuple | None = None
-    for _ in range(max_iter):
+    converged = False
+    for rnd in range(max_iter):
         e = (
             _small_star(_large_star(e))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        if rnd == 0:
+            # round 1 is materialized (eager checkpoint), so the cached
+            # input edge set has no remaining live reference — release it
+            source.unpersist()
         # checksum over the just-materialized (in-memory) edges: edge
         # SETS are equal iff (count, order-independent hash sum) agree —
         # the fixed point of ls∘ss is a literal edge-set fixed point
@@ -138,8 +144,18 @@ def _cc_star_rounds(e: DataFrame, max_iter: int) -> DataFrame:
         ).first()
         cur = (row["n"], row["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # non-converged labels are silently WRONG (a node may still point
+        # at a non-root) — fail loudly rather than return them. 50 rounds
+        # covers ~2^50 nodes, so hitting this means a caller passed a
+        # pathological max_iter, not a real-data limit.
+        raise RuntimeError(
+            f"connected_components: star rounds did not converge within "
+            f"max_iter={max_iter}; raise max_iter"
+        )
     # at the fixed point every edge is (member, root) with the root never
     # appearing as a source; add the root's own row to label it too
     return e.select(

@@ -117,14 +117,16 @@ def referential_orphans(
     """(relation, n_child_rows, n_orphan_keys, n_orphan_rows).
 
     Anti-join on DISTINCT keys (shuffle is O(|keys|)), then the orphan
-    key set — tiny by construction — broadcasts back onto the child for
-    the row count; the child itself never shuffles."""
+    key set joins back onto the child for the row count. No forced
+    broadcast: "orphans are tiny" only holds for HEALTHY data — a fully
+    orphaned child table would broadcast its entire key set. AQE picks
+    broadcast at runtime when the orphan set actually fits."""
     child_keys = child.select(F.col(child_key).alias("k")).where(
         F.col("k").isNotNull()
     )
     parent_keys = parent.select(F.col(parent_key).alias("k")).distinct()
     orphan_keys = child_keys.distinct().join(parent_keys, "k", "left_anti")
-    orphan_rows = child_keys.join(F.broadcast(orphan_keys), "k", "left_semi")
+    orphan_rows = child_keys.join(orphan_keys, "k", "left_semi")
     return (
         orphan_keys.agg(F.count(F.lit(1)).alias("n_orphan_keys"))
         .crossJoin(child_keys.agg(F.count(F.lit(1)).alias("n_child_rows")))

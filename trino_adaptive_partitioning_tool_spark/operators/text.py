@@ -521,9 +521,13 @@ def winnow_containment(
 
     ex = ex.persist(StorageLevel.MEMORY_ONLY)
     docfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
-    ex = ex.join(
-        F.broadcast(docfreq.where(F.col("ndocs") <= max_df)), "h"
-    ).drop("ndocs")
+    # Subtract the STOP set (fingerprints in > max_df docs) with a
+    # broadcast anti-join. The stop set is small by construction (only
+    # ubiquitous shingles exceed the cut), whereas the keep set is
+    # corpus-sized — broadcasting the keep set would OOM the driver on a
+    # large corpus even though it is the same filter logically.
+    stop = docfreq.where(F.col("ndocs") > max_df).select("h")
+    ex = ex.join(F.broadcast(stop), "h", "left_anti")
     a = ex.select(
         F.col("h"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
     )

@@ -166,9 +166,13 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_ok = F.col("predicted_lang") == F.col("lang")
     qual_ok = F.col("quality_score") >= QUALITY_MIN
     rep_ok = F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
+    # All three annotators are left joins so stage 0 is unconditionally
+    # the full corpus (the stage predicates null-guard via the boolean
+    # columns: a null flag counts as not-surviving, never as dropped
+    # from the input row count).
     ann = (
-        base.join(langp, "doc_id")
-        .join(quals, "doc_id")
+        base.join(langp, "doc_id", "left")
+        .join(quals, "doc_id", "left")
         .join(reps, "doc_id", "left")
         .select(
             "doc_id", "text", "n_tokens",
@@ -200,8 +204,11 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     non_reps = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(True).alias("is_dup")
     )
+    # No broadcast hint: non_reps is proportional to the duplicate count
+    # (30-50 % of a web corpus), i.e. corpus-scale — let AQE broadcast
+    # only when it actually fits.
     flagged = (
-        s4.join(F.broadcast(non_reps), "doc_id", "left")
+        s4.join(non_reps, "doc_id", "left")
         .select(
             "doc_id",
             F.lit(True).alias("s4_ok"),
