@@ -88,12 +88,29 @@ def streaming_interactive_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "is_interactive")
 
 
-@register("streaming_stateful_user_totals")
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(COALESCE(value, 0.0)), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): cross-batch
     per-user running totals kept in managed executor state, drained with
-    an availableNow trigger. rows-only check; stream==batch equivalence
-    is asserted in tests/test_stateful_streaming.py."""
+    an availableNow trigger.
+
+    Full oracle (r5): the FINAL state per user is slicing-invariant — no
+    matter how the feed micro-batches, the last emitted (n_events,
+    total_value) per user equals the batch aggregate over all events —
+    and the rn=1 extraction below selects exactly that final row, so the
+    result is deterministic and SQL-expressible. stream==batch
+    equivalence per micro-batch stays asserted in
+    tests/test_stateful_streaming.py."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -202,12 +219,30 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_dedup_events")
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
     of a doubled (at-least-once) event feed, rolled up per event_type
-    batch-side after the drain. rows-only check; the deduped stream is
-    asserted equal to batch DISTINCT in tests/test_streaming.py."""
+    batch-side after the drain.
+
+    Full oracle (r5): event_id is unique in the fixture, so deduping the
+    doubled feed by event_id keeps exactly one copy of each original row
+    (both copies are byte-identical — first-arrival choice cannot
+    matter), making the rollup equal to the plain batch rollup over
+    `events` regardless of micro-batch slicing; the 4-file feed also
+    drains in a single availableNow batch (maxFilesPerTrigger=16), so no
+    duplicate pair ever straddles an evicted watermark. The deduped
+    stream == batch DISTINCT assertion stays in tests/test_streaming.py."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -231,10 +266,44 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_click_attribution")
+@register(
+    "streaming_click_attribution",
+    oracle="""
+    WITH e AS (
+      -- the JSON feed truncates timestamps to millisecond precision
+      SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+             user_id, event_type, value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM e WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts, value AS purchase_value
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(c.click_ts) AS click_us,
+           epoch_us(p.purchase_ts) AS purchase_us,
+           p.purchase_value
+    FROM c JOIN p ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a same-user
-    click within 1 hour, both sides watermarked (append mode)."""
+    click within 1 hour, both sides watermarked (append mode).
+
+    Full oracle (r5): the 4-file feed drains in ONE availableNow
+    micro-batch (maxFilesPerTrigger=16 > 4 files), so every click is in
+    state when every purchase probes and the inner interval join emits
+    exactly the batch join result — no cross-batch watermark eviction
+    can drop a match. The oracle replays the JSON feed's millisecond
+    timestamp truncation and the same interval predicate."""
     import tempfile as _tf
     import uuid as _uuid
 
@@ -256,16 +325,39 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_incremental_stats")
+@register(
+    "streaming_incremental_stats",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partitions,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)
+             AS exact_distinct_event_type,
+           TRUE AS user_id_gate_ok,
+           TRUE AS event_type_gate_ok
+    FROM events
+    """,
+)
 def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch-maintained sketch store: the event stream folds
     per-micro-batch HLL sketches into a persisted per-day stats table;
-    the returned rollup reads ONLY that table. rows-only check (sketch
-    binaries are engine-specific); streaming == batch-recompute equality
-    is asserted in tests/test_incremental_sink.py."""
+    the returned rollup reads ONLY that table.
+
+    Full oracle (r5): the deterministic parts of the store — partition
+    count and exact row count (a plain sum of per-batch counts, slicing
+    invariant) — are hash-checked directly; the HLL estimates, which no
+    other engine reproduces bit-for-bit, are certified through a ±2 %
+    gate against exact distinct counts (same contract as
+    approx_distinct_profile). HLL union is order-independent, so the
+    merged estimate itself is micro-batch-slicing invariant; streaming ==
+    batch-recompute equality stays asserted in
+    tests/test_incremental_sink.py."""
     import uuid as _uuid
 
+    from pyspark.sql import functions as F
+
     from ..operators import incremental
+    from ..sources import tables
     from ..streaming import incremental_sink as isink
     from ..streaming import stream_join as sj
 
@@ -274,7 +366,29 @@ def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_path = f"{tmp}/stats_{_uuid.uuid4().hex[:8]}"
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     isink.maintain_partition_stats(stream, stats_path, f"{tmp}/ckpt", keys)
-    return incremental.merge_sketch_stats(spark.read.parquet(stats_path), keys)
+    merged = incremental.merge_sketch_stats(
+        spark.read.parquet(stats_path), keys
+    )
+    exact = tables.load_table(spark, sf_dir, "events").agg(
+        *[
+            F.countDistinct(k).cast("long").alias(f"exact_distinct_{k}")
+            for k in keys
+        ]
+    )
+    gates = [
+        (
+            F.abs(F.col(f"approx_distinct_{k}") - F.col(f"exact_distinct_{k}"))
+            <= F.lit(0.02) * F.col(f"exact_distinct_{k}")
+        ).alias(f"{k}_gate_ok")
+        for k in keys
+    ]
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_partitions",
+        "n_rows",
+        "exact_distinct_user_id",
+        "exact_distinct_event_type",
+        *gates,
+    )
 
 
 @register(

@@ -441,6 +441,14 @@ def quality_sampling_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAMING: list[tuple[str, list[str], list[str]]] = [
+    ("streaming_click_attribution",
+     ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
+     ["purchase_value"]),
+    ("streaming_dedup_events", ["event_type", "n_events"], ["total_value"]),
+    ("streaming_incremental_stats",
+     ["n_partitions", "n_rows", "exact_distinct_user_id",
+      "exact_distinct_event_type", "user_id_gate_ok", "event_type_gate_ok"],
+     []),
     ("streaming_interactive_share",
      ["window_start", "is_interactive", "query_count"], []),
     ("streaming_pii_scrub",
@@ -448,6 +456,8 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
     ("streaming_sessionize",
      ["user_id", "session_start", "session_end", "n_events"],
      ["session_value"]),
+    ("streaming_stateful_user_totals",
+     ["user_id", "n_events"], ["total_value"]),
     ("streaming_static_enrichment",
      ["c_mktsegment", "event_type", "n_events"], ["total_value"]),
     ("streaming_window_rollup",
@@ -458,14 +468,15 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
 
 @register("streaming_digest", oracle=_digest_sql(_STREAMING))
 def streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Folds the five deterministic, fully-oracled streaming queries —
-    the stateless PII scrub, the complete-mode tumbling-day rollup, the
-    interactive-share classification windows, the stream-static
-    broadcast enrichment, and the append-mode session windows (oracle
-    replays the JSON ms-truncation and the final-watermark cutoff), all
-    real availableNow Structured Streaming drains
-    (queries/streaming_q.py) — so the streaming layer has driver-checked
-    rows. The remaining streaming rows stay rows-only by design
-    (update-mode state, watermark dedup, stream-stream join, foreachBatch
-    sink outputs depend on micro-batch slicing)."""
+    """Folds ALL nine streaming queries (r5 — previously five): the
+    stateless PII scrub, complete-mode tumbling-day rollup,
+    interactive-share windows, stream-static broadcast enrichment,
+    append-mode session windows, plus the four determinized in r5 — the
+    stream-stream interval join (single-batch drain), watermark dedup of
+    a doubled feed (unique-key fixture), the applyInPandasWithState
+    running totals (final-state extraction, slicing-invariant), and the
+    foreachBatch sketch store (exact fields hash-checked, HLL estimates
+    gated ±2 % vs exact). All are real availableNow Structured Streaming
+    drains (queries/streaming_q.py), so the entire streaming layer now
+    carries driver-checked rows."""
     return _digest_df(spark, sf_dir, _STREAMING)
