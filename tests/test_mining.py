@@ -315,3 +315,217 @@ def test_quoted_alias_spelling_keyword():
     )
     assert m["tables"] == ["t1"]
     assert dict(m["where_columns"]) == {"y": 1}
+
+
+# ---------------------------------------------------------------------------
+# Generative-grammar differential fuzz (r5): build SQL from a small
+# grammar TOGETHER with its ground-truth mining expectation, then assert
+# the miner reproduces it exactly — a differential check over the whole
+# grammar, not just invariants. Covers joins (ON / USING / comma / outer
+# variants), nested derived tables, predicate subqueries (IN / EXISTS),
+# scalar select-list subqueries, CTEs (forward references, shadowing
+# scope inheritance), set ops, window OVER clauses, GROUP/ORDER tails,
+# function calls, quoted identifiers (incl. keyword spellings), and
+# LIMIT. Identifier pools are disjoint by construction so alias/column
+# suppression can't produce ambiguous expectations.
+#
+# Default examples keep CI fast; the certification sweep is
+#   MINER_FUZZ_EXAMPLES=10000 python -m pytest tests/test_mining.py -k grammar
+# (green over 10^4 statements as of r5).
+# ---------------------------------------------------------------------------
+
+import os
+from collections import Counter
+
+_F_TABLES = ["tbl_alpha", "tbl_beta", "tbl_gamma", "tbl_delta", "tbl_eps"]
+_F_COLS = [
+    ("col_one", "col_one"),
+    ("col_two", "col_two"),
+    ("col_three", "col_three"),
+    ('"Quoted Col"', "quoted col"),
+    ('"select"', "select"),  # keyword spelled as a quoted identifier
+]
+_F_ALIASES = ["a1", "a2", "a3", "a4"]
+_F_CTES = ["cte_x", "cte_y"]
+_F_FUNCS = ["upper", "abs", "length"]
+
+
+def _fz_merge(dst, src):
+    dst["tables"] |= src["tables"]
+    dst["join"].update(src["join"])
+    dst["where"].update(src["where"])
+    dst["limit"] = dst["limit"] or src["limit"]
+
+
+@st.composite
+def _fz_column(draw):
+    tok, base = draw(st.sampled_from(_F_COLS))
+    if draw(st.booleans()):
+        tok = f"{draw(st.sampled_from(_F_ALIASES))}.{tok}"
+    return tok, base
+
+
+@st.composite
+def _fz_table_source(draw, depth, exp, ctes):
+    kinds = ["base", "base"]
+    if ctes:
+        kinds.append("cte")
+    if depth > 0:
+        kinds.append("derived")
+    kind = draw(st.sampled_from(kinds))
+    if kind == "base":
+        t = draw(st.sampled_from(_F_TABLES))
+        exp["tables"].add(t)
+        alias = draw(st.sampled_from(_F_ALIASES + [""]))
+        if alias:
+            return f"{t} AS {alias}" if draw(st.booleans()) else f"{t} {alias}"
+        return t
+    if kind == "cte":
+        c = draw(st.sampled_from(sorted(ctes)))
+        alias = draw(st.sampled_from(_F_ALIASES + [""]))
+        return f"{c} {alias}".strip()  # a CTE reference is never a scan
+    sub_sql, sub_exp = draw(_fz_query(depth - 1, ctes))
+    _fz_merge(exp, sub_exp)
+    return f"({sub_sql}) AS {draw(st.sampled_from(_F_ALIASES))}"
+
+
+@st.composite
+def _fz_predicate(draw, depth, exp, ctes):
+    kinds = ["cmp", "cmp", "func"]
+    if depth > 0:
+        kinds += ["in_sub", "exists"]
+    kind = draw(st.sampled_from(kinds))
+    if kind == "cmp":
+        tok, base = draw(_fz_column())
+        exp["where"][base] += 1
+        op = draw(st.sampled_from(["=", ">", "<", ">=", "<>", "!="]))
+        lit = draw(st.sampled_from(["5", "'x'", "'it''s'", "3.14", "'AND'"]))
+        return f"{tok} {op} {lit}"
+    if kind == "func":
+        tok, base = draw(_fz_column())
+        exp["where"][base] += 1
+        return f"{draw(st.sampled_from(_F_FUNCS))}({tok}) = 'v'"
+    if kind == "in_sub":
+        tok, base = draw(_fz_column())
+        exp["where"][base] += 1
+        sub_sql, sub_exp = draw(_fz_query(depth - 1, ctes))
+        _fz_merge(exp, sub_exp)
+        return f"{tok} IN ({sub_sql})"
+    sub_sql, sub_exp = draw(_fz_query(depth - 1, ctes))
+    _fz_merge(exp, sub_exp)
+    return f"EXISTS ({sub_sql})"
+
+
+@st.composite
+def _fz_query(draw, depth, ctes=frozenset(), allow_cte=True):
+    exp = {"tables": set(), "join": Counter(), "where": Counter(),
+           "limit": False}
+    ctes = frozenset(ctes)
+    prefix = ""
+    if depth > 0 and allow_cte and draw(st.booleans()):
+        names = draw(st.lists(st.sampled_from(_F_CTES), min_size=1,
+                              max_size=2, unique=True))
+        # the miner pre-scans ALL names before walking bodies, so every
+        # declared name is in scope for every body (incl. forward refs)
+        ctes = ctes | frozenset(names)
+        decls = []
+        for name in names:
+            body_sql, body_exp = draw(_fz_query(depth - 1, ctes))
+            _fz_merge(exp, body_exp)
+            decls.append(f"{name} AS ({body_sql})")
+        rec = "RECURSIVE " if draw(st.booleans()) else ""
+        prefix = f"WITH {rec}" + ", ".join(decls) + " "
+
+    sel_items = []
+    for _ in range(draw(st.integers(1, 2))):
+        kinds = ["col", "num", "win"] + (["scalar"] if depth > 0 else [])
+        kind = draw(st.sampled_from(kinds))
+        if kind == "col":
+            sel_items.append(draw(_fz_column())[0])
+        elif kind == "num":
+            sel_items.append("1")
+        elif kind == "win":
+            t1 = draw(_fz_column())[0]
+            t2 = draw(_fz_column())[0]
+            sel_items.append(
+                f"sum({t1}) OVER (PARTITION BY {t2} ORDER BY {t1} DESC)"
+            )
+        else:
+            sub_sql, sub_exp = draw(_fz_query(depth - 1, ctes))
+            _fz_merge(exp, sub_exp)
+            sel_items.append(f"({sub_sql}) AS {draw(st.sampled_from(_F_ALIASES))}")
+
+    srcs = [draw(_fz_table_source(depth, exp, ctes))
+            for _ in range(draw(st.integers(1, 2)))]
+    sql = prefix + "SELECT " + ", ".join(sel_items) + " FROM " + ", ".join(srcs)
+
+    for _ in range(draw(st.integers(0, 2))):
+        src = draw(_fz_table_source(depth, exp, ctes))
+        style = draw(st.sampled_from(["on", "on", "using", "cross"]))
+        if style == "on":
+            jt = draw(st.sampled_from(
+                ["JOIN", "INNER JOIN", "LEFT JOIN", "LEFT OUTER JOIN",
+                 "RIGHT JOIN", "FULL OUTER JOIN"]))
+            conds = []
+            for _ in range(draw(st.integers(1, 2))):
+                t1, b1 = draw(_fz_column())
+                t2, b2 = draw(_fz_column())
+                exp["join"][b1] += 1
+                exp["join"][b2] += 1
+                conds.append(f"{t1} = {t2}")
+            sql += f" {jt} {src} ON " + " AND ".join(conds)
+        elif style == "using":
+            cols = draw(st.lists(st.sampled_from(_F_COLS), min_size=1,
+                                 max_size=2, unique=True))
+            for _tok, b in cols:
+                exp["join"][b] += 1
+            sql += f" JOIN {src} USING (" + ", ".join(t for t, _ in cols) + ")"
+        else:
+            sql += f" CROSS JOIN {src}"
+
+    if draw(st.booleans()):
+        preds = [draw(_fz_predicate(depth, exp, ctes))
+                 for _ in range(draw(st.integers(1, 2)))]
+        body = draw(st.sampled_from([" AND ", " OR "])).join(preds)
+        if len(preds) > 1 and draw(st.booleans()):
+            body = f"({body})"
+        sql += " WHERE " + body
+    if draw(st.booleans()):
+        sql += f" GROUP BY {draw(_fz_column())[0]}"
+    if draw(st.booleans()):
+        sql += f" ORDER BY {draw(_fz_column())[0]} DESC"
+
+    if depth > 0 and draw(st.booleans()):
+        op = draw(st.sampled_from(
+            ["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]))
+        # rhs shares the lhs scope in the miner's linear walk, so no WITH
+        # prefix there (a mid-statement WITH is invalid SQL anyway)
+        rhs_sql, rhs_exp = draw(_fz_query(depth - 1, ctes, allow_cte=False))
+        _fz_merge(exp, rhs_exp)
+        sql += f" {op} {rhs_sql}"
+
+    if draw(st.booleans()):
+        sql += " LIMIT 10"
+        exp["limit"] = True
+    return sql, exp
+
+
+@given(qe=_fz_query(depth=2))
+@settings(max_examples=int(os.environ.get("MINER_FUZZ_EXAMPLES", "300")),
+          deadline=None)
+def test_miner_grammar_differential(qe):
+    sql, exp = qe
+    m = mining.mine_statement(sql)
+    assert m["parsed"], sql
+    assert set(m["tables"]) == exp["tables"], sql
+    # invariants: no CTE name or alias ever surfaces as a base table,
+    # no duplicate table entries, all counts strictly positive
+    assert not (set(m["tables"]) & (set(_F_CTES) | set(_F_ALIASES))), sql
+    assert len(m["tables"]) == len(set(m["tables"])), sql
+    assert dict(m["join_columns"]) == dict(exp["join"]), sql
+    assert dict(m["where_columns"]) == dict(exp["where"]), sql
+    assert m["has_limit"] == exp["limit"], sql
+    assert all(
+        c > 0
+        for c in (*m["join_columns"].values(), *m["where_columns"].values())
+    ), sql
