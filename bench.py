@@ -101,13 +101,17 @@ def main() -> None:
     # min over a few repetitions per query: one-shot numbers at this scale
     # are dominated by first-call plan compilation and machine-load noise;
     # the min is the stable estimate of steady-state query cost.
+    from trino_adaptive_partitioning_tool_spark.plans import inspect as pi
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     total = 0.0
     for name in HEADLINE_QUERIES:
         if name not in qs:
             continue
         best, n = float("inf"), 0
+        df = None
         for _ in range(reps):
             start = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -115,6 +119,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         total += best
+        # plan-shape manifest (outside the timed region): the scale
+        # argument as diffable data — exchanges, broadcasts, join
+        # strategies, scan-level filters
+        try:
+            plans[name] = pi.plan_manifest(df)
+        except Exception as exc:  # pragma: no cover - resilience path
+            plans[name] = {"error": repr(exc)}
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     # Applied-layout speedup: the advisor's end-to-end value, measured.
@@ -191,6 +202,163 @@ def main() -> None:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
+    # Row-group twin: the env's testdata parquet is single-row-group, so
+    # scan-bound queries are floored at 1 scan task no matter how many
+    # cores exist (TESTDATA.md / memory). Rewrite the three largest
+    # tables with ~32 row groups (pyarrow preserves the exact schema,
+    # incl. the ns timestamps load_table normalizes), symlink the rest,
+    # drop maxPartitionBytes so splits align with row groups, and re-run
+    # the scan-bound headline queries — proving the same plans
+    # parallelize when the data layout does, which is what 100 TB files
+    # (>=128 MB row groups, split by the default conf) look like.
+    twin_block = None
+    twin_scratch = tempfile.mkdtemp(prefix="tapt_bench_twin_")
+    try:
+        import pyarrow.parquet as pq
+
+        from trino_adaptive_partitioning_tool_spark.queries import registry as _reg
+
+        rewrite = ["lineitem", "orders", "events"]
+        twin_queries = [
+            "pricing_summary",
+            "shipping_priority",
+            "region_revenue",
+            "simple_predicate_revenue",
+            "event_hourly_rollup",
+        ]
+        row_groups: dict[str, int] = {}
+        for fn in os.listdir(sf_dir):
+            if not fn.endswith(".parquet"):
+                continue
+            src, dst = f"{sf_dir}/{fn}", f"{twin_scratch}/{fn}"
+            t = fn.removesuffix(".parquet")
+            if t in rewrite:
+                tbl = pq.read_table(src)
+                pq.write_table(
+                    tbl, dst, row_group_size=max(1, tbl.num_rows // 32)
+                )
+                row_groups[t] = pq.ParquetFile(dst).metadata.num_row_groups
+            else:
+                os.symlink(src, dst)
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+        _reg._PLAN_CACHE.clear()  # memoized plans are keyed per sf_dir, but
+        # the conf change must reach every twin plan
+        try:
+            twin_timings: dict[str, float] = {}
+            for name in twin_queries:
+                best = float("inf")
+                for _ in range(reps):
+                    start = time.perf_counter()
+                    qs[name](spark, twin_scratch).count()
+                    best = min(best, time.perf_counter() - start)
+                twin_timings[name] = round(best, 3)
+                base = timings.get(name)
+                speed = round(base / best, 2) if base else None
+                print(
+                    f"# twin {name}: {best:.3f}s "
+                    f"(vs {base}s single-row-group, {speed}x)",
+                    file=sys.stderr,
+                )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            _reg._PLAN_CACHE.clear()
+        twin_block = {
+            "row_groups": row_groups,
+            "queries": twin_timings,
+            "speedup": {
+                n: round(timings[n] / twin_timings[n], 2)
+                for n in twin_timings
+                if timings.get(n) and twin_timings[n] > 0
+            },
+        }
+
+        # Amplified scan-scaling probe: at 10 MB/table the headline twin
+        # speedups are capped by per-call fixed costs (plan build, job
+        # setup — tens of ms each), not the scan. Replicate lineitem to
+        # ~15 M rows and time the SAME aggregation against a 1-row-group
+        # vs a 32-row-group layout, fresh plan per rep (repeated actions
+        # on one DataFrame skip materialized shuffle stages and would
+        # fake the number). This isolates the property that carries to
+        # 100 TB: the scan parallelizes with the data layout.
+        import pyarrow as pa
+
+        lt = pq.read_table(f"{sf_dir}/lineitem.parquet")
+        mult = max(1, 15_000_000 // max(1, lt.num_rows))
+        big = pa.concat_tables([lt] * mult)
+        pq.write_table(
+            big, f"{twin_scratch}/amp_single.parquet",
+            row_group_size=big.num_rows,
+        )
+        pq.write_table(
+            big, f"{twin_scratch}/amp_multi.parquet",
+            row_group_size=max(1, big.num_rows // 32),
+        )
+
+        def _amp_run(path: str) -> None:
+            spark.read.parquet(path).groupBy(
+                "l_returnflag", "l_linestatus"
+            ).agg(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+
+        prev_nanos = spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", None
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            amp: dict[str, float] = {}
+            for label, path, mpb in [
+                ("single_rg_sec", f"{twin_scratch}/amp_single.parquet", None),
+                ("multi_rg_sec", f"{twin_scratch}/amp_multi.parquet",
+                 "8388608"),
+            ]:
+                if mpb:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+                _amp_run(path)  # JIT/footer warm-up, untimed
+                best = float("inf")
+                for _ in range(2):
+                    start = time.perf_counter()
+                    _amp_run(path)
+                    best = min(best, time.perf_counter() - start)
+                amp[label] = round(best, 3)
+                if mpb:
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", prev_mpb
+                    )
+        finally:
+            if prev_nanos is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", prev_nanos
+                )
+        amp_speed = (
+            round(amp["single_rg_sec"] / amp["multi_rg_sec"], 2)
+            if amp.get("multi_rg_sec")
+            else None
+        )
+        twin_block["scan_scaling"] = {
+            "rows": big.num_rows,
+            **amp,
+            "speedup": amp_speed,
+        }
+        print(
+            f"# scan_scaling: {big.num_rows} rows, single-rg "
+            f"{amp['single_rg_sec']}s vs 32-rg {amp['multi_rg_sec']}s "
+            f"= {amp_speed}x",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover - resilience path
+        print(f"# rowgroup twin failed: {exc!r}", file=sys.stderr)
+    finally:
+        shutil.rmtree(twin_scratch, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -198,8 +366,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "applied_layout_speedup": layout_speedup,
                 "applied_layout_partitions": layout_partitions,
+                "rowgroup_twin": twin_block,
                 "sf": sf,
             }
         )

@@ -99,6 +99,36 @@ def referenced_columns(df: DataFrame) -> dict[str, list[str]]:
     return {"filter_columns": sorted(filters), "join_columns": sorted(joins)}
 
 
+def plan_manifest(df: DataFrame) -> dict:
+    """Compact plan-shape summary for the bench JSON — the properties
+    that carry to 100 TB, as data rather than prose: exchange count,
+    broadcast count, join strategies, and how many predicates reached
+    the scan as pushed / partition filters. One plan-string pass."""
+    plan = physical_plan(df)
+    joins: dict[str, int] = {}
+    for j in re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    ):
+        joins[j] = joins.get(j, 0) + 1
+
+    def _bracket_count(label: str) -> int:
+        return sum(
+            len([s for s in m.group(1).split(",") if s.strip()])
+            for m in re.finditer(label + r": \[([^\]]*)\]", plan)
+        )
+
+    return {
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "joins": joins,
+        "pushed_filters": _bracket_count("PushedFilters"),
+        "partition_filters": _bracket_count("PartitionFilters"),
+    }
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """Partition-level predicates on file scans (static pruning from a
     key=value directory layout, plus `dynamicpruningexpression` entries
