@@ -101,6 +101,59 @@ def test_write_dashboard_roundtrip(tmp_path, results):
     assert "prefers-color-scheme: dark" in content
 
 
+def test_drilldown_renders_for_every_recommendation(results, html_out):
+    """Each recommended view gets an expandable detail (details/summary)
+    carrying its full ALTER script, candidate-column table, and the
+    complete row as embedded JSON — the offline answer to the reference
+    per-recommendation pages (src/ui/app.py:316-387)."""
+    recs = results["recommendations"].where(
+        F.size("partition_keys") > 0
+    ).collect()
+    assert recs, "fixture should produce at least one recommendation"
+    import re as _re
+
+    summaries = _re.findall(r"<summary>([^<]+)</summary>", html_out)
+    for r in recs:
+        assert any(r["view"] in s for s in summaries), r["view"]
+    # every drill-down embeds the ALTER script and parseable JSON
+    assert html_out.count("ALTER TABLE") >= len(recs)
+    assert html_out.count("<pre class='json'>") >= len(recs)
+
+
+def test_drilldown_renders_for_top_queries(results, html_out):
+    """Top-resource queries each get a detail block with the full SQL
+    text and the miner's extraction (src/ui/app.py:391-470)."""
+    import re as _re
+
+    top = (
+        results["resource_scores"]
+        .orderBy(F.desc("resource_score"), "query_id")
+        .limit(10)
+        .collect()
+    )
+    summaries = "".join(
+        _re.findall(r"<summary>([^<]+)</summary>", html_out)
+    )
+    for r in top:
+        assert r["query_id"] in summaries, r["query_id"]
+
+
+def test_drilldown_json_is_parseable(html_out):
+    """The embedded JSON payloads must round-trip: unescape and parse
+    every <pre class='json'> block."""
+    import html as _html
+    import json as _json
+    import re as _re
+
+    blocks = _re.findall(
+        r"<pre class='json'>(.*?)</pre>", html_out, _re.S
+    )
+    assert blocks
+    for b in blocks:
+        obj = _json.loads(_html.unescape(b))
+        assert isinstance(obj, dict) and obj
+
+
 def test_tables_are_interactive(html_out):
     """Each table view ships the client-side filter box and sortable
     headers, and the vanilla-JS handlers are embedded (no external

@@ -107,6 +107,14 @@ svg text.lab { fill: var(--text-secondary); }
 svg .bar { fill: var(--series-1); }
 svg .bar:hover { opacity: 0.8; }
 .note { color: var(--text-secondary); font-size: 12px; }
+h3 { font-size: 14px; margin-top: 24px; font-weight: 600; }
+details { background: var(--surface-2); border: 1px solid var(--border);
+  border-radius: 8px; margin-top: 8px; padding: 6px 12px; }
+details summary { cursor: pointer; font-weight: 600; font-size: 13px; }
+details pre { background: var(--surface-1); border: 1px solid var(--border);
+  border-radius: 6px; padding: 8px 10px; font-size: 12px;
+  overflow-x: auto; white-space: pre-wrap; }
+pre.json { color: var(--text-secondary); }
 """
 
 
@@ -228,6 +236,23 @@ def _table(rows: list[dict[str, Any]], columns: list[str]) -> str:
     )
 
 
+def _json_pre(obj: Any) -> str:
+    """Machine-readable twin of a drill-down: the full row as embedded
+    (escaped) JSON, so the detail view carries every field even when the
+    human-facing table selects a few."""
+    import json as _json
+
+    return (
+        "<pre class='json'>"
+        + html.escape(_json.dumps(obj, indent=1, sort_keys=True, default=str))
+        + "</pre>"
+    )
+
+
+def _details(summary: str, body: str) -> str:
+    return f"<details><summary>{summary}</summary>{body}</details>"
+
+
 def _tiles(metrics: list[tuple[str, Any]]) -> str:
     tiles = "".join(
         f"<div class='tile'><div class='v'>{_esc(_fmt(v))}</div>"
@@ -324,6 +349,45 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
         .collect()
     ]
 
+    # -- Per-recommendation drill-down (src/ui/app.py:316-387) --------
+    # One expandable detail per recommended view: the full ALTER script,
+    # the view's ranked candidate columns with every score dimension,
+    # and the complete recommendation row as embedded JSON.
+    rec_full = (
+        recs.where(F.size("partition_keys") > 0)
+        .orderBy(F.desc("total_score"), "view")
+        .collect()
+    )
+    cand_cols = [
+        "column", "rank", "score", "weighted_frequency", "distinct_count",
+        "granularity", "skew_ratio", "density", "col_execution_time_ms",
+    ]
+    by_view: dict[str, list[dict[str, Any]]] = {}
+    if rec_full:
+        for c in (
+            results["top_candidates"]
+            .where(F.col("view").isin([r["view"] for r in rec_full]))
+            .collect()
+        ):
+            by_view.setdefault(c["view"], []).append(c.asDict())
+    rec_details = []
+    for r in rec_full:
+        cands = sorted(
+            by_view.get(r["view"], []), key=lambda c: (c["rank"], c["column"])
+        )
+        rec_details.append(
+            _details(
+                f"{_esc(r['view'])} — {_esc(', '.join(r['transforms']))}"
+                f" (score {r['total_score']:.1f})",
+                f"<pre>{_esc(r['script'])}</pre>"
+                + _table(
+                    [{k: c.get(k) for k in cand_cols} for c in cands],
+                    cand_cols,
+                )
+                + _json_pre(r.asDict()),
+            )
+        )
+
     # -- Query analysis ----------------------------------------------
     hist = {
         int(r["bucket"]): int(r["n"])
@@ -356,6 +420,56 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
         .collect()
     }
 
+    # -- Per-query drill-down (src/ui/app.py:391-470) -----------------
+    # One expandable detail per top-resource query: the full SQL text,
+    # what the miner extracted from it (tables / join / where columns),
+    # and the resource + classification fields as embedded JSON.
+    top_q_full = (
+        resource.orderBy(F.desc("resource_score"), "query_id")
+        .limit(10)
+        .collect()
+    )
+    qids = [r["query_id"] for r in top_q_full]
+    mined_by_q: dict[str, list[dict[str, Any]]] = {}
+    cls_by_q: dict[str, Any] = {}
+    if qids:
+        for m in (
+            results["mined_logs"].where(F.col("query_id").isin(qids)).collect()
+        ):
+            mined_by_q.setdefault(m["query_id"], []).append(m.asDict())
+        cls_by_q = {
+            r["query_id"]: r
+            for r in classified.where(F.col("query_id").isin(qids)).collect()
+        }
+    q_details = []
+    for r in top_q_full:
+        c = cls_by_q.get(r["query_id"])
+        meta = {
+            "query_id": r["query_id"],
+            "resource_score": round(float(r["resource_score"]), 4),
+            "execution_time_ms": r["execution_time_ms"],
+            "cpu_time_ms": r["cpu_time_ms"],
+            "scheduled_time_ms": r["scheduled_time_ms"],
+            "input_bytes": r["input_bytes"],
+            "peak_memory_bytes": r["peak_memory_bytes"],
+            "has_limit": bool(c["has_limit"]) if c else None,
+            "is_interactive": bool(c["is_interactive"]) if c else None,
+            "partition_priority": c["partition_priority"] if c else None,
+        }
+        mined_rows = sorted(
+            mined_by_q.get(r["query_id"], []),
+            key=lambda m: (m["kind"], m["name"]),
+        )
+        q_details.append(
+            _details(
+                f"{_esc(r['query_id'])} (resource score "
+                f"{float(r['resource_score']):.2f})",
+                f"<pre>{_esc(r['query'])}</pre>"
+                + _table(mined_rows, ["kind", "name", "cnt"])
+                + _json_pre(meta),
+            )
+        )
+
     sections = [
         "<h1>Adaptive partitioning dashboard</h1>",
         "<p class='note'>Static render of the analysis result sets — the"
@@ -385,11 +499,15 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
         ),
         "<h2>Partition recommendations</h2>",
         _table(rec_rows, ["table", "partition spec", "score", "alter ddl"]),
+        "<h3>Per-recommendation drill-down</h3>",
+        "".join(rec_details) or "<p class='note'>(no recommendations)</p>",
         "<h2>Query analysis</h2>",
         _vbar_chart(
             hist_buckets, "Query resource-score distribution", "queries"
         ),
         _table(top_queries, ["query_id", "score", "exec ms"]),
+        "<h3>Per-query drill-down</h3>",
+        "".join(q_details) or "<p class='note'>(no queries)</p>",
     ]
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
