@@ -19,14 +19,38 @@ from ..streaming import query_log_stream as qls
 from .registry import register
 
 
+# Session-cached streaming feed directories: feed CONTENTS are a pure
+# function of (sf_dir, variant), and each streaming query runs several
+# times per session (digest fold + direct row + parity tests), so the
+# feed is written once per session. Checkpoint dirs are NEVER cached —
+# a reused checkpoint replays committed offsets and drains nothing.
+_FEED_CACHE: dict[tuple, str] = {}
+
+
+def _memo_feed(spark: SparkSession, variant: str, sf_dir: str, write) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    if key not in _FEED_CACHE:
+        tmp = tempfile.mkdtemp(prefix=f"tapt_feed_{variant}_")
+        write(tmp)
+        _FEED_CACHE[key] = tmp
+    return _FEED_CACHE[key]
+
+
+def _fresh_ckpt() -> str:
+    return tempfile.mkdtemp(prefix="tapt_ckpt_") + "/ckpt"
+
+
 def _drain(spark: SparkSession, build) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="tapt_stream_")
-    fixtures.query_logs_df(spark).coalesce(2).write.mode("overwrite").json(
-        f"{tmp}/logs"
+    tmp = _memo_feed(
+        spark, "logs", "fixture",
+        lambda d: fixtures.query_logs_df(spark)
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(f"{d}/logs"),
     )
     stream = qls.stream_query_logs(spark, f"{tmp}/logs")
     name = f"stream_q_{uuid.uuid4().hex[:8]}"
-    return qls.run_available_now(build(stream), name, f"{tmp}/ckpt")
+    return qls.run_available_now(build(stream), name, _fresh_ckpt())
 
 
 @register(
@@ -145,16 +169,19 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _events_json_dir(spark: SparkSession, sf_dir: str, dupes: bool = False) -> str:
-    """Write the events fixture out as JSON-lines files for a file-source
-    stream; with dupes=True each row appears twice (an at-least-once feed)."""
+    """Session-cached JSON-lines event feed for file-source streams; with
+    dupes=True each row appears twice (an at-least-once feed)."""
     from ..sources import tables
 
-    tmp = tempfile.mkdtemp(prefix="tapt_sessions_")
-    ev = tables.load_table(spark, sf_dir, "events")
-    if dupes:
-        ev = ev.unionAll(ev)
-    ev.coalesce(4).write.mode("overwrite").json(f"{tmp}/events")
-    return tmp
+    def _write(tmp: str) -> None:
+        ev = tables.load_table(spark, sf_dir, "events")
+        if dupes:
+            ev = ev.unionAll(ev)
+        ev.coalesce(4).write.mode("overwrite").json(f"{tmp}/events")
+
+    return _memo_feed(
+        spark, "events_dup" if dupes else "events", sf_dir, _write
+    )
 
 
 @register(
@@ -215,7 +242,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.run_append_available_now(
         ss.user_session_rollup(stream, "30 minutes", "0 seconds"),
         name,
-        f"{tmp}/ckpt",
+        _fresh_ckpt(),
     )
 
 
@@ -254,7 +281,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     name = f"stream_dd_{_uuid.uuid4().hex[:8]}"
     deduped = sj.run_append_available_now(
-        ss.dedup_events_stream(stream), name, f"{tmp}/ckpt"
+        ss.dedup_events_stream(stream), name, _fresh_ckpt()
     )
     return (
         deduped.groupBy("event_type")
@@ -304,24 +331,23 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the batch join result — no cross-batch watermark eviction
     can drop a match. The oracle replays the JSON feed's millisecond
     timestamp truncation and the same interval predicate."""
-    import tempfile as _tf
     import uuid as _uuid
 
     from ..sources import tables
     from ..streaming import stream_join as sj
 
-    tmp = _tf.mkdtemp(prefix="tapt_sjoin_")
-    (
-        tables.load_table(spark, sf_dir, "events")
+    tmp = _memo_feed(
+        spark, "clickpurchase", sf_dir,
+        lambda d: tables.load_table(spark, sf_dir, "events")
         .where("event_type IN ('click', 'purchase')")
         .coalesce(4)
         .write.mode("overwrite")
-        .json(f"{tmp}/events")
+        .json(f"{d}/events"),
     )
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     name = f"stream_j_{_uuid.uuid4().hex[:8]}"
     return sj.run_append_available_now(
-        sj.click_purchase_interval_join(stream), name, f"{tmp}/ckpt"
+        sj.click_purchase_interval_join(stream), name, _fresh_ckpt()
     )
 
 
@@ -365,7 +391,7 @@ def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _events_json_dir(spark, sf_dir)
     stats_path = f"{tmp}/stats_{_uuid.uuid4().hex[:8]}"
     stream = sj.stream_events_json(spark, f"{tmp}/events")
-    isink.maintain_partition_stats(stream, stats_path, f"{tmp}/ckpt", keys)
+    isink.maintain_partition_stats(stream, stats_path, _fresh_ckpt(), keys)
     merged = incremental.merge_sketch_stats(
         spark.read.parquet(stats_path), keys
     )
@@ -423,7 +449,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = tables.load_table(spark, sf_dir, "customer")
     name = f"stream_enr_{_uuid.uuid4().hex[:8]}"
     return qls.run_available_now(
-        sj.enriched_segment_rollup(stream, customer), name, f"{tmp}/ckpt"
+        sj.enriched_segment_rollup(stream, customer), name, _fresh_ckpt()
     ).orderBy("c_mktsegment", "event_type")
 
 
@@ -467,14 +493,14 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import tables
     from .text import _pii_suffix_col
 
-    tmp = tempfile.mkdtemp(prefix="tapt_pii_stream_")
-    docs = tables.load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.concat(F.col("text"), _pii_suffix_col()).alias("text"),
-    )
-    docs.coalesce(4).write.mode("overwrite").json(f"{tmp}/docs")
+    def _write(d: str) -> None:
+        tables.load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.concat(F.col("text"), _pii_suffix_col()).alias("text"),
+        ).coalesce(4).write.mode("overwrite").json(f"{d}/docs")
 
+    tmp = _memo_feed(spark, "piidocs", sf_dir, _write)
     stream = (
         spark.readStream.schema("doc_id long, lang string, text string")
         .json(f"{tmp}/docs")
@@ -491,7 +517,7 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", f"{tmp}/ckpt")
+        .option("checkpointLocation", _fresh_ckpt())
         .trigger(availableNow=True)
         .start()
     )
