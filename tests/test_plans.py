@@ -127,3 +127,30 @@ def test_bm25_constants_broadcast_not_collected(spark):
     assert plan.count("BroadcastExchange") >= 2
     assert pi.has_partial_aggregation(scored)
     assert "CartesianProduct" not in plan
+
+
+def test_plan_manifest_shape(spark):
+    """plan_manifest (bench 'plans' block) reports exchanges, broadcast
+    count, join strategies, and scan-level filter counts from one plan
+    pass."""
+    from trino_adaptive_partitioning_tool_spark.plans import inspect
+
+    from conftest import SMOKE_SF_DIR
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from pyspark.sql import functions as F
+
+    li = tables.load_table(spark, SMOKE_SF_DIR, "lineitem")
+    od = tables.load_table(spark, SMOKE_SF_DIR, "orders").where(
+        F.col("o_orderkey") < 100
+    )
+    df = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = inspect.plan_manifest(df)
+    assert m["exchanges"] >= 1
+    assert m["broadcasts"] >= 1
+    assert m["joins"].get("BroadcastHashJoin", 0) >= 1
+    assert m["pushed_filters"] >= 1  # o_orderkey < 100 reaches the scan
+    assert m["partition_filters"] == 0

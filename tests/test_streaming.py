@@ -195,3 +195,23 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     key = ["c_mktsegment", "event_type", "n_events", "total_value"]
     assert got.count() == batch.count()
     assert got.join(batch, key, "inner").count() == batch.count()
+
+
+def test_feed_cache_reuses_dir_and_never_checkpoints_inside(spark):
+    """Streaming feeds are written once per (appId, sf_dir, variant) and
+    the cached dir never accumulates a checkpoint (a reused checkpoint
+    would replay committed offsets and drain nothing)."""
+    import os
+
+    from conftest import SMOKE_SF_DIR
+    from trino_adaptive_partitioning_tool_spark.queries import streaming_q as sq
+
+    d1 = sq._events_json_dir(spark, SMOKE_SF_DIR)
+    d2 = sq._events_json_dir(spark, SMOKE_SF_DIR)
+    assert d1 == d2
+    dd = sq._events_json_dir(spark, SMOKE_SF_DIR, dupes=True)
+    assert dd != d1
+    assert os.path.isdir(f"{d1}/events")
+    assert not os.path.exists(f"{d1}/ckpt")
+    c1, c2 = sq._fresh_ckpt(), sq._fresh_ckpt()
+    assert c1 != c2
