@@ -327,11 +327,10 @@ def main() -> None:
                     _amp_run(path)
                     best = min(best, time.perf_counter() - start)
                 amp[label] = round(best, 3)
-                if mpb:
-                    spark.conf.set(
-                        "spark.sql.files.maxPartitionBytes", prev_mpb
-                    )
         finally:
+            # restore BOTH confs on every exit path — a throw mid-probe
+            # must not leave the session over-splitting at 8 MB
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
             if prev_nanos is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:

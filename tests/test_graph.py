@@ -86,3 +86,28 @@ def test_deep_chain_converges_in_log_rounds(spark):
 def test_duplicate_and_bidirectional_edges(spark):
     edges = [(1, 2), (2, 1), (1, 2), (3, 2), (5, 4), (4, 5)]
     _check(spark, edges)
+
+
+def test_star_rounds_converged_at_last_round_does_not_raise(spark):
+    """A graph already at its star fixed point must succeed even with
+    max_iter=1: convergence is observed one round after it happens, so
+    the confirming pass must not count against the budget."""
+    df = spark.createDataFrame([(2, 1), (3, 1), (4, 1)], ["src", "dst"])
+    labels = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(
+            df, max_iter=1, single_task_threshold=0
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_star_rounds_raise_on_exhausted_budget(spark):
+    """Genuinely non-converged labels must raise, not return silently
+    wrong (a deep chain cannot fold in zero productive rounds)."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=0, single_task_threshold=0)

@@ -279,18 +279,16 @@ def test_flagship_shuffle_ceilings(spark, name):
 
 
 # r5: the two queries that used to force corpus-sized broadcasts (the
-# winnow KEEP-set and the funnel non-representative set). Under
-# threshold=-1 every BroadcastExchange left in the initial plan is an
-# EXPLICIT hint, so the budget below pins exactly which bounded frames
-# may still be hinted: winnow broadcasts only the STOP-fingerprint set
-# (ndocs > max_df — ubiquitous shingles, small by construction); the
-# funnel has no forced broadcasts left at all (AQE may still convert at
-# runtime when a side actually fits — that is the desired behavior and
-# is invisible to the initial plan inspected here).
+# winnow keep/stop fingerprint sets and the funnel non-representative
+# set). Under threshold=-1 every BroadcastExchange left in the initial
+# plan is an EXPLICIT hint; neither query may force any — on dup-heavy
+# corpora even the winnow STOP set approaches the distinct-fingerprint
+# count, so every frame in these plans is potentially corpus-sized. AQE
+# may still convert to broadcast at runtime when a side actually fits —
+# that is the desired behavior and is invisible to the initial plan
+# inspected here.
 _BOUNDED_BROADCAST_BUDGET = {
-    # the single stop-set broadcast sits above the persist point, so both
-    # legs of the pair self-join print it once each (one is runtime-reused)
-    "winnow_containment_pairs": 2,
+    "winnow_containment_pairs": 0,
     "corpus_filter_funnel": 0,
 }
 

@@ -81,9 +81,11 @@ def test_folded_row_counts_fit_exact_hash_sum(duck):
     """sum(36-bit hash x n_rows) must stay exactly representable in the
     final DOUBLE: n_rows * 2^36 < 2^53 needs n_rows < ~131k. Checked
     against the DuckDB oracle at the driver's correctness scale (cheap;
-    no Spark execution). Streaming specs ARE included via _ALL_SPECS —
-    their oracles replay VALUES CTEs, trivially small, so iterating them
-    is harmless and keeps the loop uniform."""
+    no Spark execution). Streaming specs ARE included via _ALL_SPECS:
+    some replay fixture VALUES CTEs, others (r5: click attribution,
+    dedup, stateful totals) aggregate the real events table — all far
+    under the bound at the driver scale, and including them keeps the
+    gate honest if a future streaming oracle grows."""
     for name, _, _ in _ALL_SPECS:
         sql = registry.oracle_sql()[name]
         n = duck.sql(f"SELECT COUNT(*) FROM ({sql}) q").fetchone()[0]

@@ -119,7 +119,11 @@ def _cc_star_rounds(e: DataFrame, max_iter: int) -> DataFrame:
     source = e
     prev: tuple | None = None
     converged = False
-    for rnd in range(max_iter):
+    # max_iter bounds PRODUCTIVE rounds; convergence is only observable
+    # one round later (the checksum compares consecutive edge sets), so
+    # allow one extra confirming pass — a graph that reaches its fixed
+    # point exactly on round max_iter is correct and must not raise.
+    for rnd in range(max_iter + 1):
         e = (
             _small_star(_large_star(e))
             .distinct()

@@ -521,13 +521,15 @@ def winnow_containment(
 
     ex = ex.persist(StorageLevel.MEMORY_ONLY)
     docfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
-    # Subtract the STOP set (fingerprints in > max_df docs) with a
-    # broadcast anti-join. The stop set is small by construction (only
-    # ubiquitous shingles exceed the cut), whereas the keep set is
-    # corpus-sized — broadcasting the keep set would OOM the driver on a
-    # large corpus even though it is the same filter logically.
+    # Subtract the STOP set (fingerprints in > max_df docs) with an
+    # anti-join. No broadcast hint on either side: the keep set is
+    # corpus-sized by definition, and the stop set is only "small" on
+    # low-duplication corpora — on the dup-heavy corpora this operator
+    # targets (clusters of > max_df near-copies), it too approaches the
+    # full distinct-fingerprint count. AQE broadcasts at runtime when a
+    # side actually fits; neither is forced to the driver.
     stop = docfreq.where(F.col("ndocs") > max_df).select("h")
-    ex = ex.join(F.broadcast(stop), "h", "left_anti")
+    ex = ex.join(stop, "h", "left_anti")
     a = ex.select(
         F.col("h"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
     )

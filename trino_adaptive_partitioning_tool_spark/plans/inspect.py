@@ -45,13 +45,23 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
-    """Filter predicates that reached the parquet scan."""
-    plan = physical_plan(df)
+_JOIN_NODE_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+
+
+def _bracket_entries(plan: str, label: str) -> list[str]:
+    """All comma-separated entries of `label: [...]` nodes in a plan."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    for m in re.finditer(label + r": \[([^\]]*)\]", plan):
         out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
     return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates that reached the parquet scan."""
+    return _bracket_entries(physical_plan(df), "PushedFilters")
 
 
 def scan_read_schemas(df: DataFrame) -> list[str]:
@@ -61,11 +71,7 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 
 def join_strategies(df: DataFrame) -> list[str]:
     """Join operator names in the physical plan, outermost first."""
-    return re.findall(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-        r"BroadcastNestedLoopJoin|CartesianProduct)",
-        physical_plan(df),
-    )
+    return _JOIN_NODE_RE.findall(physical_plan(df))
 
 
 def codegen_span_count(df: DataFrame) -> int:
@@ -103,29 +109,20 @@ def plan_manifest(df: DataFrame) -> dict:
     """Compact plan-shape summary for the bench JSON — the properties
     that carry to 100 TB, as data rather than prose: exchange count,
     broadcast count, join strategies, and how many predicates reached
-    the scan as pushed / partition filters. One plan-string pass."""
+    the scan as pushed / partition filters. One plan-string pass,
+    reusing the same node patterns as the individual helpers above so
+    the bench block can never drift from the plan tests."""
     plan = physical_plan(df)
     joins: dict[str, int] = {}
-    for j in re.findall(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-        r"BroadcastNestedLoopJoin|CartesianProduct)",
-        plan,
-    ):
+    for j in _JOIN_NODE_RE.findall(plan):
         joins[j] = joins.get(j, 0) + 1
-
-    def _bracket_count(label: str) -> int:
-        return sum(
-            len([s for s in m.group(1).split(",") if s.strip()])
-            for m in re.finditer(label + r": \[([^\]]*)\]", plan)
-        )
-
     return {
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
         "broadcasts": plan.count("BroadcastExchange"),
         "joins": joins,
-        "pushed_filters": _bracket_count("PushedFilters"),
-        "partition_filters": _bracket_count("PartitionFilters"),
+        "pushed_filters": len(_bracket_entries(plan, "PushedFilters")),
+        "partition_filters": len(_bracket_entries(plan, "PartitionFilters")),
     }
 
 
@@ -133,8 +130,4 @@ def partition_filters(df: DataFrame) -> list[str]:
     """Partition-level predicates on file scans (static pruning from a
     key=value directory layout, plus `dynamicpruningexpression` entries
     injected by runtime DPP)."""
-    plan = physical_plan(df)
-    out: list[str] = []
-    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
-    return out
+    return _bracket_entries(physical_plan(df), "PartitionFilters")

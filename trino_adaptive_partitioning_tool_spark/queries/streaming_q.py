@@ -40,6 +40,26 @@ def _fresh_ckpt() -> str:
     return tempfile.mkdtemp(prefix="tapt_ckpt_") + "/ckpt"
 
 
+def _assert_single_batch(feed_subdir: str) -> None:
+    """The click-attribution and dedup oracles are deterministic only
+    when the whole feed drains in ONE availableNow micro-batch (see
+    stream_join.MAX_FILES_PER_TRIGGER). The feed writers coalesce(4),
+    so this holds with a wide margin — but the two constants live in
+    different modules, so pin the invariant where the feed is built."""
+    import os
+
+    from ..streaming.stream_join import MAX_FILES_PER_TRIGGER
+
+    n = len(
+        [f for f in os.listdir(feed_subdir) if f.endswith(".json")]
+    )
+    assert 0 < n <= MAX_FILES_PER_TRIGGER, (
+        f"feed {feed_subdir} has {n} files > maxFilesPerTrigger="
+        f"{MAX_FILES_PER_TRIGGER}: the availableNow drain would be "
+        "multi-batch and the single-batch streaming oracles unsound"
+    )
+
+
 def _drain(spark: SparkSession, build) -> DataFrame:
     tmp = _memo_feed(
         spark, "logs", "fixture",
@@ -278,6 +298,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import stream_join as sj
 
     tmp = _events_json_dir(spark, sf_dir, dupes=True)
+    _assert_single_batch(f"{tmp}/events")
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     name = f"stream_dd_{_uuid.uuid4().hex[:8]}"
     deduped = sj.run_append_available_now(
@@ -344,6 +365,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .json(f"{d}/events"),
     )
+    _assert_single_batch(f"{tmp}/events")
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     name = f"stream_j_{_uuid.uuid4().hex[:8]}"
     return sj.run_append_available_now(

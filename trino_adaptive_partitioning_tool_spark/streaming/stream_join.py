@@ -27,11 +27,20 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+# Per-trigger file budget for the JSON event feeds. Several oracled
+# queries (click attribution, dedup of a doubled feed) are deterministic
+# ONLY when the whole feed drains in a single availableNow micro-batch —
+# multi-batch drains let watermark eviction drop interval-join matches or
+# split duplicate pairs. Feed writers assert file count <= this constant
+# (queries/streaming_q._assert_single_batch); change them together.
+MAX_FILES_PER_TRIGGER = 16
+
+
 def stream_events_json(spark: SparkSession, input_dir: str) -> DataFrame:
     """Tail a directory of JSON-lines event files as a stream."""
     return (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", MAX_FILES_PER_TRIGGER)
         .json(input_dir)
     )
 
