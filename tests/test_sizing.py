@@ -1,0 +1,60 @@
+"""Sizing advice operators (operators/sizing.py): shuffle partition
+counts and the partition-layout what-if report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trino_adaptive_partitioning_tool_spark.operators import sizing
+
+
+def test_advise_shuffle_partitions_clamps_and_handles_null(spark):
+    logs = spark.createDataFrame(
+        [
+            ("q1", None),                      # null -> 1
+            ("q2", 1),                         # tiny -> 1
+            ("q3", 64 * 1024 * 1024),          # exactly one target -> 1
+            ("q4", 64 * 1024 * 1024 + 1),      # just over -> 2
+            ("q5", 10**15),                    # enormous -> clamp 2000
+        ],
+        "query_id string, input_bytes long",
+    )
+    got = {
+        r["query_id"]: r["advised_partitions"]
+        for r in sizing.advise_shuffle_partitions(logs).collect()
+    }
+    assert got == {"q1": 1, "q2": 1, "q3": 1, "q4": 2, "q5": 2000}
+
+
+def test_partition_layout_whatif_skew_and_fraction(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4)], "k string, v int"
+    )
+    rows = {
+        r["candidate_key"]: r
+        for r in sizing.partition_layout_whatif(
+            df, {"by_k": F.col("k"), "by_v": F.col("v")}
+        ).collect()
+    }
+    bk = rows["by_k"]
+    assert bk["n_partitions"] == 2
+    assert bk["n_rows"] == 4
+    assert bk["max_partition_rows"] == 3
+    assert bk["skew_ratio"] == 1.5  # max 3 / mean 2
+    assert bk["est_scan_fraction"] == 0.5
+    bv = rows["by_v"]
+    assert bv["n_partitions"] == 4
+    assert bv["skew_ratio"] == 1.0
+    assert bv["est_scan_fraction"] == 0.25
+
+
+def test_partition_layout_whatif_single_scan(spark):
+    """All candidates must come from ONE scan of the input (the stack
+    explode), not one scan per candidate."""
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    plan = sizing.partition_layout_whatif(
+        df, {"by_k": F.col("k"), "by_v": F.col("v")}
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("Scan") <= 1 or (
+        "Union" not in plan
+    )

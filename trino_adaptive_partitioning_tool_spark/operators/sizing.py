@@ -1,0 +1,89 @@
+"""Sizing advice: shuffle-partition counts and partition-layout what-if.
+
+The reference advises TABLE partition layouts (src/partitioning.py); on
+Spark the same adaptive-partitioning question recurs one level down — how
+many SHUFFLE partitions should a query use, and what would each candidate
+layout cost at read time? These operators answer both from data the
+pipeline already has:
+
+* ``advise_shuffle_partitions`` — per logged query, the shuffle partition
+  count that puts ~``target_bytes`` in each task (the same arithmetic
+  AQE's advisoryPartitionSizeInBytes applies at runtime, surfaced as
+  advice for static `spark.sql.shuffle.partitions` settings on clusters
+  without AQE, or for sizing `repartition()` calls).
+* ``partition_layout_whatif`` — for each candidate partition key, the
+  partition count, per-partition row skew, and the expected scan
+  fraction of an equality predicate (1/n_partitions): the quantitative
+  side of the advisor's layout recommendation. One scan regardless of
+  candidate count (stack-exploded), so at 100 TB this costs one pass —
+  or one pass over a sample, since only ratios are needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def advise_shuffle_partitions(
+    logs_df: DataFrame,
+    target_bytes: int = 64 * 1024 * 1024,
+    max_partitions: int = 2000,
+) -> DataFrame:
+    """(query_id, input_bytes, advised_partitions): ceil(bytes/target)
+    clamped to [1, max_partitions]; null byte counts advise 1."""
+    advised = F.least(
+        F.greatest(
+            F.ceil(
+                F.coalesce(F.col("input_bytes"), F.lit(0)).cast("double")
+                / F.lit(float(target_bytes))
+            ),
+            F.lit(1),
+        ),
+        F.lit(max_partitions),
+    )
+    return logs_df.select(
+        "query_id",
+        "input_bytes",
+        advised.cast("bigint").alias("advised_partitions"),
+    )
+
+
+def partition_layout_whatif(
+    df: DataFrame, candidates: dict[str, Column]
+) -> DataFrame:
+    """Per candidate partition key: (candidate_key, n_partitions, n_rows,
+    max_partition_rows, skew_ratio, est_scan_fraction).
+
+    skew_ratio = max partition rows / mean partition rows (1.0 = flat);
+    est_scan_fraction = 1/n_partitions, the cost of an equality
+    predicate under that layout. All candidates are evaluated in ONE
+    scan: each row is stack-exploded into (key name, key value) pairs,
+    then two hash aggregations derive the report.
+    """
+    pairs = [
+        p
+        for name, col in candidates.items()
+        for p in (F.lit(name), col.cast("string"))
+    ]
+    exploded = df.select(
+        F.stack(F.lit(len(candidates)), *pairs).alias("candidate_key", "k")
+    )
+    per = exploded.groupBy("candidate_key", "k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.groupBy("candidate_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("max_partition_rows"),
+            F.round(
+                F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 4
+            ).alias("skew_ratio"),
+            F.round(F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "est_scan_fraction"
+            ),
+        )
+        .orderBy("candidate_key")
+    )

@@ -982,3 +982,77 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs = leg if legs is None else legs.unionByName(leg)
     return legs.orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# r5 — Spark-native sizing advice: the reference advises TABLE partition
+# layouts; on Spark the same adaptive-partitioning question recurs for
+# shuffles (spark.sql.shuffle.partitions / repartition sizing) and for
+# the quantitative cost of each candidate layout.
+# ---------------------------------------------------------------------------
+@register(
+    "shuffle_partition_advice",
+    oracle=f"""
+    WITH {_LOGS_CTE}
+    SELECT query_id, input_bytes,
+           CAST(LEAST(GREATEST(
+             CEIL(CAST(COALESCE(input_bytes, 0) AS DOUBLE) / 67108864.0),
+             1), 2000) AS BIGINT) AS advised_partitions
+    FROM query_logs
+    ORDER BY query_id
+    """,
+)
+def shuffle_partition_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per logged query, the shuffle partition count that puts ~64 MB in
+    each task — the arithmetic AQE's advisoryPartitionSizeInBytes applies
+    at runtime, surfaced as static advice (operators/sizing.py)."""
+    from ..operators import sizing
+
+    return sizing.advise_shuffle_partitions(
+        fixtures.query_logs_df(spark)
+    ).orderBy("query_id")
+
+
+@register(
+    "partition_layout_whatif",
+    oracle="""
+    WITH cand AS (
+      SELECT 'event_type' AS candidate_key,
+             CAST(event_type AS VARCHAR) AS k FROM events
+      UNION ALL
+      SELECT 'event_day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+    ),
+    per AS (
+      SELECT candidate_key, k, COUNT(*) AS n FROM cand GROUP BY 1, 2
+    )
+    SELECT candidate_key,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4)
+             AS skew_ratio,
+           ROUND(1.0 / COUNT(*), 6) AS est_scan_fraction
+    FROM per
+    GROUP BY candidate_key
+    ORDER BY candidate_key
+    """,
+)
+def partition_layout_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative layout what-if over the events table: for each
+    candidate partition key, partition count, per-partition row skew,
+    and the expected scan fraction of an equality predicate — the number
+    the advisor's recommendation trades on. One scan for all candidates
+    (stack-exploded, operators/sizing.py)."""
+    from ..operators import sizing
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sizing.partition_layout_whatif(
+        ev,
+        {
+            "event_type": F.col("event_type"),
+            "event_day": F.col("ts").cast("date"),
+            "user_id": F.col("user_id"),
+        },
+    )

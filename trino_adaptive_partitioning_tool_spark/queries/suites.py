@@ -380,8 +380,13 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_resize_stats",
      ["media_type", "n_assets", "total_resized_bytes"],
      ["avg_scale_x", "avg_scale_y"]),
+    ("partition_layout_whatif",
+     ["candidate_key", "n_partitions", "n_rows", "max_partition_rows"],
+     ["skew_ratio", "est_scan_fraction"]),
     ("sequence_packing_stats",
      ["lang", "shard", "pack_id", "n_docs", "pack_tokens"], []),
+    ("shuffle_partition_advice",
+     ["query_id", "input_bytes", "advised_partitions"], []),
     ("stratified_sample_stats", ["lang", "n_docs", "total_chars"], []),
     ("weighted_bernoulli_sample",
      ["lang", "n_kept", "n_total", "kept_chars"], []),
