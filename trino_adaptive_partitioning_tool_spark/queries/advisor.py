@@ -1056,3 +1056,43 @@ def partition_layout_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id": F.col("user_id"),
         },
     )
+
+
+def _file_metadata_oracle() -> str:
+    # Footer paths are resolved at oracle-build time to the driver's
+    # correctness scale (PARITY_SF_DIR, default sf0.01) — the one scale
+    # at which Spark result and oracle are ever compared. DuckDB parses
+    # the same footers with its own reader, so a green row means two
+    # independent parquet implementations agree on the physical layout.
+    import os
+
+    sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    # top-level column count = the root schema node's num_children
+    # (COUNT(*)-1 over parquet_schema would count nested list/element
+    # nodes and disagree with the logical width on array columns)
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name,"
+        f" CAST(num_rows AS BIGINT) AS n_rows,"
+        f" CAST(num_row_groups AS BIGINT) AS n_row_groups,"
+        f" CAST((SELECT num_children FROM"
+        f" parquet_schema('{sf}/{t}.parquet') LIMIT 1) AS BIGINT)"
+        f" AS n_columns"
+        f" FROM parquet_file_metadata('{sf}/{t}.parquet')"
+        for t in tables.TABLES
+    )
+    return f"SELECT * FROM (\n{legs}\n) m ORDER BY table_name"
+
+
+@register("table_file_metadata", oracle=_file_metadata_oracle())
+def table_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only probe of every table's parquet footer (rows, row
+    groups, columns) — the `$metadata` analog (sources/tables.py). The
+    oracle parses the same footers with DuckDB's independent reader."""
+    rows = tables.file_metadata(sf_dir)
+    return spark.createDataFrame(
+        [
+            (r["table_name"], r["n_rows"], r["n_row_groups"], r["n_columns"])
+            for r in rows
+        ],
+        "table_name string, n_rows long, n_row_groups long, n_columns long",
+    ).orderBy("table_name")

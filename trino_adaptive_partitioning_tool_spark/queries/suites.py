@@ -388,6 +388,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("shuffle_partition_advice",
      ["query_id", "input_bytes", "advised_partitions"], []),
     ("stratified_sample_stats", ["lang", "n_docs", "total_chars"], []),
+    ("table_file_metadata",
+     ["table_name", "n_rows", "n_row_groups", "n_columns"], []),
     ("weighted_bernoulli_sample",
      ["lang", "n_kept", "n_total", "kept_chars"], []),
 ]

@@ -150,3 +150,28 @@ def table_columns(spark: SparkSession, sf_dir: str, name: str) -> list[str]:
     (src/cli.py:43-53) with a metadata-only schema read.
     """
     return load_table(spark, sf_dir, name).schema.fieldNames()
+
+
+def file_metadata(sf_dir: str) -> list[dict]:
+    """Parquet-footer metadata for every table — rows, row groups,
+    columns — WITHOUT reading any data. The Spark-side analog of the
+    reference's Iceberg `$metadata` probes (src/trino_client.py:65-107):
+    a metadata-only scan whose cost is independent of table size."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        md = pq.ParquetFile(path).metadata
+        out.append(
+            {
+                "table_name": t,
+                "n_rows": md.num_rows,
+                "n_row_groups": md.num_row_groups,
+                # TOP-LEVEL column count (metadata.num_columns counts
+                # physical LEAVES, which disagrees with logical schema
+                # width on nested types like array<float>)
+                "n_columns": len(pq.read_schema(path).names),
+            }
+        )
+    return out
