@@ -44,6 +44,8 @@ HEADLINE_QUERIES = [
     "table_exec_rollup",
     "transform_selection",
     "partition_recommendations",
+    "partition_layout_whatif",
+    "table_file_metadata",
     # LLM-data-pipeline extensions
     "dedup_exact",
     "dedup_keep_canonical",
