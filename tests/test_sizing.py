@@ -59,3 +59,16 @@ def test_partition_layout_whatif_single_scan(spark):
     # (and one input scan) per candidate; the stack explode plans none
     assert "Union" not in plan
     assert plan.count("LocalRelation") <= 1
+
+
+def test_advise_salt_factors_clamps(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 120 + [("warm",)] * 60 + [("cold",)] * 3, "k string"
+    )
+    got = {
+        r["key"]: (r["n_rows"], r["salt_factor"])
+        for r in sizing.advise_salt_factors(
+            df, F.col("k"), target_rows_per_task=50, max_salts=2
+        ).collect()
+    }
+    assert got == {"hot": (120, 2), "warm": (60, 2), "cold": (3, 1)}

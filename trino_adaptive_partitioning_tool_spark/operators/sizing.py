@@ -87,3 +87,37 @@ def partition_layout_whatif(
         )
         .orderBy("candidate_key")
     )
+
+
+def advise_salt_factors(
+    df: DataFrame,
+    key: Column,
+    target_rows_per_task: int = 50,
+    max_salts: int = 64,
+) -> DataFrame:
+    """(key, n_rows, salt_factor): per group key, the salt fan-out that
+    caps each (key, salt) bucket at ~``target_rows_per_task`` rows —
+    static sizing advice for operators/skew.with_salt when the hot-key
+    set is known up front (AQE skew-join covers joins at runtime, but
+    not aggregations). One count aggregation; advice rows are
+    group-cardinality-sized."""
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "key",
+            "n_rows",
+            F.least(
+                F.greatest(
+                    F.ceil(
+                        F.col("n_rows").cast("double")
+                        / F.lit(float(target_rows_per_task))
+                    ),
+                    F.lit(1),
+                ),
+                F.lit(max_salts),
+            )
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )

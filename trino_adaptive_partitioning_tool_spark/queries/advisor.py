@@ -1096,3 +1096,35 @@ def table_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "table_name string, n_rows long, n_row_groups long, n_columns long",
     ).orderBy("table_name")
+
+
+@register(
+    "skew_salt_advice",
+    oracle="""
+    WITH per AS (
+      SELECT user_id AS key, COUNT(*) AS n_rows
+      FROM events GROUP BY user_id
+    )
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(LEAST(GREATEST(
+             CEIL(CAST(n_rows AS DOUBLE) / 50.0), 1), 64) AS BIGINT)
+             AS salt_factor
+    FROM per
+    WHERE CEIL(CAST(n_rows AS DOUBLE) / 50.0) > 1
+    ORDER BY n_rows DESC, key
+    """,
+)
+def skew_salt_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting advice over the events stream: per user_id whose
+    row count exceeds one ~50-row task, the salt fan-out that flattens
+    the key (operators/sizing.advise_salt_factors; consumed by
+    operators/skew.with_salt). AQE's skew-join handles joins at runtime;
+    this is the static complement for aggregations."""
+    from ..operators import sizing
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        sizing.advise_salt_factors(ev, F.col("user_id"))
+        .where(F.col("salt_factor") > 1)
+        .orderBy(F.desc("n_rows"), "key")
+    )

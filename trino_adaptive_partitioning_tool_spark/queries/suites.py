@@ -387,6 +387,7 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["lang", "shard", "pack_id", "n_docs", "pack_tokens"], []),
     ("shuffle_partition_advice",
      ["query_id", "input_bytes", "advised_partitions"], []),
+    ("skew_salt_advice", ["key", "n_rows", "salt_factor"], []),
     ("stratified_sample_stats", ["lang", "n_docs", "total_chars"], []),
     ("table_file_metadata",
      ["table_name", "n_rows", "n_row_groups", "n_columns"], []),
