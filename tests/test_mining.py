@@ -345,7 +345,9 @@ _F_COLS = [
     ('"Quoted Col"', "quoted col"),
     ('"select"', "select"),  # keyword spelled as a quoted identifier
 ]
-_F_ALIASES = ["a1", "a2", "a3", "a4"]
+# includes keywords spelled as QUOTED identifiers — legal alias names
+# that must not terminate clause collection or leak into column counts
+_F_ALIASES = ["a1", "a2", "a3", "a4", '"where"', '"from"']
 _F_CTES = ["cte_x", "cte_y"]
 _F_FUNCS = ["upper", "abs", "length"]
 
@@ -447,8 +449,14 @@ def _fz_query(draw, depth, ctes=frozenset(), allow_cte=True):
         elif kind == "win":
             t1 = draw(_fz_column())[0]
             t2 = draw(_fz_column())[0]
+            frame = draw(st.sampled_from([
+                "",
+                " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+                " RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+                " ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING",
+            ]))
             sel_items.append(
-                f"sum({t1}) OVER (PARTITION BY {t2} ORDER BY {t1} DESC)"
+                f"sum({t1}) OVER (PARTITION BY {t2} ORDER BY {t1} DESC{frame})"
             )
         else:
             sub_sql, sub_exp = draw(_fz_query(depth - 1, ctes))
@@ -520,7 +528,8 @@ def test_miner_grammar_differential(qe):
     assert set(m["tables"]) == exp["tables"], sql
     # invariants: no CTE name or alias ever surfaces as a base table,
     # no duplicate table entries, all counts strictly positive
-    assert not (set(m["tables"]) & (set(_F_CTES) | set(_F_ALIASES))), sql
+    alias_bases = {a.strip('"').lower() for a in _F_ALIASES}
+    assert not (set(m["tables"]) & (set(_F_CTES) | alias_bases)), sql
     assert len(m["tables"]) == len(set(m["tables"])), sql
     assert dict(m["join_columns"]) == dict(exp["join"]), sql
     assert dict(m["where_columns"]) == dict(exp["where"]), sql
