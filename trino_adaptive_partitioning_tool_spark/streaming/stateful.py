@@ -46,16 +46,42 @@ STATE_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tail the events table as a file stream (nanos ts → timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Tail the events table as a file stream with the SAME timestamp
+    normalization as the batch loader (sources/tables.load_table):
+    testdata encoding has changed between rounds (ns-as-long vs µs NTZ),
+    so the encoding is probed from the footer, never assumed — a ns
+    conversion applied to µs data silently lands in 1970."""
+    from ..sources.tables import _nano_ts_columns
+
+    if "ts" in _nano_ts_columns(f"{sf_dir}/events.parquet"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # µs (TIMESTAMP_NTZ) encoding: declare NTZ and relabel to TIMESTAMP
+    # under pinned UTC — a pure type relabel, same as the batch loader
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ntz_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampNTZType() if f.name == "ts" else f.dataType,
+                True,
+            )
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(ntz_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _update_user_totals(
