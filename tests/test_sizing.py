@@ -72,3 +72,34 @@ def test_advise_salt_factors_clamps(spark):
         ).collect()
     }
     assert got == {"hot": (120, 2), "warm": (60, 2), "cold": (3, 1)}
+
+
+def test_with_keyed_salt_consumes_advice(spark):
+    """The advertised integration: advise_salt_factors output feeds
+    skew.with_keyed_salt — hot keys fan out to their advised factor,
+    cold keys stay at salt 0."""
+    from trino_adaptive_partitioning_tool_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 100 + [("cold",)] * 2, "k string"
+    )
+    advice = sizing.advise_salt_factors(
+        df, F.col("k"), target_rows_per_task=25, max_salts=8
+    )
+    salted = skew.with_keyed_salt(df, advice, "k")
+    rows = salted.groupBy("k").agg(
+        F.countDistinct("__salt").alias("n_salts"),
+        F.max("__salt").alias("max_salt"),
+    ).collect()
+    got = {r["k"]: (r["n_salts"], r["max_salt"]) for r in rows}
+    assert got["hot"][0] == 4      # 100/25 -> 4 distinct salt buckets
+    assert got["hot"][1] == 3
+    assert got["cold"] == (1, 0)   # factor 1 -> unsalted
+    # aggregation over (key, salt) then key reproduces plain counts
+    two_phase = (
+        salted.groupBy("k", "__salt").count()
+        .groupBy("k").agg(F.sum("count").alias("n"))
+    )
+    assert {r["k"]: r["n"] for r in two_phase.collect()} == {
+        "hot": 100, "cold": 2
+    }

@@ -61,6 +61,10 @@ def partition_layout_whatif(
     scan: each row is stack-exploded into (key name, key value) pairs,
     then two hash aggregations derive the report.
     """
+    if not candidates:
+        raise ValueError(
+            "partition_layout_whatif needs at least one candidate key"
+        )
     pairs = [
         p
         for name, col in candidates.items()
@@ -97,10 +101,10 @@ def advise_salt_factors(
 ) -> DataFrame:
     """(key, n_rows, salt_factor): per group key, the salt fan-out that
     caps each (key, salt) bucket at ~``target_rows_per_task`` rows —
-    static sizing advice for operators/skew.with_salt when the hot-key
-    set is known up front (AQE skew-join covers joins at runtime, but
-    not aggregations). One count aggregation; advice rows are
-    group-cardinality-sized."""
+    static sizing advice consumed by operators/skew.with_keyed_salt
+    when the hot-key set is known up front (AQE skew-join covers joins
+    at runtime, but not aggregations). One count aggregation; advice
+    rows are group-cardinality-sized."""
     return (
         df.groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -63,3 +63,32 @@ def salted_join(
     fact_s = with_salt(fact, n_salts)
     dim_s = dim.select("*", salts)
     return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")
+
+
+def with_keyed_salt(
+    df: DataFrame,
+    advice: DataFrame,
+    key: str,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Per-key salting driven by sizing advice: join the (key,
+    salt_factor) frame produced by operators/sizing.advise_salt_factors
+    and salt each row in [0, its key's salt_factor) — hot keys fan out
+    wide, cold keys stay unsalted (factor 1), instead of paying one
+    global fan-out everywhere. The advice side is group-cardinality
+    sized; no broadcast hint, AQE picks one when it fits. Same
+    position-derived salt as with_salt (never a function of the key)."""
+    adv = advice.select(
+        F.col("key").alias(key), F.col("salt_factor").alias("__sf")
+    )
+    return (
+        df.join(adv, key, "left")
+        .withColumn(
+            salt_col,
+            F.pmod(
+                F.monotonically_increasing_id(),
+                F.coalesce(F.col("__sf"), F.lit(1)),
+            ),
+        )
+        .drop("__sf")
+    )

@@ -1031,9 +1031,15 @@ def shuffle_partition_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_partitions,
            CAST(SUM(n) AS BIGINT) AS n_rows,
            CAST(MAX(n) AS BIGINT) AS max_partition_rows,
-           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4)
-             AS skew_ratio,
-           ROUND(1.0 / COUNT(*), 6) AS est_scan_fraction
+           -- VARCHAR->DECIMAL rounding emulates Spark's
+           -- shortest-repr HALF_UP semantics exactly (see
+           -- queries/suites.py) — plain ROUND(double) diverges at
+           -- exact 4dp/6dp ties, and this oracle runs over per-round
+           -- regenerated table data, not fixed fixtures
+           CAST(ROUND(CAST(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n)
+             AS VARCHAR)::DECIMAL(38,12), 4) AS DOUBLE) AS skew_ratio,
+           CAST(ROUND(CAST(1.0 / COUNT(*) AS VARCHAR)::DECIMAL(38,12), 6)
+             AS DOUBLE) AS est_scan_fraction
     FROM per
     GROUP BY candidate_key
     ORDER BY candidate_key
@@ -1118,7 +1124,7 @@ def skew_salt_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salting advice over the events stream: per user_id whose
     row count exceeds one ~50-row task, the salt fan-out that flattens
     the key (operators/sizing.advise_salt_factors; consumed by
-    operators/skew.with_salt). AQE's skew-join handles joins at runtime;
+    operators/skew.with_keyed_salt). AQE's skew-join handles joins at runtime;
     this is the static complement for aggregations."""
     from ..operators import sizing
 

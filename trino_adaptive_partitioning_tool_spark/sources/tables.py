@@ -157,21 +157,18 @@ def file_metadata(sf_dir: str) -> list[dict]:
     columns — WITHOUT reading any data. The Spark-side analog of the
     reference's Iceberg `$metadata` probes (src/trino_client.py:65-107):
     a metadata-only scan whose cost is independent of table size."""
-    import pyarrow.parquet as pq
-
     out = []
     for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        md = pq.ParquetFile(path).metadata
+        pf = _pq.ParquetFile(f"{sf_dir}/{t}.parquet")
         out.append(
             {
                 "table_name": t,
-                "n_rows": md.num_rows,
-                "n_row_groups": md.num_row_groups,
-                # TOP-LEVEL column count (metadata.num_columns counts
-                # physical LEAVES, which disagrees with logical schema
-                # width on nested types like array<float>)
-                "n_columns": len(pq.read_schema(path).names),
+                "n_rows": pf.metadata.num_rows,
+                "n_row_groups": pf.metadata.num_row_groups,
+                # TOP-LEVEL column count from the already-parsed footer
+                # (metadata.num_columns counts physical LEAVES, which
+                # disagrees with logical width on nested array columns)
+                "n_columns": len(pf.schema_arrow.names),
             }
         )
     return out

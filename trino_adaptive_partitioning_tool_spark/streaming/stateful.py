@@ -4,8 +4,12 @@ reach for when watermarked windows can't express the semantics, e.g.
 running totals that never expire, custom eviction, cross-batch counters).
 
 Source: the `events` table streamed straight from the testdata directory
-(pathGlobFilter isolates one parquet; ts arrives as nanos-as-long and is
-converted exactly like the batch loader does).
+(pathGlobFilter isolates one parquet). The ts encoding is PROBED from the
+footer per round — current testdata is µs TIMESTAMP_NTZ (relabelled to
+TIMESTAMP under pinned UTC, the live branch); ns-as-long files take the
+legacy nanosAsLong + div-1000 branch. Both mirror the batch loader
+(sources/tables.load_table), and a stream==batch ts parity test guards
+against the two sites drifting.
 """
 
 from __future__ import annotations
