@@ -215,3 +215,43 @@ def test_feed_cache_reuses_dir_and_never_checkpoints_inside(spark):
     assert not os.path.exists(f"{d1}/ckpt")
     c1, c2 = sq._fresh_ckpt(), sq._fresh_ckpt()
     assert c1 != c2
+
+
+def test_outer_attribution_stream_equals_batch(spark):
+    """The sentinel-pinned LEFT OUTER interval join must emit exactly
+    the batch left join over real events — every unmatched click's
+    outer row included (watermark advanced past all real windows by the
+    far-future sentinels)."""
+    from conftest import SMOKE_SF_DIR
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        streaming_q as sq,
+    )
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from trino_adaptive_partitioning_tool_spark.streaming import (
+        stream_join as sj,
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        map(
+            tuple,
+            sq.streaming_click_attribution_outer(
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    # batch twin over the SAME json feed (ms truncation included)
+    tmp = sq._FEED_CACHE[
+        (spark.sparkContext.applicationId, SMOKE_SF_DIR, "clickpurchase_outer")
+    ]
+    batch = spark.read.schema(sj.EVENT_SCHEMA).json(f"{tmp}/events")
+    want = sorted(
+        map(
+            tuple,
+            sj.click_purchase_interval_join_outer(batch)
+            .where(F.col("user_id") >= 0)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert any(t[2] is None for t in got), "no outer rows exercised"

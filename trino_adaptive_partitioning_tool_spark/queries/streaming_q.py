@@ -374,6 +374,89 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_click_attribution_outer",
+    oracle="""
+    WITH e AS (
+      -- JSON feed truncates timestamps to millisecond precision
+      SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+             user_id, event_type, value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM e WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts, value AS purchase_value
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(c.click_ts) AS click_us,
+           epoch_us(p.purchase_ts) AS purchase_us,
+           p.purchase_value
+    FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def streaming_click_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join with a FULL oracle — the
+    hardest streaming semantic to determinize, because outer rows only
+    emit when the watermark proves no match can still arrive, and the
+    engine's internal eviction boundary is version-specific arithmetic.
+
+    Determinization: the feed carries two far-future SENTINEL events
+    (a click and a purchase, disjoint negative user ids 10 days past the
+    real maximum, one on EACH side — the global watermark is the min of
+    both sides'). After the availableNow drain plus the no-data
+    finalization batch, the watermark sits ~10 days past every real
+    click's join window, so ALL real unmatched clicks have provably
+    emitted regardless of where the internal boundary falls; the
+    sentinels themselves stay in state (their own windows never close)
+    and the user_id >= 0 filter drops any residue defensively. The
+    emitted set then equals the batch LEFT JOIN over real events
+    exactly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources import tables
+    from ..streaming import stream_join as sj
+
+    def _write(d: str) -> None:
+        ev = tables.load_table(spark, sf_dir, "events").where(
+            "event_type IN ('click', 'purchase')"
+        )
+        far = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
+        )
+        sentinels = far.selectExpr(
+            "stack(2, "
+            "CAST(-1 AS BIGINT), ts, CAST(-1 AS BIGINT), 'click', "
+            "CAST(0.0 AS DOUBLE), CAST(NULL AS STRING), "
+            "CAST(-2 AS BIGINT), ts, CAST(-2 AS BIGINT), 'purchase', "
+            "CAST(0.0 AS DOUBLE), CAST(NULL AS STRING)) "
+            "AS (event_id, ts, user_id, event_type, value, props)"
+        )
+        ev.unionByName(sentinels).coalesce(4).write.mode(
+            "overwrite"
+        ).json(f"{d}/events")
+
+    tmp = _memo_feed(spark, "clickpurchase_outer", sf_dir, _write)
+    _assert_single_batch(f"{tmp}/events")
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    name = f"stream_jo_{_uuid.uuid4().hex[:8]}"
+    out = sj.run_append_available_now(
+        sj.click_purchase_interval_join_outer(stream), name, _fresh_ckpt()
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+@register(
     "streaming_incremental_stats",
     oracle="""
     SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partitions,

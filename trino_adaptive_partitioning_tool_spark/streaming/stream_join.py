@@ -111,6 +111,58 @@ def click_purchase_interval_join(
     )
 
 
+def click_purchase_interval_join_outer(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of the attribution join: every click emits —
+    matched with its purchase, or with nulls once the watermark proves
+    no purchase can still arrive.
+
+    Outer emission is WATERMARK-GATED state eviction, so the caller must
+    drain a feed whose maximum event time exceeds every real click's
+    join window by a wide margin (queries/streaming_q appends far-future
+    sentinel events on BOTH sides — both watermarks must advance, the
+    global watermark is their min). Under that pin the emitted set is
+    exactly the batch left join over the real events, independent of the
+    engine's internal eviction boundary arithmetic. Works identically on
+    a batch frame (the stream==batch test runs both)."""
+    if events.isStreaming:
+        clicks, purchases = _sides(events, watermark)
+    else:
+        clicks = events.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = events.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return (
+        clicks.join(purchases, cond, "left_outer")
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            "purchase_value",
+        )
+    )
+
+
 def run_append_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:
