@@ -40,6 +40,42 @@ def _fresh_ckpt() -> str:
     return tempfile.mkdtemp(prefix="tapt_ckpt_") + "/ckpt"
 
 
+def _ensure_outer_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Click/purchase feed plus two far-future SENTINEL events (one per
+    side, disjoint negative user ids, 10 days past the real maximum).
+    Outer/full stream-stream joins only emit unmatched rows once the
+    watermark proves no match can still arrive; the sentinels push the
+    global watermark (the min of both sides') past every real row's join
+    window, making the emitted set equal the batch outer join exactly —
+    independent of the engine's internal eviction-boundary arithmetic.
+    The sentinels themselves never emit (their own windows never close)
+    and consumers filter user_id >= 0 defensively."""
+    from pyspark.sql import functions as F
+
+    from ..sources import tables
+
+    def _write(d: str) -> None:
+        ev = tables.load_table(spark, sf_dir, "events").where(
+            "event_type IN ('click', 'purchase')"
+        )
+        far = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
+        )
+        sentinels = far.selectExpr(
+            "stack(2, "
+            "CAST(-1 AS BIGINT), ts, CAST(-1 AS BIGINT), 'click', "
+            "CAST(0.0 AS DOUBLE), CAST(NULL AS STRING), "
+            "CAST(-2 AS BIGINT), ts, CAST(-2 AS BIGINT), 'purchase', "
+            "CAST(0.0 AS DOUBLE), CAST(NULL AS STRING)) "
+            "AS (event_id, ts, user_id, event_type, value, props)"
+        )
+        ev.unionByName(sentinels).coalesce(4).write.mode(
+            "overwrite"
+        ).json(f"{d}/events")
+
+    return _memo_feed(spark, "clickpurchase_outer", sf_dir, _write)
+
+
 def _assert_single_batch(feed_subdir: str) -> None:
     """The click-attribution and dedup oracles are deterministic only
     when the whole feed drains in ONE availableNow micro-batch (see
@@ -424,34 +460,68 @@ def streaming_click_attribution_outer(
 
     from pyspark.sql import functions as F
 
-    from ..sources import tables
     from ..streaming import stream_join as sj
 
-    def _write(d: str) -> None:
-        ev = tables.load_table(spark, sf_dir, "events").where(
-            "event_type IN ('click', 'purchase')"
-        )
-        far = ev.agg(
-            (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
-        )
-        sentinels = far.selectExpr(
-            "stack(2, "
-            "CAST(-1 AS BIGINT), ts, CAST(-1 AS BIGINT), 'click', "
-            "CAST(0.0 AS DOUBLE), CAST(NULL AS STRING), "
-            "CAST(-2 AS BIGINT), ts, CAST(-2 AS BIGINT), 'purchase', "
-            "CAST(0.0 AS DOUBLE), CAST(NULL AS STRING)) "
-            "AS (event_id, ts, user_id, event_type, value, props)"
-        )
-        ev.unionByName(sentinels).coalesce(4).write.mode(
-            "overwrite"
-        ).json(f"{d}/events")
-
-    tmp = _memo_feed(spark, "clickpurchase_outer", sf_dir, _write)
+    tmp = _ensure_outer_feed(spark, sf_dir)
     _assert_single_batch(f"{tmp}/events")
     stream = sj.stream_events_json(spark, f"{tmp}/events")
     name = f"stream_jo_{_uuid.uuid4().hex[:8]}"
     out = sj.run_append_available_now(
         sj.click_purchase_interval_join_outer(stream), name, _fresh_ckpt()
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+@register(
+    "streaming_click_attribution_full",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+             user_id, event_type, value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM e WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts, value AS purchase_value
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.user_id, p.p_user_id) AS user_id,
+           c.click_id, p.purchase_id,
+           epoch_us(c.click_ts) AS click_us,
+           epoch_us(p.purchase_ts) AS purchase_us,
+           p.purchase_value
+    FROM c FULL JOIN p ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def streaming_click_attribution_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join, fully oracled — both
+    sides' watermark-gated state eviction exercised (unmatched clicks
+    AND unmatched purchases emit null-padded rows). Same sentinel pin
+    as the left-outer variant: far-future sentinels on both sides push
+    the global watermark past every real row's join window, so the
+    emitted set equals the batch FULL JOIN exactly; sentinels stay in
+    state and the user_id >= 0 filter drops any residue."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import stream_join as sj
+
+    tmp = _ensure_outer_feed(spark, sf_dir)
+    _assert_single_batch(f"{tmp}/events")
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    name = f"stream_jf_{_uuid.uuid4().hex[:8]}"
+    out = sj.run_append_available_now(
+        sj.click_purchase_interval_join_full(stream), name, _fresh_ckpt()
     )
     return out.where(F.col("user_id") >= 0)
 

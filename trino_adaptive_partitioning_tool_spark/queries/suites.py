@@ -452,6 +452,9 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
     ("streaming_click_attribution",
      ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
      ["purchase_value"]),
+    ("streaming_click_attribution_full",
+     ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
+     ["purchase_value"]),
     ("streaming_click_attribution_outer",
      ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
      ["purchase_value"]),

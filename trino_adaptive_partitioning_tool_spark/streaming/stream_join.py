@@ -163,6 +163,51 @@ def click_purchase_interval_join_outer(
     )
 
 
+def click_purchase_interval_join_full(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER variant: unmatched clicks AND unmatched purchases both
+    emit null-padded rows, exercising state eviction on BOTH sides. The
+    same sentinel pin as the left-outer variant applies (see
+    click_purchase_interval_join_outer); user_id is coalesced across
+    sides since either may be null."""
+    if events.isStreaming:
+        clicks, purchases = _sides(events, watermark)
+    else:
+        clicks = events.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = events.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return (
+        clicks.join(purchases, cond, "full_outer")
+        .select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            "purchase_value",
+        )
+    )
+
+
 def run_append_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:
