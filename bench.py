@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "winnow_containment_pairs",
     "text_repetition_stats",
     "text_entropy_scores",
+    "text_lm_perplexity",
     "pii_redaction_stats",
     "document_chunking_stats",
     "decontamination_ngram_overlap",

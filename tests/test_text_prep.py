@@ -143,3 +143,30 @@ def test_corpus_filter_funnel_monotone_and_complete(spark):
     assert docs == sorted(docs, reverse=True)
     assert toks == sorted(toks, reverse=True)
     assert docs[0] > 0 and docs[-1] > 0
+
+
+def test_lm_bigram_scores_hand_computed(spark):
+    """Tiny corpus with hand-computable Laplace bigram model: corpus =
+    {"a b a b", "a b"} -> vocab {a, b} (V=2); bigrams: d1 has
+    (a,b),(b,a),(a,b); d2 has (a,b). c(a,b)=3, c(b,a)=1; contexts
+    c(a)=3, c(b)=1."""
+    import math
+
+    from trino_adaptive_partitioning_tool_spark.operators import text as tops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tops.lm_bigram_scores(docs).collect()}
+    # V=3 (a, b, solo); c(ab)=3, c(ba)=1, c(a)=3, c(b)=1
+    lp_ab = math.log((3 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    d1 = rows[1]
+    assert d1["n_bigrams"] == 3
+    assert d1["avg_logp"] == round((2 * lp_ab + lp_ba) / 3, 4)
+    d2 = rows[2]
+    assert d2["n_bigrams"] == 1
+    assert d2["avg_logp"] == round(lp_ab, 4)
+    assert d2["pseudo_ppl"] == round(math.exp(-lp_ab), 4)
+    assert 3 not in rows  # single-token doc has no bigrams

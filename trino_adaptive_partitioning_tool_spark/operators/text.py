@@ -554,3 +554,62 @@ def winnow_containment(
             F.col("shared_fps") / F.col("min_sz").cast("double"), 6
         ).alias("containment"),
     )
+
+
+def lm_bigram_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained token-bigram
+    language model (Laplace smoothing) — the statistical-LM filter every
+    large-scale training-data pipeline runs (low-probability documents
+    are boilerplate/garbled; implausibly probable ones are templated).
+
+    Model: logp(b|a) = ln((c(ab)+1) / (c(a)+V)) with c(·) corpus bigram /
+    context counts and V the corpus vocabulary. Output per document with
+    >= 2 tokens: (id, n_bigrams, avg_logp, pseudo_ppl = exp(-avg_logp)).
+
+    Scale shape: two aggregation passes build the model (bigram counts,
+    context counts — both shrink to distinct-bigram size map-side); the
+    scoring joins are plain equi-joins on the bigram/context keys, and
+    the vocabulary scalar attaches via a 1-row broadcast. No n², no
+    driver-side model materialization."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "a"),
+    ).where(F.col("a") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = toks.select(
+        "id", "a", F.lead("a", 1).over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+
+    c_ab = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = bigrams.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = toks.agg(F.countDistinct("a").alias("vocab"))
+
+    scored = (
+        bigrams.join(c_ab, ["a", "b"])
+        .join(c_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.col("c_ab") + F.lit(1.0))
+                / (F.col("c_a") + F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("pseudo_ppl"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_bigrams", "avg_logp", "pseudo_ppl"
+        )
+    )

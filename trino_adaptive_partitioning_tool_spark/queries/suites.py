@@ -295,6 +295,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["token_entropy", "normalized_entropy"]),
     ("text_fingerprint_md5", ["doc_id", "content_md5"], []),
     ("text_language_id", ["doc_id", "predicted_lang", "marker_hits"], []),
+    ("text_lm_perplexity",
+     ["doc_id", "n_bigrams"], ["avg_logp", "pseudo_ppl"]),
     ("text_quality_scores",
      ["doc_id"],
      ["stopword_ratio", "punct_ratio", "repetition_ratio", "length_score",

@@ -732,3 +732,46 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b2 AS (
+      SELECT doc_id, pair[1] AS a, pair[2] AS b FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> [toks[i], toks[i + 1]])) AS pair
+        FROM d WHERE len(toks) >= 2
+      ) bgx
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM b2 GROUP BY a, b),
+    ca AS (SELECT a, COUNT(*) AS c_a FROM b2 GROUP BY a),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS vocab
+      FROM (SELECT unnest(toks) AS t FROM d) tv
+    ),
+    scored AS (
+      SELECT b2.doc_id,
+             ln((c_ab + 1.0) / (c_a + vocab)) AS lp
+      FROM b2 JOIN cab USING (a, b) JOIN ca USING (a), v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(lp) / COUNT(*), 4) AS avg_logp,
+           ROUND(exp(-(SUM(lp) / COUNT(*))), 4) AS pseudo_ppl
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scores: a corpus-trained token-bigram model
+    (Laplace smoothed) scores every document's average log-probability
+    and pseudo-perplexity — the perplexity-filter primitive of
+    large-scale pretraining pipelines (operators/text.lm_bigram_scores).
+    The oracle trains the identical model in SQL; 4dp rounding absorbs
+    libm ln() ulp differences across engines."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.lm_bigram_scores(docs).orderBy("doc_id")
