@@ -226,7 +226,6 @@ def test_outer_attribution_stream_equals_batch(spark):
     from trino_adaptive_partitioning_tool_spark.queries import (
         streaming_q as sq,
     )
-    from trino_adaptive_partitioning_tool_spark.sources import tables
     from trino_adaptive_partitioning_tool_spark.streaming import (
         stream_join as sj,
     )

@@ -575,6 +575,8 @@ def lm_bigram_scores(
     driver-side model materialization."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -582,12 +584,20 @@ def lm_bigram_scores(
         ).alias("pos", "a"),
     ).where(F.col("a") != "")
     w = Window.partitionBy("id").orderBy("pos")
-    bigrams = toks.select(
-        "id", "a", F.lead("a", 1).over(w).alias("b")
-    ).where(F.col("b").isNotNull())
+    # referenced by the model build AND the scoring join: one
+    # materialization of the explode + per-doc window
+    bigrams = (
+        toks.select("id", "a", F.lead("a", 1).over(w).alias("b"))
+        .where(F.col("b").isNotNull())
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
 
     c_ab = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    c_a = bigrams.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    # c(a) = sum_b c(ab): aggregate the distinct-bigram-sized c_ab, not
+    # the corpus-sized bigram stream a second time
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # vocabulary counts ALL tokens (a doc's final token never appears as
+    # a bigram context), so it needs the token stream, not c_ab
     vocab = toks.agg(F.countDistinct("a").alias("vocab"))
 
     scored = (

@@ -350,9 +350,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_click_attribution",
-    oracle="""
+# Shared oracle scaffolding for the three attribution-join variants:
+# the e/c/p CTE block (incl. the JSON feed's millisecond truncation)
+# and the output projection exist ONCE; only the join keyword varies.
+_ATTRIB_CTES = """
     WITH e AS (
       -- the JSON feed truncates timestamps to millisecond precision
       SELECT event_id, date_trunc('milliseconds', ts) AS ts,
@@ -367,16 +368,66 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id AS p_user_id, event_id AS purchase_id,
              ts AS purchase_ts, value AS purchase_value
       FROM e WHERE event_type = 'purchase'
-    )
-    SELECT c.user_id, c.click_id, p.purchase_id,
+    )"""
+
+
+def _attribution_oracle(join_kw: str) -> str:
+    return f"""{_ATTRIB_CTES}
+    SELECT COALESCE(c.user_id, p.p_user_id) AS user_id,
+           c.click_id, p.purchase_id,
            epoch_us(c.click_ts) AS click_us,
            epoch_us(p.purchase_ts) AS purchase_us,
            p.purchase_value
-    FROM c JOIN p ON c.user_id = p.p_user_id
+    FROM c {join_kw} p ON c.user_id = p.p_user_id
        AND p.purchase_ts >= c.click_ts
        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
     ORDER BY user_id, click_id, purchase_id
-    """,
+    """
+
+
+def _run_attribution(
+    spark: SparkSession, sf_dir: str, join_fn_name: str, prefix: str,
+    outer_feed: bool,
+) -> DataFrame:
+    """Drain one attribution-join variant. Outer variants use the
+    sentinel feed (_ensure_outer_feed) and drop the sentinel rows by
+    their reserved NEGATIVE user ids — real rows, including any with a
+    NULL user_id (which the batch oracles keep), pass through."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources import tables
+    from ..streaming import stream_join as sj
+
+    if outer_feed:
+        tmp = _ensure_outer_feed(spark, sf_dir)
+    else:
+        tmp = _memo_feed(
+            spark, "clickpurchase", sf_dir,
+            lambda d: tables.load_table(spark, sf_dir, "events")
+            .where("event_type IN ('click', 'purchase')")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(f"{d}/events"),
+        )
+    _assert_single_batch(f"{tmp}/events")
+    stream = sj.stream_events_json(spark, f"{tmp}/events")
+    out = sj.run_append_available_now(
+        getattr(sj, join_fn_name)(stream),
+        f"{prefix}_{_uuid.uuid4().hex[:8]}",
+        _fresh_ckpt(),
+    )
+    if outer_feed:
+        out = out.where(
+            F.col("user_id").isNull() | (F.col("user_id") >= 0)
+        )
+    return out
+
+
+@register(
+    "streaming_click_attribution",
+    oracle=_attribution_oracle("JOIN"),
 )
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a same-user
@@ -388,54 +439,14 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the batch join result — no cross-batch watermark eviction
     can drop a match. The oracle replays the JSON feed's millisecond
     timestamp truncation and the same interval predicate."""
-    import uuid as _uuid
-
-    from ..sources import tables
-    from ..streaming import stream_join as sj
-
-    tmp = _memo_feed(
-        spark, "clickpurchase", sf_dir,
-        lambda d: tables.load_table(spark, sf_dir, "events")
-        .where("event_type IN ('click', 'purchase')")
-        .coalesce(4)
-        .write.mode("overwrite")
-        .json(f"{d}/events"),
-    )
-    _assert_single_batch(f"{tmp}/events")
-    stream = sj.stream_events_json(spark, f"{tmp}/events")
-    name = f"stream_j_{_uuid.uuid4().hex[:8]}"
-    return sj.run_append_available_now(
-        sj.click_purchase_interval_join(stream), name, _fresh_ckpt()
+    return _run_attribution(
+        spark, sf_dir, "click_purchase_interval_join", "stream_j", False
     )
 
 
 @register(
     "streaming_click_attribution_outer",
-    oracle="""
-    WITH e AS (
-      -- JSON feed truncates timestamps to millisecond precision
-      SELECT event_id, date_trunc('milliseconds', ts) AS ts,
-             user_id, event_type, value
-      FROM events WHERE event_type IN ('click', 'purchase')
-    ),
-    c AS (
-      SELECT user_id, event_id AS click_id, ts AS click_ts
-      FROM e WHERE event_type = 'click'
-    ),
-    p AS (
-      SELECT user_id AS p_user_id, event_id AS purchase_id,
-             ts AS purchase_ts, value AS purchase_value
-      FROM e WHERE event_type = 'purchase'
-    )
-    SELECT c.user_id, c.click_id, p.purchase_id,
-           epoch_us(c.click_ts) AS click_us,
-           epoch_us(p.purchase_ts) AS purchase_us,
-           p.purchase_value
-    FROM c LEFT JOIN p ON c.user_id = p.p_user_id
-       AND p.purchase_ts >= c.click_ts
-       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
-    ORDER BY user_id, click_id, purchase_id
-    """,
+    oracle=_attribution_oracle("LEFT JOIN"),
 )
 def streaming_click_attribution_outer(
     spark: SparkSession, sf_dir: str
@@ -446,84 +457,35 @@ def streaming_click_attribution_outer(
     engine's internal eviction boundary is version-specific arithmetic.
 
     Determinization: the feed carries two far-future SENTINEL events
-    (a click and a purchase, disjoint negative user ids 10 days past the
-    real maximum, one on EACH side — the global watermark is the min of
-    both sides'). After the availableNow drain plus the no-data
-    finalization batch, the watermark sits ~10 days past every real
-    click's join window, so ALL real unmatched clicks have provably
-    emitted regardless of where the internal boundary falls; the
-    sentinels themselves stay in state (their own windows never close)
-    and the user_id >= 0 filter drops any residue defensively. The
-    emitted set then equals the batch LEFT JOIN over real events
-    exactly."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    from ..streaming import stream_join as sj
-
-    tmp = _ensure_outer_feed(spark, sf_dir)
-    _assert_single_batch(f"{tmp}/events")
-    stream = sj.stream_events_json(spark, f"{tmp}/events")
-    name = f"stream_jo_{_uuid.uuid4().hex[:8]}"
-    out = sj.run_append_available_now(
-        sj.click_purchase_interval_join_outer(stream), name, _fresh_ckpt()
+    (one per side, disjoint negative user ids, 10 days past the real
+    maximum — the global watermark is the min of both sides'). After the
+    availableNow drain plus the no-data finalization batch, the
+    watermark sits ~10 days past every real click's join window, so ALL
+    real unmatched clicks have provably emitted regardless of where the
+    internal boundary falls; the sentinels stay in state and are dropped
+    by their reserved negative user ids. The emitted set then equals the
+    batch LEFT JOIN over real events exactly."""
+    return _run_attribution(
+        spark, sf_dir, "click_purchase_interval_join_outer", "stream_jo",
+        True,
     )
-    return out.where(F.col("user_id") >= 0)
 
 
 @register(
     "streaming_click_attribution_full",
-    oracle="""
-    WITH e AS (
-      SELECT event_id, date_trunc('milliseconds', ts) AS ts,
-             user_id, event_type, value
-      FROM events WHERE event_type IN ('click', 'purchase')
-    ),
-    c AS (
-      SELECT user_id, event_id AS click_id, ts AS click_ts
-      FROM e WHERE event_type = 'click'
-    ),
-    p AS (
-      SELECT user_id AS p_user_id, event_id AS purchase_id,
-             ts AS purchase_ts, value AS purchase_value
-      FROM e WHERE event_type = 'purchase'
-    )
-    SELECT COALESCE(c.user_id, p.p_user_id) AS user_id,
-           c.click_id, p.purchase_id,
-           epoch_us(c.click_ts) AS click_us,
-           epoch_us(p.purchase_ts) AS purchase_us,
-           p.purchase_value
-    FROM c FULL JOIN p ON c.user_id = p.p_user_id
-       AND p.purchase_ts >= c.click_ts
-       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
-    ORDER BY user_id, click_id, purchase_id
-    """,
+    oracle=_attribution_oracle("FULL JOIN"),
 )
 def streaming_click_attribution_full(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """FULL OUTER stream-stream interval join, fully oracled — both
     sides' watermark-gated state eviction exercised (unmatched clicks
-    AND unmatched purchases emit null-padded rows). Same sentinel pin
-    as the left-outer variant: far-future sentinels on both sides push
-    the global watermark past every real row's join window, so the
-    emitted set equals the batch FULL JOIN exactly; sentinels stay in
-    state and the user_id >= 0 filter drops any residue."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    from ..streaming import stream_join as sj
-
-    tmp = _ensure_outer_feed(spark, sf_dir)
-    _assert_single_batch(f"{tmp}/events")
-    stream = sj.stream_events_json(spark, f"{tmp}/events")
-    name = f"stream_jf_{_uuid.uuid4().hex[:8]}"
-    out = sj.run_append_available_now(
-        sj.click_purchase_interval_join_full(stream), name, _fresh_ckpt()
+    AND unmatched purchases emit null-padded rows). Same sentinel pin as
+    the left-outer variant."""
+    return _run_attribution(
+        spark, sf_dir, "click_purchase_interval_join_full", "stream_jf",
+        True,
     )
-    return out.where(F.col("user_id") >= 0)
 
 
 @register(

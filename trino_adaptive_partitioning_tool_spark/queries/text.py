@@ -759,8 +759,13 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(lp) / COUNT(*), 4) AS avg_logp,
-           ROUND(exp(-(SUM(lp) / COUNT(*))), 4) AS pseudo_ppl
+           -- VARCHAR->DECIMAL rounding replays Spark's shortest-repr
+           -- HALF_UP semantics (see queries/suites.py) — plain
+           -- ROUND(double) diverges at exact decimal ties
+           CAST(ROUND(CAST(SUM(lp) / COUNT(*) AS VARCHAR)
+             ::DECIMAL(38,12), 4) AS DOUBLE) AS avg_logp,
+           CAST(ROUND(CAST(exp(-(SUM(lp) / COUNT(*))) AS VARCHAR)
+             ::DECIMAL(38,12), 4) AS DOUBLE) AS pseudo_ppl
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id

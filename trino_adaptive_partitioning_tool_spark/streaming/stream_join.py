@@ -68,69 +68,21 @@ def _sides(events: DataFrame, watermark: str):
     return clicks, purchases
 
 
-def click_purchase_interval_join(
+def _attribution_join(
     events: DataFrame,
-    max_gap: str = "1 hour",
-    watermark: str = "2 hours",
+    how: str,
+    max_gap: str,
+    watermark: str,
 ) -> DataFrame:
-    """Purchases attributed to a preceding click by the same user within
-    `max_gap`. Works identically on a streaming or batch `events` frame —
-    the tests run both and assert equality."""
-    clicks, purchases = _sides(events, watermark) if events.isStreaming else (
-        # batch twin: same projections, no watermark needed
-        events.where(F.col("event_type") == "click").select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        ),
-        events.where(F.col("event_type") == "purchase").select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        ),
-    )
-    cond = (
-        (clicks["user_id"] == purchases["p_user_id"])
-        & (purchases["purchase_ts"] >= clicks["click_ts"])
-        & (
-            purchases["purchase_ts"]
-            <= clicks["click_ts"] + F.expr(f"INTERVAL {max_gap}")
-        )
-    )
-    return (
-        clicks.join(purchases, cond, "inner")
-        .select(
-            "user_id",
-            "click_id",
-            "purchase_id",
-            F.unix_micros("click_ts").alias("click_us"),
-            F.unix_micros("purchase_ts").alias("purchase_us"),
-            "purchase_value",
-        )
-    )
-
-
-def click_purchase_interval_join_outer(
-    events: DataFrame,
-    max_gap: str = "1 hour",
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """LEFT OUTER variant of the attribution join: every click emits —
-    matched with its purchase, or with nulls once the watermark proves
-    no purchase can still arrive.
-
-    Outer emission is WATERMARK-GATED state eviction, so the caller must
-    drain a feed whose maximum event time exceeds every real click's
-    join window by a wide margin (queries/streaming_q appends far-future
-    sentinel events on BOTH sides — both watermarks must advance, the
-    global watermark is their min). Under that pin the emitted set is
-    exactly the batch left join over the real events, independent of the
-    engine's internal eviction boundary arithmetic. Works identically on
-    a batch frame (the stream==batch test runs both)."""
+    """Shared body of the three attribution-join variants: sides (with
+    watermarks only when streaming), the interval condition, and the
+    output projection live HERE once. user_id is coalesced across sides
+    — a no-op for inner/left (the click side is never null-padded), the
+    correct merge for full outer."""
     if events.isStreaming:
         clicks, purchases = _sides(events, watermark)
     else:
+        # batch twin: same projections, no watermark needed
         clicks = events.where(F.col("event_type") == "click").select(
             "user_id",
             F.col("event_id").alias("click_id"),
@@ -150,17 +102,43 @@ def click_purchase_interval_join_outer(
             <= clicks["click_ts"] + F.expr(f"INTERVAL {max_gap}")
         )
     )
-    return (
-        clicks.join(purchases, cond, "left_outer")
-        .select(
-            "user_id",
-            "click_id",
-            "purchase_id",
-            F.unix_micros("click_ts").alias("click_us"),
-            F.unix_micros("purchase_ts").alias("purchase_us"),
-            "purchase_value",
-        )
+    return clicks.join(purchases, cond, how).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
     )
+
+
+def click_purchase_interval_join(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Purchases attributed to a preceding click by the same user within
+    `max_gap`. Works identically on a streaming or batch `events` frame —
+    the tests run both and assert equality."""
+    return _attribution_join(events, "inner", max_gap, watermark)
+
+
+def click_purchase_interval_join_outer(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant: every click emits — matched with its purchase,
+    or with nulls once the watermark proves no purchase can still arrive.
+
+    Outer emission is WATERMARK-GATED state eviction, so the caller must
+    drain a feed whose maximum event time exceeds every real click's
+    join window by a wide margin (queries/streaming_q appends far-future
+    sentinel events on BOTH sides — both watermarks must advance, the
+    global watermark is their min). Under that pin the emitted set is
+    exactly the batch left join over the real events, independent of the
+    engine's internal eviction boundary arithmetic."""
+    return _attribution_join(events, "left_outer", max_gap, watermark)
 
 
 def click_purchase_interval_join_full(
@@ -170,42 +148,8 @@ def click_purchase_interval_join_full(
 ) -> DataFrame:
     """FULL OUTER variant: unmatched clicks AND unmatched purchases both
     emit null-padded rows, exercising state eviction on BOTH sides. The
-    same sentinel pin as the left-outer variant applies (see
-    click_purchase_interval_join_outer); user_id is coalesced across
-    sides since either may be null."""
-    if events.isStreaming:
-        clicks, purchases = _sides(events, watermark)
-    else:
-        clicks = events.where(F.col("event_type") == "click").select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        purchases = events.where(F.col("event_type") == "purchase").select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-    cond = (
-        (clicks["user_id"] == purchases["p_user_id"])
-        & (purchases["purchase_ts"] >= clicks["click_ts"])
-        & (
-            purchases["purchase_ts"]
-            <= clicks["click_ts"] + F.expr(f"INTERVAL {max_gap}")
-        )
-    )
-    return (
-        clicks.join(purchases, cond, "full_outer")
-        .select(
-            F.coalesce("user_id", "p_user_id").alias("user_id"),
-            "click_id",
-            "purchase_id",
-            F.unix_micros("click_ts").alias("click_us"),
-            F.unix_micros("purchase_ts").alias("purchase_us"),
-            "purchase_value",
-        )
-    )
+    same sentinel pin as the left-outer variant applies."""
+    return _attribution_join(events, "full_outer", max_gap, watermark)
 
 
 def run_append_available_now(
