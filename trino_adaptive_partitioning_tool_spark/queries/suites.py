@@ -323,6 +323,7 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("embedding_quantization_stats",
      ["vec_id", "label", "n_dims"], ["scale", "max_abs_err"]),
     ("similarity_ivf_topk", ["query_id", "vec_id", "rank"], ["cosine"]),
+    ("similarity_pq_topk", ["query_id", "vec_id", "rank"], ["l2"]),
     ("similarity_topk_bruteforce",
      ["query_id", "vec_id", "rank"], ["cosine"]),
 ]
