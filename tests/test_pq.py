@@ -58,3 +58,25 @@ def test_pq_deterministic(spark):
     x = sorted(map(tuple, pq.pq_topk_rerank(emb, q, k=3).collect()))
     y = sorted(map(tuple, pq.pq_topk_rerank(emb, q, k=3).collect()))
     assert x == y
+
+
+def test_string_query_ids(spark):
+    """The ADC table carries the caller's query-id type — string ids
+    must survive pq_topk instead of failing createDataFrame."""
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    q = _queries(emb, 2).select(
+        F.concat(F.lit("q-"), F.col("query_id")).alias("query_id"),
+        "embedding",
+    )
+    top = pq.pq_topk(emb, q, k=1).collect()
+    assert {r["query_id"] for r in top} == {"q-0", "q-1"}
+    assert all(isinstance(r["query_id"], str) for r in top)
+
+
+def test_empty_corpus_raises(spark):
+    import pytest
+
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    empty = emb.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq.train_codebooks(empty)

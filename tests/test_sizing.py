@@ -103,3 +103,15 @@ def test_with_keyed_salt_consumes_advice(spark):
     assert {r["k"]: r["n"] for r in two_phase.collect()} == {
         "hot": 100, "cold": 2
     }
+
+
+def test_table_file_metadata_rejects_scale_mismatch(spark):
+    """table_file_metadata's oracle pins footer paths to PARITY_SF_DIR at
+    registration; running the Spark side against another scale must fail
+    loudly instead of silently comparing two different directories."""
+    import pytest
+
+    from trino_adaptive_partitioning_tool_spark.queries import advisor
+
+    with pytest.raises(ValueError, match="pinned to the parity scale"):
+        advisor.table_file_metadata(spark, "/root/testdata/sf0.001")

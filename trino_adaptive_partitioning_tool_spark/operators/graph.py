@@ -116,7 +116,6 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
 
 def _cc_star_rounds(e: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star rounds — the 100 TB path."""
-    source = e
     prev: tuple | None = None
     converged = False
     # max_iter bounds PRODUCTIVE rounds; convergence is only observable
@@ -129,10 +128,15 @@ def _cc_star_rounds(e: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if rnd == 0:
-            # round 1 is materialized (eager checkpoint), so the cached
-            # input edge set has no remaining live reference — release it
-            source.unpersist()
+        # NOTE: the cached input (`source`) is NOT unpersisted here even
+        # though round 1's eager checkpoint drops the last live
+        # reference in THIS call: the CacheManager entry is keyed by
+        # canonicalized plan and deliberately shared across repeated
+        # calls over the same memoized pair pipeline (see
+        # connected_components) — unpersisting would force the next
+        # call to re-execute the whole upstream pair generation.
+        # MEMORY_ONLY blocks are evictable, so leaving the entry costs
+        # at most recompute-on-miss under pressure.
         # checksum over the just-materialized (in-memory) edges: edge
         # SETS are equal iff (count, order-independent hash sum) agree —
         # the fixed point of ls∘ss is a literal edge-set fixed point

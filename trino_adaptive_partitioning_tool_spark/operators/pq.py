@@ -39,7 +39,10 @@ def train_codebooks(
     centers are the codebooks). At scale, fit on a sample — codebooks
     only need the coarse geometry per subspace."""
     dvec = corpus.select(_as_double(F.col(vec_col)).alias("v"))
-    dim = len(dvec.first()["v"])
+    head = dvec.first()
+    if head is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = len(head["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -122,8 +125,11 @@ def pq_topk(
             for i in range(len(books))
         ]
         qtab.append((r["query_id"], dtab))
+    # carry the caller's query-id type (string ids are common) instead of
+    # assuming long
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     qdf = spark.createDataFrame(
-        qtab, "query_id long, dtab array<array<double>>"
+        qtab, f"query_id {qid_type}, dtab array<array<double>>"
     )
 
     scored = codes.crossJoin(F.broadcast(qdf)).select(

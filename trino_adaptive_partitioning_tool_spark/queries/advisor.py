@@ -1064,15 +1064,19 @@ def partition_layout_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parity_sf_dir() -> str:
+    import os
+
+    return os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _file_metadata_oracle() -> str:
     # Footer paths are resolved at oracle-build time to the driver's
     # correctness scale (PARITY_SF_DIR, default sf0.01) — the one scale
     # at which Spark result and oracle are ever compared. DuckDB parses
     # the same footers with its own reader, so a green row means two
     # independent parquet implementations agree on the physical layout.
-    import os
-
-    sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    sf = _parity_sf_dir()
     # top-level column count = the root schema node's num_children
     # (COUNT(*)-1 over parquet_schema would count nested list/element
     # nodes and disagree with the logical width on array columns)
@@ -1093,7 +1097,22 @@ def _file_metadata_oracle() -> str:
 def table_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only probe of every table's parquet footer (rows, row
     groups, columns) — the `$metadata` analog (sources/tables.py). The
-    oracle parses the same footers with DuckDB's independent reader."""
+    oracle parses the same footers with DuckDB's independent reader.
+
+    The oracle's footer paths are pinned at registration time to the
+    parity scale (PARITY_SF_DIR); running the Spark side against any
+    other directory would silently compare footers from two different
+    scales, so a mismatch fails loudly here instead."""
+    import os
+
+    pinned = _parity_sf_dir()
+    if os.path.realpath(sf_dir) != os.path.realpath(pinned):
+        raise ValueError(
+            f"table_file_metadata is pinned to the parity scale "
+            f"{pinned!r} (its DuckDB oracle resolves footer paths at "
+            f"registration time); got sf_dir={sf_dir!r}. Set "
+            f"PARITY_SF_DIR before import to compare another scale."
+        )
     rows = tables.file_metadata(sf_dir)
     return spark.createDataFrame(
         [

@@ -188,8 +188,11 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     matter how the feed micro-batches, the last emitted (n_events,
     total_value) per user equals the batch aggregate over all events —
     and the rn=1 extraction below selects exactly that final row, so the
-    result is deterministic and SQL-expressible. stream==batch
-    equivalence per micro-batch stays asserted in
+    result is deterministic and SQL-expressible. The state operator
+    emits the RAW running total; rounding happens here with F.round
+    (HALF_UP, the same convention DuckDB's ROUND applies) rather than
+    Python round() (banker's), so exact 4-decimal ties agree.
+    stream==batch equivalence per micro-batch stays asserted in
     tests/test_stateful_streaming.py."""
     import uuid as _uuid
 
@@ -221,6 +224,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("total_value", F.round(F.col("total_value"), 4))
     )
 
 

@@ -98,8 +98,12 @@ def _update_user_totals(
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
     state.update((n, total))
+    # emit the raw running total: rounding for display/oracle parity is
+    # applied downstream with F.round (HALF_UP, matching DuckDB ROUND) —
+    # Python's round() is banker's rounding and diverges on exact
+    # 4-decimal ties (see queries/streaming_q.py)
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
 
 
