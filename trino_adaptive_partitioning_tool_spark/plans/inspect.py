@@ -40,9 +40,15 @@ def physical_plan(df: DataFrame, execute: bool = False) -> str:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
-        df._jdf.queryExecution(), "formatted"
-    )
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 _JOIN_NODE_RE = re.compile(
@@ -105,24 +111,76 @@ def referenced_columns(df: DataFrame) -> dict[str, list[str]]:
     return {"filter_columns": sorted(filters), "join_columns": sorted(joins)}
 
 
+def _initial_plan_node_ids(fp: str) -> set[int]:
+    """Node ids printed under `== Initial Plan ==` tree scopes. AQE
+    plans (and every cached sub-plan) render both the final and the
+    initial tree; the initial one is a pre-runtime duplicate and must
+    not count toward plan-shape totals. Scopes are indent-delimited:
+    a scope covers the deeper-indented lines following its marker."""
+    excluded: set[int] = set()
+    scopes: list[int] = []
+    for line in fp.splitlines():
+        indent = len(line) - len(line.lstrip())
+        while scopes and line.strip() and indent <= scopes[-1]:
+            scopes.pop()
+        if "== Initial Plan ==" in line:
+            scopes.append(indent)
+            continue
+        if scopes:
+            excluded.update(int(n) for n in re.findall(r"\((\d+)\)", line))
+    return excluded
+
+
+_DETAIL_HEADER_RE = re.compile(r"^\((\d+)\) ([A-Za-z]+)", re.M)
+
+
 def plan_manifest(df: DataFrame) -> dict:
     """Compact plan-shape summary for the bench JSON — the properties
     that carry to 100 TB, as data rather than prose: exchange count,
     broadcast count, join strategies, and how many predicates reached
-    the scan as pushed / partition filters. One plan-string pass,
-    reusing the same node patterns as the individual helpers above so
-    the bench block can never drift from the plan tests."""
-    plan = physical_plan(df)
-    joins: dict[str, int] = {}
-    for j in _JOIN_NODE_RE.findall(plan):
-        joins[j] = joins.get(j, 0) + 1
+    the scan as pushed / partition filters.
+
+    Counts come from the FORMATTED plan, which numbers every physical
+    node exactly once — the tree-string helpers above re-print a cached
+    or reused subtree at every reference, so a multi-reference pipeline
+    (e.g. the funnel's cached survivor frame) would inflate textual
+    counts ~8x. Initial-plan duplicates are excluded by node id."""
+    fp = formatted_plan(df)
+    excluded = _initial_plan_node_ids(fp)
+    counts: dict[str, int] = {}
+    blocks: list[tuple[int, str, int]] = []  # (id, name, start offset)
+    for m in _DETAIL_HEADER_RE.finditer(fp):
+        nid, name = int(m.group(1)), m.group(2)
+        blocks.append((nid, name, m.start()))
+        if nid not in excluded:
+            counts[name] = counts.get(name, 0) + 1
+    joins = {
+        j: counts[j]
+        for j in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+        if counts.get(j)
+    }
+    pushed = partition = 0
+    for i, (nid, _name, start) in enumerate(blocks):
+        if nid in excluded:
+            continue
+        end = blocks[i + 1][2] if i + 1 < len(blocks) else len(fp)
+        detail = fp[start:end]
+        pushed += len(_bracket_entries(detail, "PushedFilters"))
+        partition += len(_bracket_entries(detail, "PartitionFilters"))
     return {
-        "exchanges": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning"),
-        "broadcasts": plan.count("BroadcastExchange"),
+        "exchanges": counts.get("Exchange", 0),
+        "broadcasts": counts.get("BroadcastExchange", 0),
+        "reused_subplans": counts.get("InMemoryTableScan", 0)
+        + counts.get("ReusedExchange", 0),
         "joins": joins,
-        "pushed_filters": len(_bracket_entries(plan, "PushedFilters")),
-        "partition_filters": len(_bracket_entries(plan, "PartitionFilters")),
+        "pushed_filters": pushed,
+        "partition_filters": partition,
     }
 
 
