@@ -64,6 +64,8 @@ HEADLINE_QUERIES = [
     "pii_redaction_stats",
     "document_chunking_stats",
     "decontamination_ngram_overlap",
+    "duplicate_span_stats",
+    "source_cap_report",
     "corpus_top_tokens",
     "bm25_search_topk",
     "corpus_filter_funnel",

@@ -81,3 +81,34 @@ def test_pack_sequences_fill_and_budget(spark):
     ).where("pack_id < last")
     bad = nonfinal.where(F.col("tok") + F.col("mx") < 512).count()
     assert bad == 0
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    docs = _docs(spark)
+    capped = sampling.cap_per_group(docs, "lang", "doc_id", cap=7)
+    per = {
+        r["lang"]: r["n"]
+        for r in capped.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in per.items():
+        assert n == min(7, full[lang])
+    # hash-rank selection: identical membership on a re-run and under a
+    # different partitioning of the input
+    a = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.cap_per_group(
+            docs.repartition(13), "lang", "doc_id", cap=7
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b

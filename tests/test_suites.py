@@ -16,7 +16,7 @@ from pyspark.sql.types import DoubleType
 from trino_adaptive_partitioning_tool_spark.queries import registry, suites
 from trino_adaptive_partitioning_tool_spark.queries.registry import _PRIORITY
 
-from conftest import SMOKE_SF_DIR
+from conftest import PARITY_SF_DIR, SMOKE_SF_DIR
 
 _SPEC_GROUPS = (
     suites._RELATIONAL,
@@ -39,7 +39,10 @@ _ALL_SPECS = [t for g in _SPEC_GROUPS for t in g]
     ids=[s[0] for s in _ALL_SPECS],
 )
 def test_digest_spec_matches_live_schema(spark, name, exact_cols, dbl_cols):
-    df = registry.queries()[name](spark, SMOKE_SF_DIR)
+    # table_file_metadata is pinned to the parity scale (its oracle
+    # resolves footer paths at registration) and raises elsewhere
+    sf = PARITY_SF_DIR if name == "table_file_metadata" else SMOKE_SF_DIR
+    df = registry.queries()[name](spark, sf)
     by_name = {f.name: f.dataType for f in df.schema.fields}
     assert set(exact_cols) | set(dbl_cols) == set(by_name), name
     for c in dbl_cols:

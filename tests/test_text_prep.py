@@ -170,3 +170,24 @@ def test_lm_bigram_scores_hand_computed(spark):
     assert d2["avg_logp"] == round(lp_ab, 4)
     assert d2["pseudo_ppl"] == round(math.exp(-lp_ab), 4)
     assert 3 not in rows  # single-token doc has no bigrams
+
+
+def test_duplicate_span_stats_verbatim_copies(spark):
+    """Two verbatim copies share every span (ratio 1.0); a unique doc
+    shares none; docs shorter than n emit no row."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, text),
+        (2, text),
+        (3, "one unique sentence with eight entirely distinct little words"),
+        (4, "too short"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ops.duplicate_span_stats(_docs(spark, rows), n=8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["shared_span_ratio"] == 1.0
+    assert out[2]["shared_span_ratio"] == 1.0
+    assert out[3]["n_shared_spans"] == 0
+    assert out[1]["n_spans"] == 3  # 10 tokens -> 3 distinct 8-gram spans

@@ -84,6 +84,36 @@ def stratified_sample(
     return df.where(b < quota)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Deterministic per-group row cap ("domain throttling"): keep at
+    most ``cap`` rows per group, selected by stable id-hash rank — the
+    web-corpus curation step that stops a single domain/source from
+    dominating the training mixture.
+
+    Hash-rank selection (not first-N-in-scan-order) keeps the choice
+    reproducible across re-runs and re-partitioning, and uniform over
+    each group rather than biased toward early files. One shuffle on
+    ``group_col``; a hot group sorts within its own partitions only
+    (row_number, no global sort). For groups big enough that even one
+    group exceeds a task, pre-thin with `stratified_sample` at a rate
+    just above cap/count first — the hash order is salted differently,
+    so thinning then capping stays deterministic."""
+    order = md5_60(
+        F.concat_ws("|", F.lit("cap"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col))
+    return (
+        df.withColumn("__cap_rank", F.row_number().over(w))
+        .where(F.col("__cap_rank") <= cap)
+        .drop("__cap_rank")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

@@ -314,6 +314,49 @@ def decontamination_overlap(
     )
 
 
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document duplicated-span fraction: per document, the share
+    of its distinct n-token spans that also occur in at least one OTHER
+    document — the span-level dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    approximated at shingle granularity instead of suffix arrays (the
+    distributed-friendly form: every step is an equi-join on the span
+    hash). Complements repetition_stats, which is within-document only.
+
+    Returns (id, n_spans, n_shared_spans, shared_span_ratio); documents
+    shorter than n tokens emit no row.
+
+    Scale shape: one shuffle of the (id, h) stream by h serves BOTH the
+    doc-frequency aggregate and the annotate join (exchange reuse), then
+    one groupBy(id). Span hashes are corpus-scale but never collected or
+    broadcast."""
+    h = ngram_hashes(docs, n, id_col, text_col, distinct=True)
+    dfreq = h.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        h.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_shared_spans",
+            F.round(
+                F.col("n_shared_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("shared_span_ratio"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

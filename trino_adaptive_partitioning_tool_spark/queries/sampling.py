@@ -75,6 +75,69 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_CAP = 18
+_CAP_ORDER = md5_60_sql("concat_ws('|', 'cap', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "source_cap_report",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY {_CAP_ORDER}, doc_id
+             ) AS r
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r > {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN r <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap enforcement ("domain throttling"): at most
+    {_SOURCE_CAP} documents kept per source, chosen by stable id-hash
+    rank (operators/sampling.cap_per_group) — the curation step that
+    stops one domain from dominating the mixture. Reports per-source
+    attrition; the oracle replays the identical hash-ranked window."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_60
+
+    order = md5_60(
+        F.concat_ws("|", F.lit("cap"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("r", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("r") <= _SOURCE_CAP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("r") > _SOURCE_CAP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("r") <= _SOURCE_CAP, F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "sequence_packing_stats",
     oracle=f"""

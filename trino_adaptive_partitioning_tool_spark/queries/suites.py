@@ -285,6 +285,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["null_rate"]),
     ("document_chunking_stats",
      ["doc_id", "n_chunks", "total_chunk_chars", "chunks_md5"], []),
+    ("duplicate_span_stats",
+     ["doc_id", "n_spans", "n_shared_spans"], ["shared_span_ratio"]),
     ("lateral_explode_tokens", ["doc_id", "tok"], []),
     ("pii_redaction_stats",
      ["doc_id", "n_email", "n_url", "n_phone", "redacted_md5"], []),
@@ -391,6 +393,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("shuffle_partition_advice",
      ["query_id", "input_bytes", "advised_partitions"], []),
     ("skew_salt_advice", ["key", "n_rows", "salt_factor"], []),
+    ("source_cap_report",
+     ["source", "n_docs", "n_kept", "n_dropped", "kept_chars"], []),
     ("stratified_sample_stats", ["lang", "n_docs", "total_chars"], []),
     ("table_file_metadata",
      ["table_name", "n_rows", "n_row_groups", "n_columns"], []),

@@ -408,6 +408,35 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     return ops.decontamination_overlap(train, bench, n=_DECON_N)
 
 
+_SPAN_N = 8
+
+
+@register(
+    "duplicate_span_stats",
+    memo=True,
+    oracle=f"""
+    WITH {_ngram_hash_cte(_SPAN_N)},
+    dfreq AS (SELECT h, COUNT(*) AS ndocs FROM e GROUP BY h)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_spans,
+           ROUND(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_span_ratio
+    FROM e JOIN dfreq USING (h)
+    GROUP BY e.doc_id
+    """,
+)
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span report: per document, how many of
+    its distinct 8-token spans occur in other documents too — the
+    span-level (sub-document) dedup signal of Lee et al. 2021, as a
+    pure equi-join dataflow (operators/text.duplicate_span_stats). The
+    oracle replays the identical shingle-hash join in DuckDB."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.duplicate_span_stats(docs, n=_SPAN_N)
+
+
 @register(
     "text_repetition_stats",
     oracle=f"""
