@@ -422,6 +422,108 @@ def mined_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Workload drift: the "adaptive" in adaptive partitioning over TIME.
+# The reference advises from one log snapshot; a deployed advisor re-runs
+# on a schedule, and what matters operationally is whether the mined
+# column-usage signal has SHIFTED enough to change the layout decision.
+# ---------------------------------------------------------------------------
+_DRIFT_CUTOFF = "2025-06-01 00:00:00"
+
+
+@register(
+    "workload_drift_report",
+    memo=True,
+    oracle=f"""
+    WITH {_LOGS_CTE},
+    {_MINED_CTE},
+    usage AS (
+      SELECT m.kind, m.name,
+        CAST(SUM(CASE WHEN l.create_time < TIMESTAMP '{_DRIFT_CUTOFF}'
+                 THEN m.cnt ELSE 0 END) AS BIGINT) AS n_early,
+        CAST(SUM(CASE WHEN l.create_time >= TIMESTAMP '{_DRIFT_CUTOFF}'
+                 THEN m.cnt ELSE 0 END) AS BIGINT) AS n_late
+      FROM mined m JOIN query_logs l USING (query_id)
+      WHERE m.kind IN ('join_column', 'where_column') AND m.name <> ''
+      GROUP BY m.kind, m.name
+    ),
+    ranked AS (
+      SELECT kind, name, n_early, n_late,
+        CASE WHEN n_early > 0 THEN ROW_NUMBER() OVER (
+          PARTITION BY kind ORDER BY n_early DESC, name) END AS rank_early,
+        CASE WHEN n_late > 0 THEN ROW_NUMBER() OVER (
+          PARTITION BY kind ORDER BY n_late DESC, name) END AS rank_late
+      FROM usage
+    )
+    SELECT kind, name, n_early, n_late,
+      CAST(rank_early AS BIGINT) AS rank_early,
+      CAST(rank_late AS BIGINT) AS rank_late,
+      CASE WHEN n_early = 0 THEN 'new'
+           WHEN n_late = 0 THEN 'dropped'
+           WHEN rank_late < rank_early THEN 'risen'
+           WHEN rank_late > rank_early THEN 'fallen'
+           ELSE 'stable' END AS status
+    FROM ranked ORDER BY kind, name
+    """,
+)
+def workload_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined column-usage drift between two log windows (before/after
+    the _DRIFT_CUTOFF date): per (kind, column), early vs late usage
+    counts, within-kind ranks, and a status flag (new / dropped /
+    risen / fallen / stable). A column whose rank rises into the top
+    band is a re-partitioning trigger for the next advisor run — the
+    time dimension the reference's one-shot analysis lacks. Ranks only
+    count windows where the column actually appears; ordering is
+    deterministic (count desc, name)."""
+    from pyspark.sql import Window
+
+    from ..operators import mining
+
+    logs = fixtures.query_logs_df(spark)
+    mined = mining.mine_query_log(logs).where(
+        F.col("kind").isin("join_column", "where_column")
+        & (F.col("name") != "")
+    )
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    j = mined.join(
+        F.broadcast(logs.select("query_id", "create_time")), "query_id"
+    )
+    usage = j.groupBy("kind", "name").agg(
+        F.sum(F.when(F.col("create_time") < cutoff, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_early"),
+        F.sum(
+            F.when(F.col("create_time") >= cutoff, F.col("cnt")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_late"),
+    )
+    w_early = Window.partitionBy("kind").orderBy(
+        F.col("n_early").desc(), "name"
+    )
+    w_late = Window.partitionBy("kind").orderBy(F.col("n_late").desc(), "name")
+    ranked = usage.select(
+        "kind",
+        "name",
+        "n_early",
+        "n_late",
+        F.when(F.col("n_early") > 0, F.row_number().over(w_early))
+        .cast("bigint")
+        .alias("rank_early"),
+        F.when(F.col("n_late") > 0, F.row_number().over(w_late))
+        .cast("bigint")
+        .alias("rank_late"),
+    )
+    status = (
+        F.when(F.col("n_early") == 0, F.lit("new"))
+        .when(F.col("n_late") == 0, F.lit("dropped"))
+        .when(F.col("rank_late") < F.col("rank_early"), F.lit("risen"))
+        .when(F.col("rank_late") > F.col("rank_early"), F.lit("fallen"))
+        .otherwise(F.lit("stable"))
+    )
+    return ranked.withColumn("status", status).orderBy("kind", "name")
+
+
 def _mined_ddl_fixture_rows() -> list[tuple]:
     """mine_view_ddl's deterministic output over the MV fixture DDLs
     (the ddl_join_column usage signal, reference src/partitioning.py:82-86)."""

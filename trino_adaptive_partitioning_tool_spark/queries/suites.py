@@ -400,6 +400,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["table_name", "n_rows", "n_row_groups", "n_columns"], []),
     ("weighted_bernoulli_sample",
      ["lang", "n_kept", "n_total", "kept_chars"], []),
+    ("workload_drift_report",
+     ["kind", "name", "n_early", "n_late", "rank_early", "rank_late",
+      "status"], []),
 ]
 
 
