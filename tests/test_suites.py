@@ -154,3 +154,14 @@ def test_digest_detects_value_and_count_mutations(duck):
     want_g = digest_of(base_g)
     got_g = digest_of(dbl_mutant)
     assert got_g != want_g, "1e-4 double mutation not detected"
+
+
+def test_every_query_window_or_digest_certified():
+    """No registered query may silently fall outside driver
+    certification: each must be in the 50-query priority window or
+    folded into a digest (digests themselves sit in the window)."""
+    qs = set(registry.queries())
+    folded = {t[0] for t in _ALL_SPECS}
+    digests = {n for n in qs if n.endswith("_digest")}
+    uncovered = qs - set(_PRIORITY) - folded - digests
+    assert not uncovered, f"uncertified queries: {sorted(uncovered)}"
