@@ -191,3 +191,22 @@ def test_duplicate_span_stats_verbatim_copies(spark):
     assert out[2]["shared_span_ratio"] == 1.0
     assert out[3]["n_shared_spans"] == 0
     assert out[1]["n_spans"] == 3  # 10 tokens -> 3 distinct 8-gram spans
+
+
+def test_duplicate_span_stats_skew_safe_path_identical(spark):
+    """The AQE-skew-join fallback must produce exactly the window-path
+    result (same distinct (id, h) substrate, same counts)."""
+    rows = [
+        (1, "a b c d e f g h i j k"),
+        (2, "a b c d e f g h i j k extra words here"),
+        (3, "totally different words one two three four five six seven"),
+    ]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, ops.duplicate_span_stats(docs, n=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ops.duplicate_span_stats(docs, n=8, skew_safe=True).collect(),
+        )
+    )
+    assert a == b

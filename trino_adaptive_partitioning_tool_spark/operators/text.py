@@ -319,6 +319,7 @@ def duplicate_span_stats(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """CROSS-document duplicated-span fraction: per document, the share
     of its distinct n-token spans that also occur in at least one OTHER
@@ -331,15 +332,27 @@ def duplicate_span_stats(
     Returns (id, n_spans, n_shared_spans, shared_span_ratio); documents
     shorter than n tokens emit no row.
 
-    Scale shape: one shuffle of the (id, h) stream by h serves BOTH the
-    doc-frequency aggregate and the annotate join (exchange reuse), then
-    one groupBy(id). Span hashes are corpus-scale but never collected or
-    broadcast."""
+    Scale shape: one shuffle of the (id, h) stream by h, one
+    groupBy(id); span hashes are corpus-scale but never collected or
+    broadcast. Default path annotates each (id, h) row with its span's
+    doc-frequency via an unordered COUNT window over h — no join, ~3x
+    faster than aggregate-then-join at sf0.1. WindowExec buffers one
+    h-group at a time (spillable), so a boilerplate span shared by
+    millions of documents makes one long task; for corpora with that
+    profile pass ``skew_safe=True`` to use the aggregate + equi-join
+    form instead, whose skewed join AQE splits automatically."""
+    from pyspark.sql import Window
+
     h = ngram_hashes(docs, n, id_col, text_col, distinct=True)
-    dfreq = h.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    if skew_safe:
+        dfreq = h.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+        ann = h.join(dfreq, "h")
+    else:
+        ann = h.withColumn(
+            "ndocs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
     return (
-        h.join(dfreq, "h")
-        .groupBy("id")
+        ann.groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
             F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
