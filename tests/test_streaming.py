@@ -254,3 +254,28 @@ def test_outer_attribution_stream_equals_batch(spark):
     )
     assert got == want
     assert any(t[2] is None for t in got), "no outer rows exercised"
+
+
+def test_streaming_similarity_ingest_equals_batch_lsh(spark):
+    """The stream-static candidate join is slicing-invariant, so the
+    drained + ranked result must equal batch lsh_bucketed_topk for the
+    identical query set."""
+    from pyspark.sql import functions as F
+
+    from conftest import SMOKE_SF_DIR
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        similarity as sim_ops,
+    )
+    from trino_adaptive_partitioning_tool_spark.queries import streaming_q
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    streamed = streaming_q.streaming_similarity_ingest(spark, SMOKE_SF_DIR)
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    queries = emb.where(
+        (F.col("vec_id") >= streaming_q._INGEST_LO)
+        & (F.col("vec_id") < streaming_q._INGEST_HI)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    batch = sim_ops.lsh_bucketed_topk(emb, queries, k=5)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

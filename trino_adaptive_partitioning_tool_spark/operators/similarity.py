@@ -208,6 +208,24 @@ def lsh_bucketed_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
+    return rank_candidates(
+        corpus, queries, cand_ids, k, id_col, vec_col, query_id_col
+    )
+
+
+def rank_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-cosine top-k over a prebuilt (query_id, vec_id) candidate
+    set — the shared scoring tail of every bucketed ANN path (batch LSH
+    and the streaming ingest twin). Vectors are fetched for candidate
+    ids only; the query side broadcasts (query-set-sized)."""
     cvecs = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cvec")
     )

@@ -51,7 +51,11 @@ def _lsh_sig_cte(n_planes: int, n_tables: int, dim: int = 64) -> str:
     )
 
 
-def _lsh_topk_oracle() -> str:
+def _lsh_topk_oracle(query_pred: str = f"q.vec_id < {_N_QUERIES}") -> str:
+    """Also the oracle of the STREAMING ingest twin
+    (queries/streaming_q.streaming_similarity_ingest), which passes its
+    own query-set predicate — the stream-static candidate join is
+    slicing-invariant, so the drained result equals this batch SQL."""
     return f"""
     WITH {_lsh_sig_cte(12, 4)},
     cand AS (
@@ -59,7 +63,7 @@ def _lsh_topk_oracle() -> str:
       FROM sigs c
       JOIN sigs q ON c.table_idx = q.table_idx
                  AND c.signature = q.signature
-      WHERE q.vec_id < {_N_QUERIES}
+      WHERE {query_pred}
     ),
     scored AS (
       SELECT cand.query_id, cand.vec_id,

@@ -664,3 +664,66 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("lang")
+
+
+_INGEST_LO, _INGEST_HI = 40, 60  # the streamed "new vector" id range
+
+
+def _ingest_oracle() -> str:
+    from .similarity import _lsh_topk_oracle
+
+    return _lsh_topk_oracle(
+        f"q.vec_id >= {_INGEST_LO} AND q.vec_id < {_INGEST_HI}"
+    )
+
+
+@register("streaming_similarity_ingest", oracle=_ingest_oracle())
+def streaming_similarity_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector ingest: new embeddings stream in, every
+    micro-batch computes quantized LSH signatures and joins the STATIC
+    pre-bucketed corpus (stream-static equi-join on (table_idx,
+    signature), stateless — no watermark), candidates append to the
+    sink, and exact-cosine top-k ranks once at drain time
+    (streaming/vector_ingest.py).
+
+    Full oracle: the candidate set is slicing-invariant (a union of
+    per-batch inner joins against static state), so the drained result
+    equals batch lsh_bucketed_topk for the same query set — the oracle
+    IS the batch LSH SQL with this query-id range."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as sim_ops
+    from ..sources import tables
+    from ..streaming import vector_ingest
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    new_vecs = emb.where(
+        (F.col("vec_id") >= _INGEST_LO) & (F.col("vec_id") < _INGEST_HI)
+    )
+
+    def _write(d: str) -> None:
+        # cast float32 -> double BEFORE the JSON write so the feed
+        # round-trips the exact widened values the batch path quantizes
+        new_vecs.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).coalesce(2).write.mode("overwrite").json(f"{d}/vecs")
+
+    tmp = _memo_feed(spark, "vecingest", sf_dir, _write)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(f"{tmp}/vecs")
+    )
+    cand = vector_ingest.ingest_candidates(stream, emb)
+    name = f"stream_vec_{uuid.uuid4().hex[:8]}"
+    q = (
+        cand.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _fresh_ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cand_ids = spark.table(name).distinct()
+    queries = new_vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim_ops.rank_candidates(emb, queries, cand_ids, k=5)

@@ -480,6 +480,8 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
     ("streaming_sessionize",
      ["user_id", "session_start", "session_end", "n_events"],
      ["session_value"]),
+    ("streaming_similarity_ingest",
+     ["query_id", "vec_id", "rank"], ["cosine"]),
     ("streaming_stateful_user_totals",
      ["user_id", "n_events"], ["total_value"]),
     ("streaming_static_enrichment",
