@@ -263,6 +263,13 @@ _SHUFFLE_CEILINGS = {
     "winnow_containment_pairs": 5,
     "pii_redaction_stats": 1,
     "document_chunking_stats": 3,
+    # r6: shingle stream shuffled once by id (window), once by h
+    # (doc-frequency window), once by id (final rollup)
+    "duplicate_span_stats": 3,
+    # r6: one shuffle by source (cap window; the groupBy reuses its
+    # partitioning) + the final range sort
+    "source_cap_report": 2,
+    "workload_drift_report": 3,
 }
 
 
@@ -342,3 +349,24 @@ def test_star_cc_rounds_survive_no_broadcast_regime(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         got = _canon_rows(labels)
     assert got == want
+
+
+def test_streaming_ingest_join_survives_no_broadcast_regime(spark):
+    """The vector-ingest candidate join must not force a broadcast of
+    the corpus signature frame (corpus-sized at 100 TB): under
+    threshold=-1 its plan may contain zero BroadcastExchange nodes, and
+    results must be unchanged."""
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+    from trino_adaptive_partitioning_tool_spark.streaming import (
+        vector_ingest,
+    )
+
+    emb = tables.load_table(spark, SMOKE_SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    want = _canon_rows(vector_ingest.ingest_candidates(q, emb).distinct())
+    with _confs(spark, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        cand = vector_ingest.ingest_candidates(q, emb)
+        assert inspect.physical_plan(cand).count("BroadcastExchange") == 0
+        assert _canon_rows(cand.distinct()) == want
