@@ -125,3 +125,35 @@ def advise_salt_factors(
             .alias("salt_factor"),
         )
     )
+
+
+# NDV-tiered bucket counts for co-located join layouts: smallest power
+# of two with ~1000 distinct keys per bucket, clamped to [4, 64]. A CASE
+# ladder over exact integer thresholds (not POWER/LOG2 floats) so the
+# advice is bit-reproducible in any engine.
+JOIN_BUCKET_TIERS: tuple[tuple[int, int], ...] = (
+    (4_000, 4),
+    (8_000, 8),
+    (16_000, 16),
+    (32_000, 32),
+)
+JOIN_BUCKET_MAX = 64
+
+
+def bucket_tier_col(ndv: Column) -> Column:
+    """advised bucket count for an exact-NDV column (JOIN_BUCKET_TIERS)."""
+    expr: Column | None = None
+    for bound, buckets in JOIN_BUCKET_TIERS:
+        leg = F.when(ndv <= bound, F.lit(buckets))
+        expr = leg if expr is None else expr.when(ndv <= bound, F.lit(buckets))
+    assert expr is not None
+    return expr.otherwise(F.lit(JOIN_BUCKET_MAX)).cast("bigint")
+
+
+def bucket_tier_sql(ndv_expr: str) -> str:
+    """DuckDB rendering of bucket_tier_col (identical CASE ladder)."""
+    legs = " ".join(
+        f"WHEN {ndv_expr} <= {bound} THEN {buckets}"
+        for bound, buckets in JOIN_BUCKET_TIERS
+    )
+    return f"CAST(CASE {legs} ELSE {JOIN_BUCKET_MAX} END AS BIGINT)"

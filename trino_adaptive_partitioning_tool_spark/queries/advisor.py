@@ -524,6 +524,107 @@ def workload_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn("status", status).orderBy("kind", "name")
 
 
+def _bucket_advice_oracle() -> str:
+    """NDV legs resolved at registration time: the mined fixture's join
+    columns (pure miner output) intersected with each table's parquet
+    footer schema — schemas are identical across scale dirs, so unlike
+    footer COUNTS this resolution is scale-independent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators import sizing
+
+    join_cols = sorted(
+        {
+            name
+            for (_qid, kind, name, _cnt) in _mined_fixture_rows()
+            if kind == "join_column" and name
+        }
+    )
+    sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    legs = []
+    for t in tables.TABLES:
+        cols = set(pq.read_schema(f"{sf}/{t}.parquet").names)
+        for c in join_cols:
+            if c in cols:
+                legs.append(
+                    f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+                    f" COUNT(DISTINCT {c}) AS ndv FROM {t}"
+                )
+    ndv_cte = "\n      UNION ALL\n      ".join(legs)
+    return f"""
+    WITH {_MINED_CTE},
+    freq AS (
+      SELECT name AS column_name, CAST(SUM(cnt) AS BIGINT) AS join_freq
+      FROM mined WHERE kind = 'join_column' AND name <> ''
+      GROUP BY name
+    ),
+    ndv AS (
+      {ndv_cte}
+    )
+    SELECT n.table_name, f.column_name, f.join_freq,
+           CAST(n.ndv AS BIGINT) AS ndv,
+           {sizing.bucket_tier_sql("n.ndv")} AS advised_buckets
+    FROM freq f JOIN ndv n USING (column_name)
+    ORDER BY table_name, column_name
+    """
+
+
+@register("bucket_join_advice", memo=True, oracle=_bucket_advice_oracle())
+def bucket_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located-join bucketing advice: every join column the miner
+    finds in the workload, resolved to its owning table(s) by footer
+    schema, profiled for exact NDV, and assigned an NDV-tiered bucket
+    count (operators/sizing.JOIN_BUCKET_TIERS). Writing both sides of a
+    frequent equi-join bucketed by the advised counts removes the join
+    shuffle entirely — the Spark-native layout lever beside the
+    reference's partition transforms (its Trino/Iceberg analog is the
+    bucket(n) transform, src/partitioning.py). The per-pair NDV probe is
+    one aggregation per table over only the mined columns."""
+    from ..operators import mining, sizing
+
+    logs = fixtures.query_logs_df(spark)
+    mined = mining.mine_query_log(logs).where(
+        (F.col("kind") == "join_column") & (F.col("name") != "")
+    )
+    freq = mined.groupBy(F.col("name").alias("column_name")).agg(
+        F.sum("cnt").cast("bigint").alias("join_freq")
+    )
+    mined_cols = {r["column_name"] for r in freq.collect()}  # dimension-sized
+    ndv_frames = []
+    for t in tables.TABLES:
+        cols = [
+            c for c in tables.table_columns(spark, sf_dir, t)
+            if c in mined_cols
+        ]
+        if not cols:
+            continue
+        agg = tables.load_table(spark, sf_dir, t).agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+        )
+        stacked = agg.selectExpr(
+            f"stack({len(cols)}, "
+            + ", ".join(f"'{c}', {c}" for c in cols)
+            + ") AS (column_name, ndv)"
+        ).select(F.lit(t).alias("table_name"), "column_name", "ndv")
+        ndv_frames.append(stacked)
+    ndvs = ndv_frames[0]
+    for f_ in ndv_frames[1:]:
+        ndvs = ndvs.unionByName(f_)
+    return (
+        freq.join(ndvs, "column_name")
+        .select(
+            "table_name",
+            "column_name",
+            "join_freq",
+            F.col("ndv").cast("bigint").alias("ndv"),
+            sizing.bucket_tier_col(F.col("ndv")).alias("advised_buckets"),
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
 def _mined_ddl_fixture_rows() -> list[tuple]:
     """mine_view_ddl's deterministic output over the MV fixture DDLs
     (the ddl_join_column usage signal, reference src/partitioning.py:82-86)."""

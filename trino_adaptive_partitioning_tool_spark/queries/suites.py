@@ -365,6 +365,9 @@ _STATS_FUNCTIONS: list[tuple[str, list[str], list[str]]] = [
 ]
 
 _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
+    ("bucket_join_advice",
+     ["table_name", "column_name", "join_freq", "ndv", "advised_buckets"],
+     []),
     ("cms_heavy_hitters", ["user_id", "event_count"], []),
     ("dq_constraint_report",
      ["table_name", "check_name", "n_rows", "n_violations"],
