@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
     "text_quality_scores",
+    "text_model_quality_scores",
     "text_token_stats",
     "text_winnow_fingerprints",
     "winnow_containment_pairs",

@@ -210,3 +210,20 @@ def test_duplicate_span_stats_skew_safe_path_identical(spark):
         )
     )
     assert a == b
+
+
+def test_model_quality_scores_deterministic_and_null_safe(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ops.model_quality_scores(_docs(spark, rows)).collect()
+    }
+    # identical text -> identical features/score (hash weights, no RNG)
+    assert tuple(out[1])[1:] == tuple(out[3])[1:]
+    # empty doc: zero features, zero sum, score 0, gate passes (>= 0)
+    assert (out[2]["n_features"], out[2]["weight_sum"]) == (0, 0)
+    assert out[2]["model_score"] == 0.0 and out[2]["is_quality"]

@@ -314,6 +314,53 @@ def decontamination_overlap(
     )
 
 
+def model_quality_scores(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classifier-style quality filtering plumbing: hashed bag-of-words
+    features → linear score → keep gate, the fastText-shaped
+    model-based filter of pretraining pipelines (CCNet et al.). The
+    per-bucket weights here are a DETERMINISTIC hash-derived stand-in —
+    the documented seam where a trained model's weight vector would
+    load; the dataflow (feature hashing, linear scoring, thresholding)
+    is the production shape and is what this operator tests.
+
+    Exactness by construction: per-token weights are INTEGERS in
+    [-1000, 1000] (hash of the feature bucket), so the feature sum is
+    exact in any evaluation order on any engine; the only float ops are
+    one sqrt (IEEE correctly-rounded) and one division — which is why
+    the DuckDB oracle can hash-match the score to 6 decimals. Map-only:
+    pure column expressions above the scan, no shuffle, no UDF."""
+    toks = F.array_distinct(tokens_expr(text_col))
+
+    def _weight(tok: Column) -> Column:
+        bucket = md5_60(F.concat(F.lit("qw|"), tok)) % n_buckets
+        return (
+            md5_60(F.concat(F.lit("wt|"), bucket.cast("string"))) % 2001
+        ) - 1000
+
+    feats = F.transform(toks, _weight)
+    wsum = F.aggregate(
+        feats, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    n = F.size(feats)
+    score = F.round(
+        wsum
+        / (F.lit(1000.0) * F.sqrt(F.greatest(n, F.lit(1)).cast("double"))),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_features"),
+        wsum.alias("weight_sum"),
+        score.alias("model_score"),
+        (wsum >= 0).alias("is_quality"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     n: int = 8,

@@ -299,6 +299,9 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("text_language_id", ["doc_id", "predicted_lang", "marker_hits"], []),
     ("text_lm_perplexity",
      ["doc_id", "n_bigrams"], ["avg_logp", "pseudo_ppl"]),
+    ("text_model_quality_scores",
+     ["doc_id", "n_features", "weight_sum", "is_quality"],
+     ["model_score"]),
     ("text_quality_scores",
      ["doc_id"],
      ["stopword_ratio", "punct_ratio", "repetition_ratio", "length_score",

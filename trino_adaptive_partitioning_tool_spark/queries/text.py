@@ -408,6 +408,51 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     return ops.decontamination_overlap(train, bench, n=_DECON_N)
 
 
+_QW_BUCKETS = 4096
+
+
+def _model_quality_oracle() -> str:
+    from ..operators.dedup import md5_60_sql
+
+    bucket = md5_60_sql("'qw|' || t") + f" % {_QW_BUCKETS}"
+    weight = (
+        md5_60_sql(f"'wt|' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n_features,
+             CAST(COALESCE(list_sum(
+               list_transform(toks, t -> {weight})), 0) AS BIGINT)
+               AS weight_sum
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_features AS BIGINT) AS n_features,
+           weight_sum,
+           ROUND(weight_sum / (1000.0 *
+             sqrt(CAST(GREATEST(n_features, 1) AS DOUBLE))), 6)
+             AS model_score,
+           weight_sum >= 0 AS is_quality
+    FROM f
+    """
+
+
+@register("text_model_quality_scores", oracle=_model_quality_oracle())
+def text_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter plumbing (hashed linear classifier;
+    operators/text.model_quality_scores): feature hashing, integer
+    weight sum, sqrt-normalized score and keep gate — the fastText-
+    shaped filter stage with a deterministic weight stand-in at the
+    model seam. The oracle replays the identical integer hash
+    arithmetic, so the score is hash-checked to 6 decimals."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return ops.model_quality_scores(docs, n_buckets=_QW_BUCKETS)
+
+
 _SPAN_N = 8
 
 
