@@ -146,8 +146,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "multimodal_decode_stats",
     "train_test_split_counts",
-    # TPC-H composite (Q9 shape)
-    "product_profit_by_nation_year",
+    # r6 flagship: cross-document span-level dedup signal (the Q9 shape
+    # it displaces is folded into tpch_digest — still certified)
+    "duplicate_span_stats",
 )
 
 

@@ -248,6 +248,8 @@ _TPCH: list[tuple[str, list[str], list[str]]] = [
         ["l_linestatus", "high_line_count", "low_line_count"],
         [],
     ),
+    ("product_profit_by_nation_year",
+     ["nation", "o_year"], ["sum_profit"]),
     ("promo_revenue_share", [], ["promo_revenue", "total_revenue"]),
     ("range_interval_join",
      ["o_orderpriority", "lines_shipped_90d"], ["revenue_90d"]),
@@ -285,8 +287,6 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["null_rate"]),
     ("document_chunking_stats",
      ["doc_id", "n_chunks", "total_chunk_chars", "chunks_md5"], []),
-    ("duplicate_span_stats",
-     ["doc_id", "n_spans", "n_shared_spans"], ["shared_span_ratio"]),
     ("lateral_explode_tokens", ["doc_id", "tok"], []),
     ("pii_redaction_stats",
      ["doc_id", "n_email", "n_url", "n_phone", "redacted_md5"], []),
