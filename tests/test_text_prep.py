@@ -227,3 +227,30 @@ def test_model_quality_scores_deterministic_and_null_safe(spark):
     # empty doc: zero features, zero sum, score 0, gate passes (>= 0)
     assert (out[2]["n_features"], out[2]["weight_sum"]) == (0, 0)
     assert out[2]["model_score"] == 0.0 and out[2]["is_quality"]
+
+
+def test_minhash_signature_expr_matches_batch_operator(spark):
+    """The stateless per-row signature (streaming path) must equal the
+    batch window/groupBy operator's signature value-for-value."""
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators import dedup as dops
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "short doc"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    docs = _docs(spark, rows)
+    batch = {
+        r["id"]: r["minhash"]
+        for r in dops.minhash_signatures(docs).collect()
+    }
+    streaming_form = {
+        r["id"]: r["minhash"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            dops.minhash_signature_expr("text").alias("minhash"),
+        ).collect()
+    }
+    assert batch == streaming_form

@@ -202,33 +202,49 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
+def minhash_signature_expr(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
     shingle_k: int = DEFAULT_SHINGLE_K,
-    jaccard_threshold: float = 0.6,
+) -> Column:
+    """Per-row array<bigint> minhash signature — the STATELESS twin of
+    minhash_signatures (no window, no groupBy), legal inside a streaming
+    projection. Same family math (min over shingle md5s XOR C_i), so the
+    values are identical to the batch operator's; the higher-order-array
+    form runs on Spark's interpreted path and is only for small per-batch
+    streams — batch corpora should keep the codegen'd aggregate form."""
+    consts = _xor_family_constants(num_hashes)
+    hs_expr = F.transform(
+        shingles_expr(tokens_expr(text_col), shingle_k), md5_60
+    )
+
+    def _sig(hs):
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs, lambda h: h.bitwiseXOR(F.lit(c).cast("bigint"))
+                    )
+                )
+                for c in consts
+            ]
+        )
+
+    # bind the shingle-hash array once (same lambda-binding trick as
+    # shingles_expr — inlining hs_expr would re-hash per constant)
+    return F.transform(F.array(hs_expr), _sig)[0]
+
+
+def band_hashes(
+    sigs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, est_jaccard, n_common_bands).
-
-    Pipeline: signatures → band hashes → self-join on (band, band_hash) →
-    distinct candidate pairs → estimated Jaccard from full signature
-    agreement → threshold filter. The self-join is on the band-hash key,
-    so only docs sharing a band collide (candidate volume, not n²).
-    """
+    """(id, minhash, band, band_hash): the LSH banding step over an
+    (id, minhash) frame — md5_60 of each band's signature slice. Shared
+    by the batch self-join pipeline and the streaming ingest gate."""
     rows_per_band = num_hashes // bands
-    # materialize signatures before the self-join: the map-only signature
-    # plan has no shuffle boundary, so without this both join sides (x 16
-    # bands) would re-evaluate the whole tokenize→shingle→hash expression
-    # tree. Signatures are tiny (num_hashes longs per doc) — cache is the
-    # standard LSH pipeline barrier at any scale.
-    sigs = minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_k
-    ).cache()
-
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "minhash",
         F.explode(
@@ -253,6 +269,34 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("id", "minhash", "bh.band", "bh.band_hash")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard, n_common_bands).
+
+    Pipeline: signatures → band hashes → self-join on (band, band_hash) →
+    distinct candidate pairs → estimated Jaccard from full signature
+    agreement → threshold filter. The self-join is on the band-hash key,
+    so only docs sharing a band collide (candidate volume, not n²).
+    """
+    # materialize signatures before the self-join: the map-only signature
+    # plan has no shuffle boundary, so without this both join sides (x 16
+    # bands) would re-evaluate the whole tokenize→shingle→hash expression
+    # tree. Signatures are tiny (num_hashes longs per doc) — cache is the
+    # standard LSH pipeline barrier at any scale.
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k
+    ).cache()
+
+    banded = band_hashes(sigs, num_hashes, bands)
 
     left = banded.select(
         F.col("id").alias("id_a"),

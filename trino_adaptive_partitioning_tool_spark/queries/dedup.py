@@ -51,8 +51,13 @@ def _minhash_sig_ctes(
 def _minhash_banded_cte(
     bands: int = ops.DEFAULT_BANDS,
     num_hashes: int = ops.DEFAULT_NUM_HASHES,
+    source: str = "sig",
+    name: str = "banded",
 ) -> str:
-    """banded: one row per (doc, band) with the md5_60 band-bucket hash."""
+    """banded: one row per (doc, band) with the md5_60 band-bucket hash.
+    `source`/`name` let an oracle band several signature subsets (the
+    streaming dedup gate bands the corpus and the ingest split
+    separately)."""
     h = ops.md5_60_sql
     rpb = num_hashes // bands
     legs = []
@@ -60,9 +65,13 @@ def _minhash_banded_cte(
         cols = ", ".join(f"h{b * rpb + j}" for j in range(rpb))
         legs.append(
             f"SELECT doc_id, {b} AS band, "
-            f"{h(f'concat_ws(chr(44), {cols})')} AS band_hash FROM sig"
+            f"{h(f'concat_ws(chr(44), {cols})')} AS band_hash FROM {source}"
         )
-    return "banded AS (\n      " + "\n      UNION ALL\n      ".join(legs) + "\n    )"
+    return (
+        f"{name} AS (\n      "
+        + "\n      UNION ALL\n      ".join(legs)
+        + "\n    )"
+    )
 
 
 def _minhash_lsh_oracle(threshold: float) -> str:

@@ -727,3 +727,173 @@ def streaming_similarity_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = spark.table(name).distinct()
     queries = new_vecs.select(F.col("vec_id").alias("query_id"), "embedding")
     return sim_ops.rank_candidates(emb, queries, cand_ids, k=5)
+
+
+_GATE_MOD, _GATE_REM = 10, 7  # doc_id % 10 == 7 -> the streamed ingest split
+_GATE_THRESHOLD = 0.6
+
+
+def _dedup_gate_oracle() -> str:
+    from ..operators import dedup as dops
+    from .dedup import _minhash_banded_cte, _minhash_sig_ctes
+
+    n = dops.DEFAULT_NUM_HASHES
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    new_sig AS (SELECT * FROM sig WHERE doc_id % {_GATE_MOD} = {_GATE_REM}),
+    corpus_sig AS (
+      SELECT * FROM sig WHERE doc_id % {_GATE_MOD} <> {_GATE_REM}
+    ),
+    {_minhash_banded_cte(source="new_sig", name="new_banded")},
+    {_minhash_banded_cte(source="corpus_sig", name="corpus_banded")},
+    cand AS (
+      SELECT DISTINCT q.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM new_banded q
+      JOIN corpus_banded c
+        ON q.band = c.band AND q.band_hash = c.band_hash
+    ),
+    rolled AS (
+      SELECT new_id, COUNT(*) AS n_candidates FROM cand GROUP BY new_id
+    ),
+    scored AS (
+      SELECT c.new_id, c.corpus_id,
+             CAST({eq_sum} AS DOUBLE) / {n} AS est
+      FROM cand c
+      JOIN new_sig sa ON sa.doc_id = c.new_id
+      JOIN corpus_sig sb ON sb.doc_id = c.corpus_id
+    ),
+    best AS (
+      SELECT new_id, corpus_id, est,
+             ROW_NUMBER() OVER (
+               PARTITION BY new_id ORDER BY est DESC, corpus_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+           b.corpus_id AS best_match_id,
+           b.est AS best_est_jaccard,
+           COALESCE(b.est >= {_GATE_THRESHOLD}, FALSE) AS is_near_dup
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {_GATE_MOD} = {_GATE_REM}) d
+    LEFT JOIN rolled r ON r.new_id = d.doc_id
+    LEFT JOIN best b ON b.new_id = d.doc_id AND b.rn = 1
+    ORDER BY d.doc_id
+    """
+
+
+@register("streaming_dedup_gate", oracle=_dedup_gate_oracle())
+def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-duplicate gate: newly ingested documents stream in,
+    every micro-batch computes a STATELESS per-row minhash signature
+    (operators/dedup.minhash_signature_expr — same family math as the
+    batch operator, legal in a streaming projection) plus LSH band
+    hashes, and joins the static pre-banded corpus on (band, band_hash)
+    — the admission check a continuously-fed training corpus runs
+    before accepting a document.
+
+    Full oracle: the stream-static candidate join is stateless →
+    slicing-invariant; scoring (signature-agreement Jaccard, exact
+    /64 binary rational) and the per-document best-match rollup run
+    once at drain time, so the result equals the batch replay in SQL."""
+    from pyspark.sql import Window, functions as F
+
+    from ..operators import dedup as dops
+    from ..sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % _GATE_MOD) == _GATE_REM
+    corpus = docs.where(~is_new)
+    new_docs = docs.where(is_new)
+
+    corpus_banded = dops.band_hashes(
+        dops.minhash_signatures(corpus)
+    ).select(
+        F.col("id").alias("corpus_id"), "band", "band_hash"
+    )
+
+    def _write(d: str) -> None:
+        new_docs.select("doc_id", "text").coalesce(2).write.mode(
+            "overwrite"
+        ).json(f"{d}/docs")
+
+    tmp = _memo_feed(spark, "dedupgate", sf_dir, _write)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(f"{tmp}/docs")
+    )
+    stream_banded = dops.band_hashes(
+        stream.select(
+            F.col("doc_id").alias("id"),
+            dops.minhash_signature_expr("text").alias("minhash"),
+        )
+    ).select(F.col("id").alias("new_id"), "band", "band_hash")
+    cand_stream = stream_banded.join(
+        corpus_banded, ["band", "band_hash"]
+    ).select("new_id", "corpus_id")
+
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        cand_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _fresh_ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cand = spark.table(name).distinct()
+
+    n_hashes = dops.DEFAULT_NUM_HASHES
+    new_sigs = dops.minhash_signatures(new_docs).select(
+        F.col("id").alias("new_id"), F.col("minhash").alias("mh_new")
+    )
+    corpus_sigs = dops.minhash_signatures(corpus).select(
+        F.col("id").alias("corpus_id"), F.col("minhash").alias("mh_corpus")
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "mh_new",
+            "mh_corpus",
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_hashes))
+    scored = (
+        cand.join(new_sigs, "new_id")
+        .join(corpus_sigs, "corpus_id")
+        .select("new_id", "corpus_id", est.alias("est"))
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est").desc(), F.col("corpus_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", "corpus_id", "est")
+    )
+    rolled = cand.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(rolled, F.col("doc_id") == rolled.new_id, "left")
+        .drop("new_id")
+        .join(best, F.col("doc_id") == best.new_id, "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.col("corpus_id").alias("best_match_id"),
+            F.col("est").alias("best_est_jaccard"),
+            F.coalesce(
+                F.col("est") >= _GATE_THRESHOLD, F.lit(False)
+            ).alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -475,6 +475,9 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
      ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
      ["purchase_value"]),
     ("streaming_dedup_events", ["event_type", "n_events"], ["total_value"]),
+    ("streaming_dedup_gate",
+     ["doc_id", "n_candidates", "best_match_id", "is_near_dup"],
+     ["best_est_jaccard"]),
     ("streaming_incremental_stats",
      ["n_partitions", "n_rows", "exact_distinct_user_id",
       "exact_distinct_event_type", "user_id_gate_ok", "event_type_gate_ok"],
