@@ -269,6 +269,9 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
     ("full_outer_daily_activity", ["day", "n_orders", "n_events"], []),
     ("rolling_7day_revenue",
      ["o_orderpriority", "day", "days_in_window"], ["rev_7d"]),
+    ("user_retention_cohorts",
+     ["cohort_week", "week_offset", "n_active", "cohort_size"],
+     ["retention_rate"]),
     ("user_value_trend",
      ["user_id", "n_events"], ["slope_per_day", "value_time_corr"]),
 ]

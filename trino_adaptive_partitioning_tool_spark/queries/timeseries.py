@@ -231,3 +231,80 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events WHERE ts IS NOT NULL
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    ),
+    joined AS (
+      SELECT c.cohort_week,
+             CAST(datediff('day', c.cohort_week, a.week) / 7 AS BIGINT)
+               AS week_offset,
+             a.user_id
+      FROM act a JOIN cohort c USING (user_id)
+    )
+    SELECT j.cohort_week,
+           j.week_offset,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(COUNT(DISTINCT j.user_id)
+                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention_rate
+    FROM joined j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+    ORDER BY j.cohort_week, j.week_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table: users cohorted by
+    their first active week (Monday-truncated on both engines), then
+    per (cohort, week-offset) the share of the cohort still active —
+    the standard product-analytics retention triangle, as two
+    aggregations plus an equi-join on user_id (no window, no UDF).
+    Retention is a single IEEE division rounded to 6dp, so the oracle
+    hash-matches exactly."""
+    events = tables.load_table(spark, sf_dir, "events")
+    act = (
+        events.where(F.col("ts").isNotNull())
+        .select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = act.join(cohort, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
