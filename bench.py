@@ -39,6 +39,7 @@ HEADLINE_QUERIES = [
     "customer_order_count_distribution",
     "large_volume_customers",
     "daily_gap_fill",
+    "user_retention_cohorts",
     # advisor pipeline (fixture-driven stages + full end-to-end)
     "resource_scores",
     "table_exec_rollup",
