@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "large_volume_customers",
     "daily_gap_fill",
     "user_retention_cohorts",
+    "event_funnel_conversion",
     # advisor pipeline (fixture-driven stages + full end-to-end)
     "resource_scores",
     "table_exec_rollup",

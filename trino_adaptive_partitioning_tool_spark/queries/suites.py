@@ -265,6 +265,8 @@ _TPCH: list[tuple[str, list[str], list[str]]] = [
 
 _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
     ("daily_gap_fill", ["event_type", "day", "n_events", "sum_value"], []),
+    ("event_funnel_conversion",
+     ["step_idx", "step", "n_users"], ["conversion_rate"]),
     ("forward_fill_daily_value", ["event_type", "day", "filled_value"], []),
     ("full_outer_daily_activity", ["day", "n_orders", "n_events"], []),
     ("rolling_7day_revenue",

@@ -259,8 +259,9 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            j.week_offset,
            CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
            CAST(s.cohort_size AS BIGINT) AS cohort_size,
-           ROUND(COUNT(DISTINCT j.user_id)
-                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention_rate
+           CAST(ROUND(CAST(COUNT(DISTINCT j.user_id)
+                 / CAST(s.cohort_size AS DOUBLE) AS VARCHAR)::DECIMAL(38,12), 6)
+                AS DOUBLE) AS retention_rate
     FROM joined j JOIN sizes s USING (cohort_week)
     GROUP BY j.cohort_week, j.week_offset, s.cohort_size
     ORDER BY j.cohort_week, j.week_offset
@@ -308,3 +309,95 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT n FROM u) AS n0,
+             (SELECT COUNT(*) FROM v) AS n1,
+             (SELECT COUNT(*) FROM c) AS n2,
+             (SELECT COUNT(*) FROM p) AS n3
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS step_idx, 'any_event' AS step,
+             CAST(n0 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE)
+               AS conversion_rate FROM counts
+      UNION ALL
+      SELECT 1, 'view', CAST(n1 AS BIGINT),
+             CAST(ROUND(CAST(n1 / CAST(n0 AS DOUBLE) AS VARCHAR)::DECIMAL(38,12), 6) AS DOUBLE) FROM counts
+      UNION ALL
+      SELECT 2, 'click_after_view', CAST(n2 AS BIGINT),
+             CAST(ROUND(CAST(n2 / CAST(n1 AS DOUBLE) AS VARCHAR)::DECIMAL(38,12), 6) AS DOUBLE) FROM counts
+      UNION ALL
+      SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT),
+             CAST(ROUND(CAST(n3 / CAST(n2 AS DOUBLE) AS VARCHAR)::DECIMAL(38,12), 6) AS DOUBLE) FROM counts
+    ) f ORDER BY step_idx
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase) with
+    sequential-first-occurrence semantics: a step counts only when it
+    happens at or after the user's qualifying previous step. Three
+    filtered min-aggregations chained by equi-joins on user_id — the
+    time-ordering constraint rides in the join predicate, no window and
+    no per-user state. Step counts cross-join into one 4-row report
+    with per-step conversion rates (single IEEE divisions, 6dp)."""
+    events = tables.load_table(spark, sf_dir, "events")
+    n0 = events.agg(F.count_distinct("user_id").alias("n0"))
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        n0.crossJoin(v.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    return counts.select(
+        F.expr(
+            "stack(4, "
+            "CAST(0 AS BIGINT), 'any_event', CAST(n0 AS BIGINT), "
+            "CAST(1.0 AS DOUBLE), "
+            "CAST(1 AS BIGINT), 'view', CAST(n1 AS BIGINT), "
+            "CAST(ROUND(n1 / CAST(n0 AS DOUBLE), 6) AS DOUBLE), "
+            "CAST(2 AS BIGINT), 'click_after_view', CAST(n2 AS BIGINT), "
+            "CAST(ROUND(n2 / CAST(n1 AS DOUBLE), 6) AS DOUBLE), "
+            "CAST(3 AS BIGINT), 'purchase_after_click', CAST(n3 AS BIGINT), "
+            "CAST(ROUND(n3 / CAST(n2 AS DOUBLE), 6) AS DOUBLE)"
+            ") AS (step_idx, step, n_users, conversion_rate)"
+        )
+    ).orderBy("step_idx")
