@@ -262,10 +262,37 @@ VIEW_COLUMN_ROWS: list[tuple[str, str]] = [
 ]
 
 
+# Session-memoized fixture frames: the fixture tables are consulted by
+# dozens of advisor queries per session, and a fresh createDataFrame
+# costs ~0.5s PER ACTION (default-parallelism local relation → 32 tasks
+# for 20 rows). Building each once per session on 2 slices and keeping
+# the persisted OBJECT (CacheManager does not canonicalize fresh
+# LocalRelations together) drops the per-query fixed cost ~5x. If a
+# test's clearCache() evicts the blocks the frame silently recomputes —
+# correctness never depends on the cache.
+_FIXTURE_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _memo_df(spark: SparkSession, key: str, rows, schema) -> DataFrame:
+    from pyspark import StorageLevel
+
+    k = (spark.sparkContext.applicationId, key)
+    df = _FIXTURE_DF_CACHE.get(k)
+    if df is None:
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2), schema=schema
+        )
+        df.persist(StorageLevel.MEMORY_ONLY)
+        _FIXTURE_DF_CACHE[k] = df
+    return df
+
+
 def view_columns_fixture_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return _memo_df(
+        spark,
+        "view_columns",
         VIEW_COLUMN_ROWS,
-        schema=T.StructType(
+        T.StructType(
             [
                 T.StructField("view", T.StringType(), False),
                 T.StructField("column", T.StringType(), False),
@@ -275,11 +302,13 @@ def view_columns_fixture_df(spark: SparkSession) -> DataFrame:
 
 
 def query_logs_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(QUERY_LOG_ROWS, schema=QUERY_LOG_SCHEMA)
+    return _memo_df(spark, "query_logs", QUERY_LOG_ROWS, QUERY_LOG_SCHEMA)
 
 
 def catalog_views_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(CATALOG_VIEW_ROWS, schema=CATALOG_VIEW_SCHEMA)
+    return _memo_df(
+        spark, "catalog_views", CATALOG_VIEW_ROWS, CATALOG_VIEW_SCHEMA
+    )
 
 
 def _sql_literal(value) -> str:
