@@ -71,6 +71,7 @@ HEADLINE_QUERIES = [
     "duplicate_span_stats",
     "source_cap_report",
     "corpus_top_tokens",
+    "corpus_zipf_stats",
     "bm25_search_topk",
     "corpus_filter_funnel",
     "dedup_cluster_rollup",

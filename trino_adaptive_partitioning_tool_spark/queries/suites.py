@@ -286,6 +286,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["lang", "source", "n_docs", "total_tokens", "budget_tokens"],
      ["mean_diversity", "mixture_share"]),
     ("corpus_top_tokens", ["token", "cnt"], []),
+    ("corpus_zipf_stats",
+     ["n_vocab", "total_tokens", "head_n"], ["zipf_slope", "zipf_r2"]),
     ("dataset_quality_audit",
      ["table_name", "column_name", "total_rows", "non_null",
       "distinct_values"],

@@ -854,3 +854,89 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm ln() ulp differences across engines."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.lm_bigram_scores(docs).orderBy("doc_id")
+
+
+_ZIPF_HEAD = 500  # fit over the head ranks (standard Zipf practice; also
+# keeps the regression sums small enough that 4dp rounding is stable)
+
+
+@register(
+    "corpus_zipf_stats",
+    memo=True,
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    totals AS (
+      SELECT COUNT(*) AS n_vocab, SUM(cnt) AS total_tokens FROM counts
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r
+      FROM counts
+    ),
+    head AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM ranked WHERE r <= {_ZIPF_HEAD}
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM head
+    )
+    SELECT CAST(t.n_vocab AS BIGINT) AS n_vocab,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           CAST(f.n AS BIGINT) AS head_n,
+           ROUND((f.n * f.sxy - f.sx * f.sy)
+                 / (f.n * f.sxx - f.sx * f.sx), 4) AS zipf_slope,
+           ROUND(POWER(f.n * f.sxy - f.sx * f.sy, 2)
+                 / ((f.n * f.sxx - f.sx * f.sx)
+                    * (f.n * f.syy - f.sy * f.sy)), 4) AS zipf_r2
+    FROM totals t, fit f
+    """,
+)
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: rank
+    tokens by count, least-squares slope/R² of ln(count) vs ln(rank)
+    over the head ranks — the vocabulary-health diagnostic of corpus
+    analysis (natural text ≈ slope -1; synthetic/templated corpora
+    deviate). One token explode + count shuffle, a top-{_ZIPF_HEAD}
+    rank window, and a single closed-form regression aggregate (the
+    identical sums on both engines, rounded to 4dp)."""
+    from pyspark.sql import Window
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(ops.tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    head = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _ZIPF_HEAD)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    fit = head.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return totals.crossJoin(fit).select(
+        "n_vocab",
+        "total_tokens",
+        F.col("n").cast("bigint").alias("head_n"),
+        F.round(num / denx, 4).alias("zipf_slope"),
+        F.round(F.pow(num, 2) / (denx * deny), 4).alias("zipf_r2"),
+    )
