@@ -74,6 +74,7 @@ HEADLINE_QUERIES = [
     "corpus_zipf_stats",
     "bm25_search_topk",
     "corpus_filter_funnel",
+    "corpus_filter_funnel_extended",
     "dedup_cluster_rollup",
     "sequence_packing_stats",
     "corpus_mixture_plan",

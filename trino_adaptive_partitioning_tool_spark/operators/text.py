@@ -314,6 +314,22 @@ def decontamination_overlap(
     )
 
 
+def model_weight_sum_col(text_col: str = "text", n_buckets: int = 4096) -> Column:
+    """Integer hashed-feature weight sum of model_quality_scores as a
+    standalone Column — pipeline stages (the extended corpus funnel)
+    apply the model gate (weight_sum >= 0) without materializing the
+    full score frame. Exact by construction (integer sum)."""
+
+    def _weight(tok: Column) -> Column:
+        bucket = md5_60(F.concat(F.lit("qw|"), tok)) % n_buckets
+        return (
+            md5_60(F.concat(F.lit("wt|"), bucket.cast("string"))) % 2001
+        ) - 1000
+
+    feats = F.transform(F.array_distinct(tokens_expr(text_col)), _weight)
+    return F.aggregate(feats, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
 def model_quality_scores(
     docs: DataFrame,
     n_buckets: int = 4096,
@@ -335,18 +351,8 @@ def model_quality_scores(
     the DuckDB oracle can hash-match the score to 6 decimals. Map-only:
     pure column expressions above the scan, no shuffle, no UDF."""
     toks = F.array_distinct(tokens_expr(text_col))
-
-    def _weight(tok: Column) -> Column:
-        bucket = md5_60(F.concat(F.lit("qw|"), tok)) % n_buckets
-        return (
-            md5_60(F.concat(F.lit("wt|"), bucket.cast("string"))) % 2001
-        ) - 1000
-
-    feats = F.transform(toks, _weight)
-    wsum = F.aggregate(
-        feats, F.lit(0).cast("bigint"), lambda acc, x: acc + x
-    )
-    n = F.size(feats)
+    wsum = model_weight_sum_col(text_col, n_buckets)
+    n = F.size(toks)
     score = F.round(
         wsum
         / (F.lit(1000.0) * F.sqrt(F.greatest(n, F.lit(1)).cast("double"))),

@@ -22,12 +22,16 @@ _TOKS = (
 
 
 def _minhash_sig_ctes(
-    k: int = ops.DEFAULT_SHINGLE_K, source: str = "documents"
+    k: int = ops.DEFAULT_SHINGLE_K, source: str = "documents",
+    prefix: str = "",
 ) -> str:
     """CTEs tok→sh→e→sig replaying minhash_signatures in DuckDB:
     k-token shingle strings, md5_60 each, 64 MIN(xor(h, C_i)) aggregates.
     `source` lets pipeline oracles (corpus_filter_funnel) run the sketch
-    over a filtered CTE instead of the base table."""
+    over a filtered CTE instead of the base table; `prefix` renames the
+    CTEs so a MATERIALIZED sketch can coexist with nested sub-oracles
+    that define their own `sig`/`tok` (DuckDB's materialization hoists
+    the name past inner scopes)."""
     h = ops.md5_60_sql
     consts = ops._xor_family_constants(ops.DEFAULT_NUM_HASHES)
     mins = ",\n        ".join(
@@ -35,17 +39,18 @@ def _minhash_sig_ctes(
     )
     shingle = h(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
     whole = h("array_to_string(toks, ' ')")
+    p = prefix
     return f"""
-    tok AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
-    sh AS (
+    {p}tok AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
+    {p}sh AS (
       SELECT doc_id,
         CASE WHEN len(toks) >= {k}
           THEN list_transform(range(1, len(toks) - {k - 2}), i -> {shingle})
           ELSE [{whole}] END AS hs
-      FROM tok
+      FROM {p}tok
     ),
-    e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-    sig AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id)"""
+    {p}e AS (SELECT doc_id, unnest(hs) AS h FROM {p}sh),
+    {p}sig AS (SELECT doc_id, {mins} FROM {p}e GROUP BY doc_id)"""
 
 
 def _minhash_banded_cte(

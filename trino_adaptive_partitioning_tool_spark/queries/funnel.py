@@ -61,8 +61,13 @@ def _funnel_oracle() -> str:
     quality_sql = _registry._ORACLES["text_quality_scores"]
     rep_sql = _registry._ORACLES["text_repetition_stats"]
     toks = qtext._TOKS
-    sig_ctes = qdedup._minhash_sig_ctes(source="s4")
-    banded = qdedup._minhash_banded_cte()
+    # same scoped MATERIALIZED treatment as the extended funnel: DuckDB
+    # inlines CTEs per reference, re-executing the sketch per stage leg
+    # (measured 49s -> 0.5s at sf0.01); execution hint only
+    sig_ctes = qdedup._minhash_sig_ctes(source="s4", prefix="m").replace(
+        "msig AS (", "msig AS MATERIALIZED (")
+    banded = qdedup._minhash_banded_cte(source="msig").replace(
+        "banded AS (", "banded AS MATERIALIZED (")
     jac = (
         "ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
         " / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)"
@@ -91,11 +96,11 @@ def _funnel_oracle() -> str:
       SELECT s1.* FROM s1 JOIN quals USING (doc_id)
       WHERE quality_score >= {QUALITY_MIN}
     ),
-    s3 AS (
+    s3 AS MATERIALIZED (
       SELECT s2.* FROM s2 LEFT JOIN reps USING (doc_id)
       WHERE COALESCE(dup_bigram_ratio, 0.0) <= {REPETITION_MAX}
     ),
-    s4 AS (
+    s4 AS MATERIALIZED (
       SELECT s3.* FROM s3
       JOIN (SELECT text, MIN(doc_id) AS mn FROM s3 GROUP BY text) c
         ON s3.text = c.text AND s3.doc_id = c.mn
@@ -109,7 +114,7 @@ def _funnel_oracle() -> str:
         ON a.band = b.band AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
-    dtok AS (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
+    dtok AS MATERIALIZED (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
     verified AS (
       SELECT c.id_a, c.id_b FROM cand c
       JOIN dtok ta ON ta.doc_id = c.id_a
@@ -126,7 +131,7 @@ def _funnel_oracle() -> str:
       UNION
       SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
     ),
-    labels AS (SELECT node, MIN(root) AS rep FROM reach GROUP BY node),
+    labels AS MATERIALIZED (SELECT node, MIN(root) AS rep FROM reach GROUP BY node),
     s5 AS (
       SELECT s4.* FROM s4
       LEFT JOIN labels ON s4.doc_id = labels.node
@@ -238,4 +243,256 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one.selectExpr(
         f"stack(6, {stack_args}) AS (stage_idx, stage, n_docs, n_tokens)"
+    ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Extended funnel: v1's five filters plus the round-6 stages — the
+# model-quality gate (hashed linear classifier, weight_sum >= 0) before
+# dedup, and a span-level dedup cut (cross-document duplicated-span
+# ratio over the near-dedup SURVIVORS) after it. Registered separately
+# so the certified v1 flagship stays untouched.
+# ---------------------------------------------------------------------------
+SPAN_RATIO_MAX = 0.35
+SPAN_STAGE_N = 3  # trigram spans: post-dedup survivors share no 8-gram
+# spans at parity scale, so the stage would be a no-op there; trigram
+# granularity makes the cut observable (and therefore certified) while
+# the operator itself defaults to n=8 for production corpora
+_EXT_STAGES = (
+    "input",
+    "lang_consistent",
+    "quality",
+    "repetition",
+    "model_quality",
+    "exact_dedup",
+    "near_dedup",
+    "span_dedup",
+)
+
+
+def _funnel_extended_oracle() -> str:
+    from . import registry as _registry
+    from .text import _model_weight_sum_sql, _ngram_hash_cte
+
+    lang_sql = _registry._ORACLES["text_language_id"]
+    quality_sql = _registry._ORACLES["text_quality_scores"]
+    rep_sql = _registry._ORACLES["text_repetition_stats"]
+    toks = qtext._TOKS
+    # MATERIALIZED: DuckDB inlines CTEs per reference, and the 16
+    # banded legs + stage legs would re-execute the minhash sketch per
+    # reference (minutes at sf0.01). Execution hint only — results
+    # unchanged. Applied per-fragment: "sig" is shadowed inside the
+    # nested quality sub-oracle and a global replace trips DuckDB's
+    # duplicate-alias binder check.
+    sig_ctes = qdedup._minhash_sig_ctes(source="s5", prefix="m").replace(
+        "msig AS (", "msig AS MATERIALIZED (")
+    banded = qdedup._minhash_banded_cte(source="msig").replace(
+        "banded AS (", "banded AS MATERIALIZED (")
+    jac = (
+        "ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)"
+    )
+    stage_legs = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" COUNT(*) AS n_docs,"
+        f" CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens"
+        f" FROM {src}"
+        for i, (name, src) in enumerate(
+            zip(_EXT_STAGES, ["base", "s1", "s2", "s3", "s4", "s5", "s6", "s7"])
+        )
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang, text, len({toks}) AS n_tokens FROM documents
+    ),
+    langp AS (SELECT doc_id, predicted_lang FROM ({lang_sql}) q),
+    quals AS (SELECT doc_id, quality_score FROM ({quality_sql}) q),
+    reps AS (SELECT doc_id, dup_bigram_ratio FROM ({rep_sql}) q),
+    mq AS (
+      SELECT doc_id, {_model_weight_sum_sql(toks)} AS weight_sum
+      FROM documents
+    ),
+    s1 AS (
+      SELECT b.* FROM base b JOIN langp l USING (doc_id)
+      WHERE l.predicted_lang = b.lang
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1 JOIN quals USING (doc_id)
+      WHERE quality_score >= {QUALITY_MIN}
+    ),
+    s3 AS MATERIALIZED (
+      SELECT s2.* FROM s2 LEFT JOIN reps USING (doc_id)
+      WHERE COALESCE(dup_bigram_ratio, 0.0) <= {REPETITION_MAX}
+    ),
+    s4 AS MATERIALIZED (
+      SELECT s3.* FROM s3 JOIN mq USING (doc_id) WHERE weight_sum >= 0
+    ),
+    s5 AS MATERIALIZED (
+      SELECT s4.* FROM s4
+      JOIN (SELECT text, MIN(doc_id) AS mn FROM s4 GROUP BY text) c
+        ON s4.text = c.text AND s4.doc_id = c.mn
+    ),
+    {sig_ctes},
+    {banded},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    dtok AS MATERIALIZED (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
+    verified AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN dtok ta ON ta.doc_id = c.id_a
+      JOIN dtok tb ON tb.doc_id = c.id_b
+      WHERE {jac} >= {JACCARD_MIN}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS MATERIALIZED (SELECT node, MIN(root) AS rep FROM reach GROUP BY node),
+    s6 AS MATERIALIZED (
+      SELECT s5.* FROM s5
+      LEFT JOIN labels ON s5.doc_id = labels.node
+      WHERE labels.node IS NULL OR labels.rep = s5.doc_id
+    ),
+    {_ngram_hash_cte(SPAN_STAGE_N, source="s6", prefix="sp_").replace(
+        "sp_e AS (", "sp_e AS MATERIALIZED (")},
+    sp_df AS (SELECT h, COUNT(*) AS ndocs FROM sp_e GROUP BY h),
+    sp_ratio AS (
+      SELECT e.doc_id,
+             SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS ratio
+      FROM sp_e e JOIN sp_df USING (h)
+      GROUP BY e.doc_id
+    ),
+    s7 AS (
+      SELECT s6.* FROM s6
+      LEFT JOIN sp_ratio r ON s6.doc_id = r.doc_id
+      WHERE r.doc_id IS NULL OR r.ratio <= {SPAN_RATIO_MAX}
+    )
+    SELECT * FROM (
+    {stage_legs}
+    ) funnel ORDER BY stage_idx
+    """
+
+
+@register(
+    "corpus_filter_funnel_extended",
+    oracle=_funnel_extended_oracle(),
+    memo=True,
+)
+def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 funnel plus two round-6 stages: a model-quality gate
+    (hashed-linear-classifier weight_sum >= 0, map-only) before dedup,
+    and a span-level dedup cut (cross-document duplicated-span ratio
+    over the NEAR-DEDUP SURVIVORS <= 0.5) after it — the full
+    eight-stage corpus curation pipeline, composed exclusively from
+    individually-oracled operators, certified end to end as one row per
+    stage."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from ..operators import text as textops
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "text",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+    )
+    langp = tops.language_id(docs).select("doc_id", "predicted_lang")
+    quals = tops.quality_scores(docs).select("doc_id", "quality_score")
+    reps = tops.repetition_stats(docs).select("doc_id", "dup_bigram_ratio")
+
+    lang_ok = F.col("predicted_lang") == F.col("lang")
+    qual_ok = F.col("quality_score") >= QUALITY_MIN
+    rep_ok = F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
+    model_ok = textops.model_weight_sum_col("text") >= 0
+    ann = (
+        base.join(langp, "doc_id", "left")
+        .join(quals, "doc_id", "left")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id", "text", "n_tokens",
+            lang_ok.alias("lang_ok"),
+            (lang_ok & qual_ok).alias("s2_ok"),
+            (lang_ok & qual_ok & rep_ok).alias("s3_ok"),
+            (lang_ok & qual_ok & rep_ok & model_ok).alias("s4_ok"),
+        )
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    s5 = (
+        ann.where("s4_ok")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    cands = dops.minhash_lsh_pairs(
+        s5.select("doc_id", "text"), jaccard_threshold=0.0
+    ).select("id_a", "id_b")
+    verified = dops.token_jaccard_pairs(
+        s5.select("doc_id", "text"), cands, threshold=JACCARD_MIN
+    ).select("id_a", "id_b")
+    comp = graph.connected_components(verified, "id_a", "id_b")
+    non_reps = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_dup")
+    )
+    s6 = (
+        s5.join(non_reps, "doc_id", "left")
+        .where(F.coalesce(~F.col("is_dup"), F.lit(True)))
+        .drop("is_dup")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    spans = textops.duplicate_span_stats(
+        s6.select("doc_id", "text"), n=SPAN_STAGE_N
+    ).select("doc_id", "shared_span_ratio")
+    flagged = (
+        s6.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit(True).alias("s6_ok"),
+            (
+                F.col("shared_span_ratio").isNull()
+                | (F.col("shared_span_ratio") <= SPAN_RATIO_MAX)
+            ).alias("s7_ok"),
+        )
+    )
+    s5_flags = s5.select("doc_id", F.lit(True).alias("s5_ok"))
+    final = (
+        ann.join(s5_flags, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "n_tokens", "lang_ok", "s2_ok", "s3_ok", "s4_ok",
+            F.coalesce(F.col("s5_ok"), F.lit(False)).alias("s5_ok"),
+            F.coalesce(F.col("s6_ok"), F.lit(False)).alias("s6_ok"),
+            F.coalesce(F.col("s7_ok"), F.lit(False)).alias("s7_ok"),
+        )
+    )
+    flags = [F.lit(True), F.col("lang_ok"), F.col("s2_ok"), F.col("s3_ok"),
+             F.col("s4_ok"), F.col("s5_ok"), F.col("s6_ok"), F.col("s7_ok")]
+    aggs = []
+    for i, flag in enumerate(flags):
+        aggs.append(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias(f"n{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(flag, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    one = final.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', n{i}, t{i}" for i, name in enumerate(_EXT_STAGES)
+    )
+    return one.selectExpr(
+        f"stack(8, {stack_args}) AS (stage_idx, stage, n_docs, n_tokens)"
     ).orderBy("stage_idx")

@@ -282,6 +282,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
     ("corpus_filter_funnel",
      ["stage_idx", "stage", "n_docs", "n_tokens"], []),
+    ("corpus_filter_funnel_extended",
+     ["stage_idx", "stage", "n_docs", "n_tokens"], []),
     ("corpus_mixture_plan",
      ["lang", "source", "n_docs", "total_tokens", "budget_tokens"],
      ["mean_diversity", "mixture_share"]),

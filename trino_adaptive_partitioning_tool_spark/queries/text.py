@@ -357,18 +357,36 @@ _DECON_N = 5
 _DECON_MOD = 10  # doc_id % MOD == 0 -> benchmark split (fixture convention)
 
 
-def _ngram_hash_cte(k: int) -> str:
+def _ngram_hash_cte(k: int, source: str = "documents", prefix: str = "") -> str:
     """DISTINCT (doc_id, h) n-gram md5_60 hashes, replaying
-    operators/text.ngram_hashes in DuckDB list SQL."""
+    operators/text.ngram_hashes in DuckDB list SQL. `source` lets
+    pipeline oracles shingle a filtered CTE; `prefix` renames the CTEs
+    so several shingle passes can coexist in one statement."""
     from ..operators.dedup import md5_60_sql
 
     g = md5_60_sql(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
     return f"""
-    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, CASE WHEN len(toks) >= {k}
+    {prefix}tok AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
+    {prefix}sh AS (SELECT doc_id, CASE WHEN len(toks) >= {k}
             THEN list_transform(range(1, len(toks) - {k - 2}), i -> {g})
-            ELSE [] END AS gs FROM tok),
-    e AS (SELECT DISTINCT doc_id, unnest(gs) AS h FROM sh)"""
+            ELSE [] END AS gs FROM {prefix}tok),
+    {prefix}e AS (SELECT DISTINCT doc_id, unnest(gs) AS h FROM {prefix}sh)"""
+
+
+def _model_weight_sum_sql(toks_expr: str) -> str:
+    """DuckDB expression: the integer hashed-feature weight sum of
+    model_quality_scores over a token-list expression (same arithmetic
+    as _model_quality_oracle — reused by pipeline oracles)."""
+    from ..operators.dedup import md5_60_sql
+
+    bucket = md5_60_sql("'qw|' || t") + f" % {_QW_BUCKETS}"
+    weight = (
+        md5_60_sql(f"'wt|' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+    )
+    return (
+        f"CAST(COALESCE(list_sum(list_transform("
+        f"list_distinct({toks_expr}), t -> {weight})), 0) AS BIGINT)"
+    )
 
 
 @register(
