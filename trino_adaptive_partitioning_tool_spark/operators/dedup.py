@@ -73,7 +73,16 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 def tokens_expr(text_col: str = "text"):
-    """Lowercased whitespace tokens (empty strings filtered)."""
+    """Lowercased whitespace tokens (empty strings filtered).
+
+    Cross-engine parity envelope (fuzz-pinned in
+    tests/test_cross_engine_fuzz.py): byte-identical to the DuckDB
+    oracle rendering over ASCII, accented Latin, ß, CJK, emoji and
+    control whitespace. Known divergences — all in the CASE-MAPPING /
+    TRIM layer, not the hashing layer: Turkish İ (JVM lower() keeps the
+    combining dot), Greek capital Σ (JVM applies final-sigma ς), and
+    Unicode spaces incl. NBSP (DuckDB trim() strips them at string
+    edges, Java's does not). md5_60 itself is byte-true on every input."""
     return F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
