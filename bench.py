@@ -76,6 +76,7 @@ HEADLINE_QUERIES = [
     "corpus_filter_funnel",
     "corpus_filter_funnel_extended",
     "dedup_cluster_rollup",
+    "dedup_source_attribution",
     "sequence_packing_stats",
     "corpus_mixture_plan",
     "incremental_distinct_rollup",

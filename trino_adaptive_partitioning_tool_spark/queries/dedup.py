@@ -354,3 +354,114 @@ def dedup_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_verified(spark, sf_dir).select("id_a", "id_b")
     comp = graph.connected_components(pairs, "id_a", "id_b")
     return graph.cluster_rollup(comp)
+
+
+@register(
+    "dedup_source_attribution",
+    memo=True,
+    oracle=f"""
+    WITH RECURSIVE {_minhash_sig_ctes(prefix="m").replace(
+        "msig AS (", "msig AS MATERIALIZED (")},
+    {_minhash_banded_cte(source="msig").replace(
+        "banded AS (", "banded AS MATERIALIZED (")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    dtok AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN dtok ta ON ta.doc_id = c.id_a
+      JOIN dtok tb ON tb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS MATERIALIZED (
+      SELECT node, MIN(root) AS rep FROM reach GROUP BY node
+    ),
+    near_dups AS (SELECT node AS doc_id FROM labels WHERE node <> rep),
+    exact_dups AS (
+      SELECT d.doc_id FROM documents d
+      JOIN (SELECT text, MIN(doc_id) AS mn FROM documents GROUP BY text) c
+        ON d.text = c.text AND d.doc_id > c.mn
+    ),
+    dupset AS (
+      SELECT doc_id FROM near_dups UNION SELECT doc_id FROM exact_dups
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(x.doc_id) AS BIGINT) AS n_dup_docs,
+           ROUND(COUNT(x.doc_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents d LEFT JOIN dupset x ON d.doc_id = x.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources produce the duplicate mass: per source, total docs
+    and docs flagged duplicate — near-dups (MinHash-LSH candidates,
+    exact-Jaccard >= 0.7, connected components, non-representatives)
+    UNION exact text dups (non-canonical ids). The curation signal that
+    drives per-source crawl throttling: a source with a high dup_rate
+    wastes ingest budget. Composes only individually-oracled stages;
+    the rollup is one LEFT join + one aggregation over the doc-id dup
+    set (dup-set-sized, shuffled — never broadcast-hinted)."""
+    from pyspark.sql import Window
+
+    from ..operators import graph
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    cands = ops.minhash_lsh_pairs(docs, jaccard_threshold=0.0).select(
+        "id_a", "id_b"
+    )
+    verified = ops.token_jaccard_pairs(docs, cands, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    comp = graph.connected_components(verified, "id_a", "id_b")
+    near = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    dupset = near.unionByName(exact).distinct().withColumn(
+        "is_dup", F.lit(True)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dupset, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -330,6 +330,8 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("dedup_keep_canonical", ["doc_id", "lang", "source", "n_chars"], []),
     ("dedup_minhash_verified", ["id_a", "id_b"], ["jaccard"]),
     ("dedup_simhash", ["id_a", "id_b", "hamming"], []),
+    ("dedup_source_attribution",
+     ["source", "n_docs", "n_dup_docs"], ["dup_rate"]),
     ("dedup_token_jaccard", ["id_a", "id_b"], ["jaccard"]),
     ("embedding_dedup_keep_canonical", ["vec_id", "label"], []),
     ("embedding_near_duplicates", ["id_a", "id_b"], ["cosine"]),
