@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "partition_recommendations",
     "partition_layout_whatif",
     "bucket_join_advice",
+    "rollup_advice",
     # table_file_metadata is pinned to the parity scale (its oracle
     # resolves footer paths at registration) and would raise at sf0.1
     # LLM-data-pipeline extensions

@@ -538,3 +538,25 @@ def test_miner_grammar_differential(qe):
         c > 0
         for c in (*m["join_columns"].values(), *m["where_columns"].values())
     ), sql
+
+
+def test_mine_group_columns_scoping():
+    from collections import Counter
+
+    from trino_adaptive_partitioning_tool_spark.operators.mining import (
+        mine_group_columns,
+    )
+
+    assert mine_group_columns(
+        "SELECT a, count(*) FROM t GROUP BY a, upper(b), t2.c ORDER BY a"
+    ) == Counter({"a": 1, "b": 1, "c": 1})
+    # ordinals ignored; nested scope collected; boundary respected
+    assert mine_group_columns(
+        "SELECT * FROM (SELECT x, sum(v) FROM u GROUP BY x) q "
+        "GROUP BY 1 HAVING count(*) > 2"
+    ) == Counter({"x": 1})
+    assert mine_group_columns("SELECT 1") == Counter()
+    # GROUPING SETS parens are depth-tracked
+    assert mine_group_columns(
+        "SELECT a, b FROM t GROUP BY GROUPING SETS ((a), (a, b)) LIMIT 5"
+    )["a"] == 2

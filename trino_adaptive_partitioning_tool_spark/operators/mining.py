@@ -418,3 +418,45 @@ def mined_tables(mined_df: DataFrame) -> DataFrame:
         .select("query_id", F.col("name").alias("table"))
         .distinct()
     )
+
+
+def mine_group_columns(sql: str) -> Counter:
+    """Frequency of column identifiers appearing in GROUP BY clauses
+    (every query scope). Standalone companion to mine_statement — kept
+    out of its (query_id, kind, name, cnt) output so the certified
+    mined-workload contract is untouched; consumed by the rollup
+    advisor (queries/advisor.rollup_advice).
+
+    Same tokenizer discipline as collect_columns: depth-tracked parens,
+    clause-boundary termination, function-call names skipped. GROUP BY
+    ordinals (1, 2) and quoted aliases are not identifiers and are
+    ignored; a SELECT-alias in GROUP BY is counted as written."""
+    toks = tokenize(sql)
+    low = [t.lower() for t in toks]
+    out: Counter = Counter()
+    i = 0
+    while i < len(toks):
+        if (
+            low[i] == "group"
+            and i + 1 < len(toks)
+            and low[i + 1] == "by"
+        ):
+            i += 2
+            depth = 0
+            while i < len(toks):
+                tl = low[i]
+                if depth == 0 and tl in _CLAUSE_BOUNDARY and tl != "group":
+                    break
+                if toks[i] == "(":
+                    depth += 1
+                elif toks[i] == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif _is_identifier(toks[i]):
+                    if not (i + 1 < len(toks) and toks[i + 1] == "("):
+                        out[_base_column(toks[i])] += 1
+                i += 1
+        else:
+            i += 1
+    return out

@@ -625,6 +625,134 @@ def bucket_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_advice_oracle() -> str:
+    """NDV + row-count legs resolved at registration from footer schemas
+    x the pure miner's GROUP BY columns over the fixture log (same
+    resolution pattern as _bucket_advice_oracle)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators import mining
+
+    gb = _mined_groupby_fixture_counts()
+    cols_cte = "groupcols(column_name, groupby_freq) AS (VALUES " + ", ".join(
+        f"('{c}', {n})" for c, n in sorted(gb.items())
+    ) + ")"
+    sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    legs = []
+    for t in tables.TABLES:
+        tcols = set(pq.read_schema(f"{sf}/{t}.parquet").names)
+        for c in sorted(gb):
+            if c in tcols:
+                legs.append(
+                    f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+                    f" COUNT(DISTINCT {c}) AS ndv,"
+                    f" COUNT(*) AS table_rows FROM {t}"
+                )
+    ndv_cte = "\n      UNION ALL\n      ".join(legs)
+    return f"""
+    WITH {cols_cte},
+    ndv AS (
+      {ndv_cte}
+    )
+    SELECT n.table_name, g.column_name,
+           CAST(g.groupby_freq AS BIGINT) AS groupby_freq,
+           CAST(n.ndv AS BIGINT) AS ndv,
+           CAST(n.table_rows AS BIGINT) AS table_rows,
+           ROUND(n.ndv / CAST(n.table_rows AS DOUBLE), 6)
+             AS est_rollup_fraction
+    FROM groupcols g JOIN ndv n USING (column_name)
+    ORDER BY n.table_name, g.column_name
+    """
+
+
+def _mined_groupby_fixture_counts() -> dict[str, int]:
+    from collections import Counter
+
+    from ..operators import mining
+
+    total: Counter = Counter()
+    for r in fixtures.QUERY_LOG_ROWS:
+        total += mining.mine_group_columns(r[1])
+    return dict(total)
+
+
+@register("rollup_advice", memo=True, oracle=_rollup_advice_oracle())
+def rollup_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-aware layout advice: every column the workload GROUPs
+    BY (operators/mining.mine_group_columns), resolved to its owning
+    table(s), with exact NDV, table rows, and the rollup's size as a
+    fraction of the base table — the numbers that decide whether to
+    precompute a per-column rollup (a tiny fraction means a cheap
+    always-fresh aggregate; near 1.0 means the rollup buys nothing).
+    The reference advises partition layouts only; this extends the same
+    mined-workload evidence to aggregate materialization."""
+    from collections import Counter as _Counter
+
+    from ..operators import mining
+
+    logs = fixtures.query_logs_df(spark)
+
+    # mine GROUP BY columns distributed (same Arrow pattern as
+    # mine_query_log), then roll up per column
+    import pandas as pd
+
+    def _mine(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for sql in pdf["query"]:
+                for col, n in mining.mine_group_columns(sql).items():
+                    rows.append((col, n))
+            yield pd.DataFrame(rows, columns=["column_name", "cnt"])
+
+    mined = (
+        logs.select("query")
+        .mapInPandas(_mine, schema="column_name string, cnt long")
+        .groupBy("column_name")
+        .agg(F.sum("cnt").cast("bigint").alias("groupby_freq"))
+    )
+    mined_cols = {r["column_name"] for r in mined.collect()}  # dim-sized
+    frames = []
+    for t in tables.TABLES:
+        cols = [
+            c for c in tables.table_columns(spark, sf_dir, t)
+            if c in mined_cols
+        ]
+        if not cols:
+            continue
+        agg = tables.load_table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("__rows"),
+            *[F.count_distinct(F.col(c)).alias(c) for c in cols],
+        )
+        frames.append(
+            agg.selectExpr(
+                f"stack({len(cols)}, "
+                + ", ".join(f"'{c}', {c}" for c in cols)
+                + ") AS (column_name, ndv)",
+                "__rows AS table_rows",
+            ).select(F.lit(t).alias("table_name"), "column_name", "ndv",
+                     "table_rows")
+        )
+    ndvs = frames[0]
+    for f_ in frames[1:]:
+        ndvs = ndvs.unionByName(f_)
+    return (
+        mined.join(ndvs, "column_name")
+        .select(
+            "table_name",
+            "column_name",
+            "groupby_freq",
+            F.col("ndv").cast("bigint").alias("ndv"),
+            F.col("table_rows").cast("bigint").alias("table_rows"),
+            F.round(
+                F.col("ndv") / F.col("table_rows").cast("double"), 6
+            ).alias("est_rollup_fraction"),
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
 def _mined_ddl_fixture_rows() -> list[tuple]:
     """mine_view_ddl's deterministic output over the MV fixture DDLs
     (the ddl_join_column usage signal, reference src/partitioning.py:82-86)."""

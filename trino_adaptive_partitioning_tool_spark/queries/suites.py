@@ -405,6 +405,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("partition_layout_whatif",
      ["candidate_key", "n_partitions", "n_rows", "max_partition_rows"],
      ["skew_ratio", "est_scan_fraction"]),
+    ("rollup_advice",
+     ["table_name", "column_name", "groupby_freq", "ndv", "table_rows"],
+     ["est_rollup_fraction"]),
     ("sequence_packing_stats",
      ["lang", "shard", "pack_id", "n_docs", "pack_tokens"], []),
     ("shuffle_partition_advice",
