@@ -163,3 +163,22 @@ def test_tables_are_interactive(html_out):
     assert "function tblFilter" in html_out
     # still a single self-contained file: no external script/style refs
     assert "src=" not in html_out.split("<body>")[0]
+
+
+def test_extras_sections_render(spark, results):
+    from trino_adaptive_partitioning_tool_spark.queries import advisor
+
+    extras = {
+        "Co-located join bucketing advice": advisor.bucket_join_advice(
+            spark, SMOKE_SF_DIR
+        ),
+        "Workload drift": advisor.workload_drift_report(
+            spark, SMOKE_SF_DIR
+        ),
+    }
+    out = dashboard.render_dashboard(results, extras=extras)
+    assert "Layout advisor extensions" in out
+    assert "Co-located join bucketing advice" in out
+    assert "Workload drift" in out
+    # the advice rows actually rendered (a known join column appears)
+    assert "l_orderkey" in out

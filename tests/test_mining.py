@@ -560,3 +560,20 @@ def test_mine_group_columns_scoping():
     assert mine_group_columns(
         "SELECT a, b FROM t GROUP BY GROUPING SETS ((a), (a, b)) LIMIT 5"
     )["a"] == 2
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_group_miner_never_crashes(sql):
+    from trino_adaptive_partitioning_tool_spark.operators.mining import (
+        _KEYWORDS,
+        mine_group_columns,
+    )
+
+    gb = mine_group_columns(sql)
+    assert all(c >= 1 for c in gb.values())
+    # only identifier base names, never keywords or punctuation
+    assert all(
+        name and name.lower() not in _KEYWORDS and not name.startswith("(")
+        for name in gb
+    )

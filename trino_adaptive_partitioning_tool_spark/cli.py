@@ -96,9 +96,23 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Report written: {report_path}")
 
     if args.dashboard:
+        from .queries import advisor as advisor_q
         from .sources.dashboard import write_dashboard
 
-        dash_path = write_dashboard(results, f"{args.out}/dashboard.html")
+        extras = {
+            "Co-located join bucketing advice": advisor_q.bucket_join_advice(
+                spark, args.sf_dir
+            ),
+            "Aggregate rollup advice": advisor_q.rollup_advice(
+                spark, args.sf_dir
+            ),
+            "Workload drift (early vs late log window)": (
+                advisor_q.workload_drift_report(spark, args.sf_dir)
+            ),
+        }
+        dash_path = write_dashboard(
+            results, f"{args.out}/dashboard.html", extras=extras
+        )
         print(f"Dashboard written: {dash_path}")
 
     if args.execute:

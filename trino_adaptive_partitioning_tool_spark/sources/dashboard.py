@@ -262,7 +262,10 @@ def _tiles(metrics: list[tuple[str, Any]]) -> str:
     return f"<div class='tiles'>{tiles}</div>"
 
 
-def render_dashboard(results: dict[str, DataFrame]) -> str:
+def render_dashboard(
+    results: dict[str, DataFrame],
+    extras: dict[str, DataFrame] | None = None,
+) -> str:
     """One self-contained HTML page over run_analysis() results, section
     for section against the reference dashboard:
 
@@ -271,6 +274,9 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
     * Resource Usage      (src/ui/app.py:254-312)
     * Partition Recs      (src/ui/app.py:316-387)
     * Query Analysis      (src/ui/app.py:391-470)
+
+    `extras` (optional, name → DataFrame) renders additional advisor
+    tables — the CLI passes the bucket/rollup/drift advice frames.
     """
     recs = results["recommendations"]
     usage = results["usage"]
@@ -509,6 +515,21 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
         "<h3>Per-query drill-down</h3>",
         "".join(q_details) or "<p class='note'>(no queries)</p>",
     ]
+    if extras:
+        sections.append("<h2>Layout advisor extensions</h2>")
+        sections.append(
+            "<p class='note'>Spark-native advice beyond the reference's"
+            " surface: co-located-join bucketing, aggregate rollups, and"
+            " workload drift between log windows.</p>"
+        )
+        for title, df in extras.items():
+            rows = [r.asDict() for r in df.limit(200).collect()]
+            sections.append(f"<h3>{_esc(title)}</h3>")
+            sections.append(
+                _table(rows, list(rows[0]) if rows else [])
+                if rows
+                else "<p class='note'>(empty)</p>"
+            )
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
         "<title>Adaptive partitioning dashboard</title>"
@@ -518,7 +539,11 @@ def render_dashboard(results: dict[str, DataFrame]) -> str:
     )
 
 
-def write_dashboard(results: dict[str, DataFrame], path: str) -> str:
+def write_dashboard(
+    results: dict[str, DataFrame],
+    path: str,
+    extras: dict[str, DataFrame] | None = None,
+) -> str:
     with open(path, "w") as fh:
-        fh.write(render_dashboard(results))
+        fh.write(render_dashboard(results, extras=extras))
     return path
