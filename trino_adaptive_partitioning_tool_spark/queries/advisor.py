@@ -633,8 +633,6 @@ def _rollup_advice_oracle() -> str:
 
     import pyarrow.parquet as pq
 
-    from ..operators import mining
-
     gb = _mined_groupby_fixture_counts()
     cols_cte = "groupcols(column_name, groupby_freq) AS (VALUES " + ", ".join(
         f"('{c}', {n})" for c, n in sorted(gb.items())
@@ -688,8 +686,6 @@ def rollup_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     always-fresh aggregate; near 1.0 means the rollup buys nothing).
     The reference advises partition layouts only; this extends the same
     mined-workload evidence to aggregate materialization."""
-    from collections import Counter as _Counter
-
     from ..operators import mining
 
     logs = fixtures.query_logs_df(spark)
