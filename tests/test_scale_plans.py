@@ -269,7 +269,11 @@ _SHUFFLE_CEILINGS = {
     # r6: one shuffle by source (cap window; the groupBy reuses its
     # partitioning) + the final range sort
     "source_cap_report": 2,
-    "workload_drift_report": 3,
+    # r7: the log-attach join lost its forced broadcast hint (the log is
+    # unbounded over time), so the INITIAL plan carries the two join-side
+    # shuffles; AQE converts back to broadcast at runtime when the
+    # projection actually fits
+    "workload_drift_report": 5,
 }
 
 
@@ -297,6 +301,10 @@ def test_flagship_shuffle_ceilings(spark, name):
 _BOUNDED_BROADCAST_BUDGET = {
     "winnow_containment_pairs": 0,
     "corpus_filter_funnel": 0,
+    # r7: the drift report's query-log attach join is unhinted (the log
+    # is unbounded over time); AQE may still broadcast at runtime when
+    # the projection actually fits
+    "workload_drift_report": 0,
 }
 
 

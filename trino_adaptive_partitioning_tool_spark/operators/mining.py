@@ -49,7 +49,7 @@ _KEYWORDS = frozenset(
     min max coalesce nullif over partition rows range preceding following
     unbounded current row using natural values insert into update delete
     create materialized view table if replace true false lateral recursive
-    except intersect minus
+    except intersect minus grouping sets cube rollup
     """.split()
 )
 

@@ -166,15 +166,25 @@ def plan_manifest(df: DataFrame) -> dict:
         if counts.get(j)
     }
     pushed = partition = 0
-    for i, (nid, _name, start) in enumerate(blocks):
+    # "exchanges" counts only repartitioning shuffles (hash/range) to
+    # stay comparable with the pre-formatted-plan counter; global
+    # sort/limit SinglePartition exchanges are reported separately.
+    shuffle_exchanges = single_exchanges = 0
+    for i, (nid, name, start) in enumerate(blocks):
         if nid in excluded:
             continue
         end = blocks[i + 1][2] if i + 1 < len(blocks) else len(fp)
         detail = fp[start:end]
         pushed += len(_bracket_entries(detail, "PushedFilters"))
         partition += len(_bracket_entries(detail, "PartitionFilters"))
+        if name == "Exchange":
+            if "hashpartitioning" in detail or "rangepartitioning" in detail:
+                shuffle_exchanges += 1
+            else:
+                single_exchanges += 1
     return {
-        "exchanges": counts.get("Exchange", 0),
+        "exchanges": shuffle_exchanges,
+        "single_partition_exchanges": single_exchanges,
         "broadcasts": counts.get("BroadcastExchange", 0),
         "reused_subplans": counts.get("InMemoryTableScan", 0)
         + counts.get("ReusedExchange", 0),

@@ -485,9 +485,13 @@ def workload_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("name") != "")
     )
     cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
-    j = mined.join(
-        F.broadcast(logs.select("query_id", "create_time")), "query_id"
-    )
+    # No broadcast hint: the query-log projection grows without bound
+    # over time (a year of history is tens of millions of rows), so a
+    # forced broadcast would bypass AQE's size check. AQE broadcasts at
+    # runtime when the side actually fits; plan pinned by
+    # tests/test_scale_plans.py (no BroadcastExchange under
+    # autoBroadcastJoinThreshold=-1).
+    j = mined.join(logs.select("query_id", "create_time"), "query_id")
     usage = j.groupBy("kind", "name").agg(
         F.sum(F.when(F.col("create_time") < cutoff, F.col("cnt")).otherwise(0))
         .cast("bigint")
@@ -609,6 +613,14 @@ def bucket_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") AS (column_name, ndv)"
         ).select(F.lit(t).alias("table_name"), "column_name", "ndv")
         ndv_frames.append(stacked)
+    if not ndv_frames:
+        # No mined join column resolves to any table schema: return the
+        # advertised (empty) shape instead of raising IndexError.
+        ndv_frames = [
+            spark.createDataFrame(
+                [], "table_name string, column_name string, ndv long"
+            )
+        ]
     ndvs = ndv_frames[0]
     for f_ in ndv_frames[1:]:
         ndvs = ndvs.unionByName(f_)
@@ -730,6 +742,16 @@ def rollup_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(t).alias("table_name"), "column_name", "ndv",
                      "table_rows")
         )
+    if not frames:
+        # Same guard as bucket_join_advice: no resolvable GROUP BY
+        # column means an empty advice frame, not an IndexError.
+        frames = [
+            spark.createDataFrame(
+                [],
+                "table_name string, column_name string,"
+                " ndv long, table_rows long",
+            )
+        ]
     ndvs = frames[0]
     for f_ in frames[1:]:
         ndvs = ndvs.unionByName(f_)

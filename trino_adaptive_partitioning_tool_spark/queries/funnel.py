@@ -369,8 +369,9 @@ def _funnel_extended_oracle() -> str:
     sp_df AS (SELECT h, COUNT(*) AS ndocs FROM sp_e GROUP BY h),
     sp_ratio AS (
       SELECT e.doc_id,
-             SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
-               / CAST(COUNT(*) AS DOUBLE) AS ratio
+             CAST(ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS VARCHAR)::DECIMAL(38,12), 6)
+               AS DOUBLE) AS ratio
       FROM sp_e e JOIN sp_df USING (h)
       GROUP BY e.doc_id
     ),
@@ -394,7 +395,7 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
     """The v1 funnel plus two round-6 stages: a model-quality gate
     (hashed-linear-classifier weight_sum >= 0, map-only) before dedup,
     and a span-level dedup cut (cross-document duplicated-span ratio
-    over the NEAR-DEDUP SURVIVORS <= 0.5) after it — the full
+    over the NEAR-DEDUP SURVIVORS <= SPAN_RATIO_MAX = 0.35) after it — the full
     eight-stage corpus curation pipeline, composed exclusively from
     individually-oracled operators, certified end to end as one row per
     stage."""

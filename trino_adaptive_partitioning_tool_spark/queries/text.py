@@ -931,10 +931,14 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
         F.sum("cnt").cast("bigint").alias("total_tokens"),
     )
+    # Head-first: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition top-K + single merge), so the global rank window
+    # only ever sees <= _ZIPF_HEAD rows — never the whole vocabulary.
     w = Window.orderBy(F.col("cnt").desc(), "token")
     head = (
-        counts.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= _ZIPF_HEAD)
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(_ZIPF_HEAD)
+        .withColumn("r", F.row_number().over(w))
         .select(
             F.log(F.col("r").cast("double")).alias("x"),
             F.log(F.col("cnt").cast("double")).alias("y"),
