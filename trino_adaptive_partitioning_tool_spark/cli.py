@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
             "Workload drift (early vs late log window)": (
                 advisor_q.workload_drift_report(spark, args.sf_dir)
             ),
+            "Re-partitioning triggers (drift vs current keys)": (
+                advisor_q.partition_recommendation_drift(spark, args.sf_dir)
+            ),
         }
         dash_path = write_dashboard(
             results, f"{args.out}/dashboard.html", extras=extras

@@ -1040,6 +1040,161 @@ _registry_oracles["partition_recommendations"] = (
 
 
 # ---------------------------------------------------------------------------
+# The adaptive loop, closed: drift -> layout-change advice. The
+# reference scores one log snapshot (src/partitioning.py:294-325); a
+# deployed advisor re-runs on a schedule, so the operational question is
+# which CURRENT partition keys the drifted workload says to revisit.
+# Joins the per-column usage drift (early vs late log window, summed
+# over join/where mention kinds) against the exact-stats recommended
+# partition keys and emits a per-(view, column) trigger:
+#   re-partition  — a non-key column whose usage is new or rising
+#   re-evaluate   — a current key whose usage dropped or fell
+#   keep          — a current key whose usage is steady or rising
+#   no-action     — a non-key column with no actionable drift
+# ---------------------------------------------------------------------------
+@register(
+    "partition_recommendation_drift",
+    memo=True,
+    oracle=f"""
+    WITH scored AS ({_scored_sql()}),
+    keys AS (
+      SELECT view_name, column_name FROM (
+        SELECT view_name, column_name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY view_name ORDER BY score DESC, column_name
+               ) AS rk
+        FROM scored WHERE score > 0
+      ) r WHERE rk <= 3
+    ),
+    {_LOGS_CTE},
+    {_MINED_CTE},
+    {_VIEW_COLS_CTE},
+    usage AS (
+      SELECT m.name AS column_name,
+        CAST(SUM(CASE WHEN l.create_time < TIMESTAMP '{_DRIFT_CUTOFF}'
+                 THEN m.cnt ELSE 0 END) AS BIGINT) AS n_early,
+        CAST(SUM(CASE WHEN l.create_time >= TIMESTAMP '{_DRIFT_CUTOFF}'
+                 THEN m.cnt ELSE 0 END) AS BIGINT) AS n_late
+      FROM mined m JOIN query_logs l USING (query_id)
+      WHERE m.kind IN ('join_column', 'where_column') AND m.name <> ''
+      GROUP BY m.name
+    ),
+    status AS (
+      SELECT column_name, n_early, n_late,
+        CASE WHEN n_early = 0 THEN 'new'
+             WHEN n_late = 0 THEN 'dropped'
+             WHEN n_late > n_early THEN 'risen'
+             WHEN n_late < n_early THEN 'fallen'
+             ELSE 'stable' END AS usage_status
+      FROM usage
+    )
+    SELECT vc.view_name, vc.column_name,
+      (k.column_name IS NOT NULL) AS is_current_key,
+      s.n_early, s.n_late, s.usage_status,
+      CASE WHEN k.column_name IS NOT NULL
+                AND s.usage_status IN ('dropped', 'fallen')
+             THEN 're-evaluate'
+           WHEN k.column_name IS NULL
+                AND s.usage_status IN ('new', 'risen')
+             THEN 're-partition'
+           WHEN k.column_name IS NOT NULL THEN 'keep'
+           ELSE 'no-action' END AS trigger_action
+    FROM view_columns vc
+    JOIN status s ON vc.column_name = s.column_name
+    LEFT JOIN keys k
+      ON vc.view_name = k.view_name AND vc.column_name = k.column_name
+    ORDER BY vc.view_name, vc.column_name
+    """,
+)
+def partition_recommendation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(view, column) re-partitioning triggers from workload drift:
+    the drift report's usage shift joined against the CURRENT exact-stats
+    partition keys (the adaptive loop the reference runs manually by
+    re-invoking its one-shot analysis, src/partitioning.py:294-325).
+    Scale shape: the mined-usage aggregation is the drift report's
+    (log-sized, map-side combined); the key frame is advisor-output-sized
+    (tiny); the candidate frame is catalog-sized — every join is an
+    equi-join with no forced broadcasts."""
+    from ..operators import mining, recommend
+
+    logs = fixtures.query_logs_df(spark)
+    mined = mining.mine_query_log(logs).where(
+        F.col("kind").isin("join_column", "where_column")
+        & (F.col("name") != "")
+    )
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    usage = (
+        mined.join(logs.select("query_id", "create_time"), "query_id")
+        .groupBy(F.col("name").alias("column_name"))
+        .agg(
+            F.sum(
+                F.when(F.col("create_time") < cutoff, F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_early"),
+            F.sum(
+                F.when(F.col("create_time") >= cutoff, F.col("cnt")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+    status = usage.withColumn(
+        "usage_status",
+        F.when(F.col("n_early") == 0, F.lit("new"))
+        .when(F.col("n_late") == 0, F.lit("dropped"))
+        .when(F.col("n_late") > F.col("n_early"), F.lit("risen"))
+        .when(F.col("n_late") < F.col("n_early"), F.lit("fallen"))
+        .otherwise(F.lit("stable")),
+    )
+    res = recommend.run_analysis(
+        spark, sf_dir, exact_stats=True, profile_percentiles=False
+    )
+    keys = (
+        res["recommendations"]
+        .select(
+            F.col("view").alias("view_name"),
+            F.explode("partition_keys").alias("column_name"),
+        )
+        .withColumn("is_key", F.lit(True))
+    )
+    vcols = fixtures.view_columns_fixture_df(spark).select(
+        F.col("view").alias("view_name"),
+        F.col("column").alias("column_name"),
+    )
+    joined = (
+        vcols.join(status, "column_name")
+        .join(keys, ["view_name", "column_name"], "left")
+        .withColumn("is_current_key", F.coalesce("is_key", F.lit(False)))
+    )
+    trigger = (
+        F.when(
+            F.col("is_current_key")
+            & F.col("usage_status").isin("dropped", "fallen"),
+            F.lit("re-evaluate"),
+        )
+        .when(
+            ~F.col("is_current_key")
+            & F.col("usage_status").isin("new", "risen"),
+            F.lit("re-partition"),
+        )
+        .when(F.col("is_current_key"), F.lit("keep"))
+        .otherwise(F.lit("no-action"))
+    )
+    return joined.select(
+        "view_name",
+        "column_name",
+        "is_current_key",
+        "n_early",
+        "n_late",
+        "usage_status",
+        trigger.alias("trigger_action"),
+    ).orderBy("view_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
 # A10 — dashboard rollups the reference computes in pandas/plotly
 # (ui/app.py:416-421 histogram; app.py:427 interactive/batch counts),
 # here as engine queries with fixture-CTE oracles.

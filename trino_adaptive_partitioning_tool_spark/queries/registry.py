@@ -96,6 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "top_partition_candidates",
     "partition_recommendations_exact",
     "partition_recommendations",
+    # r7: the closed adaptive loop (drift -> per-table re-partition
+    # triggers); displaces priority_counts_windowed into tpch_digest
+    "partition_recommendation_drift",
     "resource_score_histogram",
     "interactive_batch_counts",
     "cardinality_bands",
@@ -117,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     # windows + event rollups (§2.5, P2, F3)
     "segment_topn_window",
     "event_hourly_rollup",
-    "priority_counts_windowed",
     # core SQL (O2-O6, TPC-H flagship shapes; the rest of the core
     # surface is folded into tpch_digest / stats_functions_digest)
     "pricing_summary",

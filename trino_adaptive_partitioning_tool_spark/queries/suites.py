@@ -243,6 +243,8 @@ _TPCH: list[tuple[str, list[str], list[str]]] = [
     ("part_supplier_variety",
      ["p_brand", "p_type", "p_size", "supplier_cnt"], []),
     ("part_value_concentration", ["l_partkey"], ["part_value"]),
+    # r7: displaced from the priority window by partition_recommendation_drift
+    ("priority_counts_windowed", ["o_orderpriority", "order_count"], []),
     (
         "priority_shipping_channels",
         ["l_linestatus", "high_line_count", "low_line_count"],
