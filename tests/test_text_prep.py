@@ -229,6 +229,87 @@ def test_model_quality_scores_deterministic_and_null_safe(spark):
     assert out[2]["model_score"] == 0.0 and out[2]["is_quality"]
 
 
+def test_model_quality_loader_uniform_and_empty_weights(spark):
+    """Loader mechanics without hash hand-computation: a uniform 0.5
+    weight on EVERY bucket makes weight_sum_micro exactly
+    n_features * 500000; an empty weight frame scores everything 0."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "alpha beta alpha beta"),
+    ]
+    docs = _docs(spark, rows)
+    uniform = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(0.5).alias("weight"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ops.model_quality_scores_from_weights(
+            docs, uniform
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert (
+            out[d]["weight_sum_micro"] == out[d]["n_features"] * 500000
+        ), d
+        assert out[d]["is_quality"]
+    empty = uniform.where(F.lit(False))
+    zeroed = ops.model_quality_scores_from_weights(docs, empty).collect()
+    assert all(
+        r["weight_sum_micro"] == 0 and r["model_score"] == 0.0
+        for r in zeroed
+    )
+
+
+def test_model_quality_loader_reproduces_hash_standin(spark):
+    """Feeding the loader the stand-in's OWN weight vector (exported as
+    an external (bucket, weight) frame) must reproduce
+    model_quality_scores exactly: same score, same gate, and
+    weight_sum_micro == 1000 * weight_sum (the stand-in's integer
+    weights are milli-units)."""
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators.dedup import md5_60
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark catalyst tungsten arrow parquet shuffle"),
+        (3, ""),
+    ]
+    docs = _docs(spark, rows)
+    standin_vec = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                md5_60(F.concat(F.lit("wt|"), F.col("id").cast("string")))
+                % 2001
+                - 1000
+            )
+            / F.lit(1000.0)
+        ).alias("weight"),
+    )
+    loaded = {
+        r["doc_id"]: r
+        for r in ops.model_quality_scores_from_weights(
+            docs, standin_vec
+        ).collect()
+    }
+    standin = {
+        r["doc_id"]: r for r in ops.model_quality_scores(docs).collect()
+    }
+    for d in standin:
+        assert loaded[d]["n_features"] == standin[d]["n_features"]
+        assert (
+            loaded[d]["weight_sum_micro"]
+            == standin[d]["weight_sum"] * 1000
+        )
+        assert loaded[d]["model_score"] == standin[d]["model_score"]
+        assert loaded[d]["is_quality"] == standin[d]["is_quality"]
+
+
 def test_minhash_signature_expr_matches_batch_operator(spark):
     """The stateless per-row signature (streaming path) must equal the
     batch window/groupBy operator's signature value-for-value."""

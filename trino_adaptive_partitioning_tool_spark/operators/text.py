@@ -367,6 +367,74 @@ def model_quality_scores(
     )
 
 
+def model_quality_scores_from_weights(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """model_quality_scores with an EXTERNAL trained weight vector — the
+    loader behind the model seam. `weights` is a (bucket, weight)
+    DataFrame: bucket in [0, n_buckets), weight any numeric (a trained
+    linear / fastText-style classifier exported per hashed feature
+    bucket); buckets must be unique. Same featurizer as the hash
+    stand-in (md5-bucketed distinct tokens), so the two paths score the
+    same feature vector.
+
+    Exactness: weights are canonicalized to DECIMAL(18,6) and scaled to
+    integer MICRO-UNITS, so the per-document feature sum is an exact
+    bigint in any accumulation order on any engine (the same
+    order-independence argument as the integer stand-in); the only
+    float ops are the final sqrt and division.
+
+    Scale shape: the weight frame is aggregated to ONE row holding a
+    bucket->weight map and broadcast — model-sized (<= n_buckets
+    entries; a 2^21-dim fastText hash space is ~16 MB), bounded by the
+    model dimension, never by the corpus. Scoring stays map-only above
+    the corpus scan: no explode, no join shuffle, no UDF."""
+    wmap_row = (
+        weights.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.col("weight").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("w_micro")
+            ).alias("wmap")
+        )
+    )
+
+    def _w(tok: Column) -> Column:
+        bucket = (md5_60(F.concat(F.lit("qw|"), tok)) % n_buckets).cast("int")
+        return F.coalesce(
+            F.element_at(F.col("wmap"), bucket), F.lit(0).cast("bigint")
+        )
+
+    toks = F.array_distinct(tokens_expr(text_col))
+    wsum = F.aggregate(
+        F.transform(toks, _w), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    n = F.size(toks)
+    score = F.round(
+        wsum
+        / (
+            F.lit(1000000.0)
+            * F.sqrt(F.greatest(n, F.lit(1)).cast("double"))
+        ),
+        6,
+    )
+    return docs.crossJoin(F.broadcast(wmap_row)).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_features"),
+        wsum.alias("weight_sum_micro"),
+        score.alias("model_score"),
+        (wsum >= 0).alias("is_quality"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     n: int = 8,

@@ -313,6 +313,9 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("text_model_quality_scores",
      ["doc_id", "n_features", "weight_sum", "is_quality"],
      ["model_score"]),
+    ("text_model_quality_scores_loaded",
+     ["doc_id", "n_features", "weight_sum_micro", "is_quality"],
+     ["model_score"]),
     ("text_quality_scores",
      ["doc_id"],
      ["stopword_ratio", "punct_ratio", "repetition_ratio", "length_score",

@@ -471,6 +471,68 @@ def text_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.model_quality_scores(docs, n_buckets=_QW_BUCKETS)
 
 
+def _loaded_weights_oracle() -> str:
+    """Oracle for the weight-LOADER path: the same deterministic
+    (bucket, weight) fixture rendered as a range() CTE, scored via an
+    explode + join + group (shape-independent of Spark's broadcast-map
+    form — integer micro-unit sums are order-independent, so the two
+    dataflows must agree bit-for-bit)."""
+    from ..operators.dedup import md5_60_sql
+
+    bucket = md5_60_sql("'qw|' || t") + f" % {_QW_BUCKETS}"
+    return f"""
+    WITH w AS (
+      SELECT CAST(i AS INT) AS bucket,
+             CAST(((i * 7919 + 343) % 2001 - 1000) * 1000 AS BIGINT)
+               AS w_micro
+      FROM range({_QW_BUCKETS}) t(i)
+    ),
+    tok AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, CAST({bucket} AS INT) AS bucket
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    ),
+    s AS (
+      SELECT e.doc_id, SUM(w.w_micro) AS wsum
+      FROM e LEFT JOIN w USING (bucket)
+      GROUP BY e.doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_features,
+           CAST(COALESCE(s.wsum, 0) AS BIGINT) AS weight_sum_micro,
+           ROUND(COALESCE(s.wsum, 0) / (1000000.0 *
+             sqrt(CAST(GREATEST(len(toks), 1) AS DOUBLE))), 6)
+             AS model_score,
+           COALESCE(s.wsum, 0) >= 0 AS is_quality
+    FROM tok LEFT JOIN s USING (doc_id)
+    """
+
+
+@register("text_model_quality_scores_loaded", oracle=_loaded_weights_oracle())
+def text_model_quality_scores_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model seam with a LOADED weight vector: an external (bucket,
+    weight) DataFrame — here a deterministic non-hash fixture, in
+    production the exported coefficients of a trained quality classifier
+    — flows through operators/text.model_quality_scores_from_weights
+    (decimal -> integer micro-units -> broadcast bucket map -> map-only
+    scoring). Proves the loader path scores identically to a SQL oracle
+    given the same weights; the hashed stand-in remains the default
+    fixture of text_model_quality_scores."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    weights = spark.range(_QW_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            ((F.col("id") * 7919 + 343) % 2001 - 1000)
+            / F.lit(1000.0)
+        ).alias("weight"),
+    )
+    return ops.model_quality_scores_from_weights(
+        docs, weights, n_buckets=_QW_BUCKETS
+    )
+
+
 _SPAN_N = 8
 
 
