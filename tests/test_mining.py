@@ -350,6 +350,12 @@ _F_COLS = [
 _F_ALIASES = ["a1", "a2", "a3", "a4", '"where"', '"from"']
 _F_CTES = ["cte_x", "cte_y"]
 _F_FUNCS = ["upper", "abs", "length"]
+# disjoint pools for the r7 Trino-dialect corners: lambda params and
+# UNNEST output aliases must never collide with real column names, so
+# suppression can't blur the ground-truth expectation
+_F_LAMBDA_PARAMS = ["lam_one", "lam_two"]
+_F_UNNEST_ALIASES = ["u_t1", "u_t2"]
+_F_UNNEST_COLS = ["u_c1", "u_c2", "u_c3"]
 
 
 def _fz_merge(dst, src):
@@ -369,7 +375,7 @@ def _fz_column(draw):
 
 @st.composite
 def _fz_table_source(draw, depth, exp, ctes):
-    kinds = ["base", "base"]
+    kinds = ["base", "base", "sampled", "unnest"]
     if ctes:
         kinds.append("cte")
     if depth > 0:
@@ -382,6 +388,26 @@ def _fz_table_source(draw, depth, exp, ctes):
         if alias:
             return f"{t} AS {alias}" if draw(st.booleans()) else f"{t} {alias}"
         return t
+    if kind == "sampled":
+        # Trino sampledRelation: tbl [alias] TABLESAMPLE kind (pct) —
+        # the sample clause contributes no tables/columns and must not
+        # derail a following comma/join source
+        t = draw(st.sampled_from(_F_TABLES))
+        exp["tables"].add(t)
+        alias = draw(st.sampled_from(_F_ALIASES + [""]))
+        meth = draw(st.sampled_from(["BERNOULLI", "SYSTEM"]))
+        base = f"{t} {alias}".strip()
+        return f"{base} TABLESAMPLE {meth} (10)"
+    if kind == "unnest":
+        # relational UNNEST: no base-table scan; the AS t(cols) output
+        # names are derived columns, suppressed from later collections
+        # (disjoint pools keep the expectation exact)
+        arr = draw(_fz_column())[0]
+        ua = draw(st.sampled_from(_F_UNNEST_ALIASES))
+        ucols = draw(st.lists(st.sampled_from(_F_UNNEST_COLS), min_size=1,
+                              max_size=2, unique=True))
+        ord_ = " WITH ORDINALITY" if draw(st.booleans()) else ""
+        return f"UNNEST({arr}){ord_} AS {ua}(" + ", ".join(ucols) + ")"
     if kind == "cte":
         c = draw(st.sampled_from(sorted(ctes)))
         alias = draw(st.sampled_from(_F_ALIASES + [""]))
@@ -393,10 +419,35 @@ def _fz_table_source(draw, depth, exp, ctes):
 
 @st.composite
 def _fz_predicate(draw, depth, exp, ctes):
-    kinds = ["cmp", "cmp", "func"]
+    kinds = ["cmp", "cmp", "func", "lambda"]
     if depth > 0:
         kinds += ["in_sub", "exists"]
     kind = draw(st.sampled_from(kinds))
+    if kind == "lambda":
+        # Trino array-function lambdas: params are NOT columns; free
+        # columns inside the body and the array argument ARE. Param
+        # scoping is per-lambda — a later predicate may legally use a
+        # column even if some other lambda bound the same name (the
+        # disjoint pools make the expectation exact regardless).
+        form = draw(st.sampled_from(["filter", "transform_free", "reduce"]))
+        arr_tok, arr_base = draw(_fz_column())
+        exp["where"][arr_base] += 1
+        p1, p2 = draw(st.permutations(_F_LAMBDA_PARAMS))
+        if form == "filter":
+            return (
+                f"cardinality(filter({arr_tok}, {p1} -> {p1} > 3)) > 0"
+            )
+        if form == "transform_free":
+            free_tok, free_base = draw(_fz_column())
+            exp["where"][free_base] += 1
+            return (
+                f"cardinality(transform({arr_tok},"
+                f" {p1} -> {p1} + {free_tok})) > 0"
+            )
+        return (
+            f"reduce({arr_tok}, 0, ({p1}, {p2}) -> {p1} + {p2},"
+            f" {p1} -> {p1}) > 1"
+        )
     if kind == "cmp":
         tok, base = draw(_fz_column())
         exp["where"][base] += 1
@@ -440,10 +491,19 @@ def _fz_query(draw, depth, ctes=frozenset(), allow_cte=True):
 
     sel_items = []
     for _ in range(draw(st.integers(1, 2))):
-        kinds = ["col", "num", "win"] + (["scalar"] if depth > 0 else [])
+        kinds = ["col", "num", "win", "aggfilter"] + (
+            ["scalar"] if depth > 0 else []
+        )
         kind = draw(st.sampled_from(kinds))
         if kind == "col":
             sel_items.append(draw(_fz_column())[0])
+        elif kind == "aggfilter":
+            # aggregate FILTER (WHERE pred): the predicate filters the
+            # aggregate's input rows — mined as a where column
+            ftok, fbase = draw(_fz_column())
+            exp["where"][fbase] += 1
+            agg = draw(st.sampled_from(["count(1)", "sum(1)"]))
+            sel_items.append(f"{agg} FILTER (WHERE {ftok} > 7)")
         elif kind == "num":
             sel_items.append("1")
         elif kind == "win":
@@ -538,6 +598,67 @@ def test_miner_grammar_differential(qe):
         c > 0
         for c in (*m["join_columns"].values(), *m["where_columns"].values())
     ), sql
+
+
+def test_unnest_alias_columns_not_scanned_or_counted():
+    m = mining.mine_statement(
+        "SELECT t.x FROM orders, UNNEST(orders.o_tags) AS t(x) "
+        "WHERE t.x > 1 AND o_custkey > 5"
+    )
+    assert m["tables"] == ["orders"]
+    assert dict(m["where_columns"]) == {"o_custkey": 1}
+
+
+def test_unnest_with_ordinality_cross_join():
+    m = mining.mine_statement(
+        "SELECT u.elem FROM lineitem CROSS JOIN UNNEST(l_list) "
+        "WITH ORDINALITY AS u(elem, pos) "
+        "WHERE u.elem > 2 AND l_quantity < 10"
+    )
+    assert m["tables"] == ["lineitem"]
+    assert dict(m["where_columns"]) == {"l_quantity": 1}
+
+
+def test_lambda_params_scoped_per_lambda():
+    m = mining.mine_statement(
+        "SELECT * FROM t WHERE reduce(arr, 0, (s, x) -> s + x, s -> s)"
+        " > lim AND s > 1 AND x = 2"
+    )
+    # params suppressed inside their bodies only: the later bare s and x
+    # are real columns and still count
+    assert dict(m["where_columns"]) == {"arr": 1, "lim": 1, "s": 1, "x": 1}
+
+
+def test_lambda_free_variable_counted():
+    m = mining.mine_statement(
+        "SELECT * FROM documents WHERE "
+        "cardinality(transform(tags, x -> x || suffix)) > 0"
+    )
+    assert dict(m["where_columns"]) == {"tags": 1, "suffix": 1}
+
+
+def test_aggregate_filter_where_mined():
+    m = mining.mine_statement(
+        "SELECT count(*) FILTER (WHERE o_totalprice > 100), sum(1) "
+        "FROM orders WHERE o_orderkey < 9"
+    )
+    assert dict(m["where_columns"]) == {"o_totalprice": 1, "o_orderkey": 1}
+
+
+def test_tablesample_consumed_mid_from_list():
+    m = mining.mine_statement(
+        "SELECT * FROM orders TABLESAMPLE SYSTEM (10), lineitem "
+        "WHERE o_orderkey = 1"
+    )
+    assert m["tables"] == ["orders", "lineitem"]
+    assert dict(m["where_columns"]) == {"o_orderkey": 1}
+
+
+def test_grouping_sets_keywords_not_columns():
+    got = mining.mine_group_columns(
+        "SELECT a FROM t GROUP BY GROUPING SETS ((a), (a, b)), c"
+    )
+    assert dict(got) == {"a": 2, "b": 1, "c": 1}
 
 
 def test_mine_group_columns_scoping():

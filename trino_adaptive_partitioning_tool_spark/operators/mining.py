@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | \d+(?:\.\d+)?             # number
   | (?:"(?:[^"]|"")+"|[A-Za-z_][\w$]*)      # (qualified) identifier,
     (?:\.(?:"(?:[^"]|"")+"|[A-Za-z_][\w$]*))*   # quoted segments allowed
-  | <> | <= | >= | != | \|\|
+  | -> | <> | <= | >= | != | \|\|
   | .                         # any single char punctuation
     """,
     re.VERBOSE,
@@ -49,7 +49,7 @@ _KEYWORDS = frozenset(
     min max coalesce nullif over partition rows range preceding following
     unbounded current row using natural values insert into update delete
     create materialized view table if replace true false lateral recursive
-    except intersect minus grouping sets cube rollup
+    except intersect minus grouping sets cube rollup tablesample
     """.split()
 )
 
@@ -181,7 +181,10 @@ def _mine_tokens(
         return end
 
     def read_table_ref(i: int) -> int:
-        """Consume `tbl [AS] [alias]` starting at toks[i]; returns next idx."""
+        """Consume `tbl [AS] [alias] [TABLESAMPLE kind (expr)]` starting
+        at toks[i]; returns next idx. The sample clause is consumed here
+        (not left to the main walk) so a comma-separated FROM list keeps
+        scanning sources after a sampled table."""
         if i < len(toks) and _is_identifier(toks[i]):
             name = _base_table(toks[i])
             if name not in aliases:  # CTE/alias reference → not a scan
@@ -192,6 +195,12 @@ def _mine_tokens(
             if i < len(toks) and _is_identifier(toks[i]):
                 aliases.add(_base_name(toks[i]))
                 i += 1
+            if i < len(low) and low[i] == "tablesample":
+                i += 1
+                if i < len(toks) and _is_identifier(toks[i]):
+                    i += 1  # BERNOULLI / SYSTEM
+                if i < len(toks) and toks[i] == "(":
+                    i = _skip_parens(toks, i)
         return i
 
     def collect_columns(i: int, sink: Counter) -> int:
@@ -201,14 +210,34 @@ def _mine_tokens(
         Parens are depth-tracked: boundary keywords only terminate at
         depth 0, and a ')' at depth 0 is a HARD boundary — it closes an
         enclosing scope, so running past it would bleed this clause's
-        collection into the parent query block."""
+        collection into the parent query block.
+
+        Lambda parameters (Trino `x -> ...` / `(a, b) -> ...` inside
+        transform/filter/reduce) are NOT columns: each lambda's params
+        are suppressed for exactly its body — until the `)` that closes
+        the enclosing call, or a `,` separating the lambda from the
+        call's next argument — so a real column sharing a param's name
+        elsewhere in the clause still counts."""
         depth = 0
+        # (depth the lambda's argument lives at, its param names); a
+        # param suppresses collection only while its entry is live
+        lambda_stack: list[tuple[int, frozenset[str]]] = []
         while i < len(toks):
             tl = low[i]
             if depth == 0 and tl in _CLAUSE_BOUNDARY:
                 break
             if toks[i] == "(":
                 end = _skip_parens(toks, i)
+                if end < len(toks) and toks[end] == "->":
+                    # (a, b) -> body : parenthesized lambda params
+                    params = frozenset(
+                        _base_column(t)
+                        for t in toks[i + 1 : end - 1]
+                        if _is_identifier(t)
+                    )
+                    lambda_stack.append((depth, params))
+                    i = end + 1
+                    continue
                 inner = toks[i + 1 : end - 1]
                 if inner and inner[0].lower() in ("select", "with"):
                     i = recurse_if_subquery(i)
@@ -220,15 +249,32 @@ def _mine_tokens(
                 if depth == 0:
                     break
                 depth -= 1
+                while lambda_stack and lambda_stack[-1][0] > depth:
+                    lambda_stack.pop()
+                i += 1
+                continue
+            if toks[i] == ",":
+                # argument separator at the lambda's own depth ends it
+                while lambda_stack and lambda_stack[-1][0] == depth:
+                    lambda_stack.pop()
                 i += 1
                 continue
             if _is_identifier(toks[i]):
+                if i + 1 < len(toks) and toks[i + 1] == "->":
+                    # x -> body : single-param lambda
+                    lambda_stack.append(
+                        (depth, frozenset((_base_column(toks[i]),)))
+                    )
+                    i += 2
+                    continue
                 # skip function calls: identifier immediately followed by (
                 if i + 1 < len(toks) and toks[i + 1] == "(":
                     i += 1
                     continue
                 name = _base_column(toks[i])
-                if name not in aliases:
+                if name not in aliases and not any(
+                    name in p for _d, p in lambda_stack
+                ):
                     sink[name] += 1
             i += 1
         return i
@@ -254,6 +300,35 @@ def _mine_tokens(
             i += 1
         return i
 
+    def consume_unnest(i: int) -> int:
+        """toks[i] is UNNEST in a table position: skip the array
+        argument list and optional WITH ORDINALITY, then register the
+        `AS t(x, ...)` alias AND its output column names as aliases —
+        unnest outputs are derived columns, not base-table scans
+        (Trino's relational UNNEST form; sqlglot models it as a table
+        function, reference src/partitioning.py:34-60)."""
+        i += 1
+        if i < len(toks) and toks[i] == "(":
+            i = _skip_parens(toks, i)
+        if (
+            i + 1 < len(low)
+            and low[i] == "with"
+            and low[i + 1] == "ordinality"
+        ):
+            i += 2
+        if i < len(low) and low[i] == "as":
+            i += 1
+        if i < len(toks) and _is_identifier(toks[i]):
+            aliases.add(_base_name(toks[i]))
+            i += 1
+            if i < len(toks) and toks[i] == "(":
+                end = _skip_parens(toks, i)
+                for t in toks[i + 1 : end - 1]:
+                    if _is_identifier(t):
+                        aliases.add(_base_name(t))
+                i = end
+        return i
+
     i = 0
     while i < len(toks):
         tl = low[i]
@@ -269,7 +344,13 @@ def _mine_tokens(
                     if i < len(toks) and toks[i] == ",":
                         i += 1
                     continue
-                if _is_identifier(toks[i]):
+                if (
+                    low[i] == "unnest"
+                    and i + 1 < len(toks)
+                    and toks[i + 1] == "("
+                ):
+                    i = consume_unnest(i)
+                elif _is_identifier(toks[i]):
                     i = read_table_ref(i)
                 elif toks[i] == ",":
                     i += 1
@@ -286,6 +367,13 @@ def _mine_tokens(
                 i += 1
             if i < len(toks) and toks[i] == "(":
                 i = consume_derived(i)
+            elif (
+                i < len(low)
+                and low[i] == "unnest"
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+            ):
+                i = consume_unnest(i)
             else:
                 i = read_table_ref(i)
         elif tl == "on":
@@ -294,6 +382,16 @@ def _mine_tokens(
             i = collect_using(i + 1)
         elif tl == "where":
             i = collect_columns(i + 1, where_cols)
+        elif (
+            tl == "filter"
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and low[i + 2] == "where"
+        ):
+            # aggregate FILTER (WHERE ...) clause: the predicate filters
+            # the aggregate's input rows — mined as where columns (the
+            # Trino form; collect_columns stops at the closing paren)
+            i = collect_columns(i + 3, where_cols)
         elif toks[i] == "(":
             # Select-list / expression subqueries (scalar subqueries, CTE
             # bodies reached by the main walk) are their own scope:
