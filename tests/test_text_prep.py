@@ -229,6 +229,48 @@ def test_model_quality_scores_deterministic_and_null_safe(spark):
     assert out[2]["model_score"] == 0.0 and out[2]["is_quality"]
 
 
+def test_duplicate_span_stats_auto_dispatch(spark):
+    """skew_safe=None probes the corpus and dispatches: boilerplate-
+    heavy (every doc shares one span) -> aggregate+join form (no
+    WindowExec); diverse corpus -> window form. Probe knobs shrunk so
+    the pathology fits a unit test; dispatch never changes results."""
+    from trino_adaptive_partitioning_tool_spark.plans import inspect
+
+    boiler = "shared boilerplate one two three four five six seven eight"
+    docs = _docs(spark, [(i, boiler) for i in range(40)])
+    skewed = ops.duplicate_span_stats(docs, n=8, probe_mod=1, df_ceiling=10)
+    # the shingle substrate always carries one per-id lead() window; the
+    # doc-frequency stage is what dispatch swaps (count window vs
+    # aggregate+equi-join), so compare window-node counts and require
+    # the join in the skew-safe plan
+    skew_plan = inspect.physical_plan(skewed)
+    diverse = _docs(
+        spark,
+        [
+            (
+                i,
+                f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i} i{i} j{i}",
+            )
+            for i in range(40)
+        ],
+    )
+    windowed = ops.duplicate_span_stats(
+        diverse, n=8, probe_mod=1, df_ceiling=10
+    )
+    win_plan = inspect.physical_plan(windowed)
+    # the skew-safe form computes doc-frequency as an aggregate and
+    # joins it back (self-join on h); the window form has no join at all
+    joins = ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    assert any(j in skew_plan for j in joins)
+    assert not any(j in win_plan for j in joins)
+    assert sorted(map(tuple, skewed.collect())) == sorted(
+        map(
+            tuple,
+            ops.duplicate_span_stats(docs, n=8, skew_safe=True).collect(),
+        )
+    )
+
+
 def test_model_quality_loader_uniform_and_empty_weights(spark):
     """Loader mechanics without hash hand-computation: a uniform 0.5
     weight on EVERY bucket makes weight_sum_micro exactly

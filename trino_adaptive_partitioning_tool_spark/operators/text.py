@@ -435,12 +435,49 @@ def model_quality_scores_from_weights(
     )
 
 
+# span-skew probe defaults: sample 1/_SPAN_PROBE_MOD of documents by id
+# hash; if the extrapolated max span doc-frequency exceeds the ceiling
+# (the rough row count one WindowExec task should own), dispatch to the
+# aggregate+join form AQE can skew-split
+_SPAN_PROBE_MOD = 100
+_SPAN_DF_CEILING = 1_000_000
+
+
+def _span_skew_probe(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    probe_mod: int = _SPAN_PROBE_MOD,
+    df_ceiling: int = _SPAN_DF_CEILING,
+) -> bool:
+    """Cheap pre-probe for boilerplate-span skew: shingle a
+    deterministic 1/probe_mod hash-sample of documents and extrapolate
+    the max span doc-frequency. A span shared by millions of documents
+    lands in any doc sample with near-certainty, so the probe catches
+    exactly the pathological profile while costing one pass over the
+    sample (filter pushed below the shingling). Deterministic (Murmur3
+    id hash, no RNG): the same corpus always dispatches the same way."""
+    sample = docs.where(F.abs(F.hash(F.col(id_col))) % probe_mod == 0)
+    row = (
+        ngram_hashes(sample, n, id_col, text_col, distinct=True)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .first()
+    )
+    max_df = row["m"] or 0
+    return max_df * probe_mod > df_ceiling
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
+    probe_mod: int = _SPAN_PROBE_MOD,
+    df_ceiling: int = _SPAN_DF_CEILING,
 ) -> DataFrame:
     """CROSS-document duplicated-span fraction: per document, the share
     of its distinct n-token spans that also occur in at least one OTHER
@@ -455,15 +492,26 @@ def duplicate_span_stats(
 
     Scale shape: one shuffle of the (id, h) stream by h, one
     groupBy(id); span hashes are corpus-scale but never collected or
-    broadcast. Default path annotates each (id, h) row with its span's
+    broadcast. Window path annotates each (id, h) row with its span's
     doc-frequency via an unordered COUNT window over h — no join, ~3x
     faster than aggregate-then-join at sf0.1. WindowExec buffers one
     h-group at a time (spillable), so a boilerplate span shared by
-    millions of documents makes one long task; for corpora with that
-    profile pass ``skew_safe=True`` to use the aggregate + equi-join
-    form instead, whose skewed join AQE splits automatically."""
+    millions of documents makes one long task; the aggregate + equi-join
+    form (``skew_safe=True``) trades the window for a join AQE can
+    skew-split. ``skew_safe=None`` (default) AUTO-DISPATCHES via
+    _span_skew_probe: a deterministic hash-sample of documents
+    extrapolates the max span doc-frequency, choosing the safe form
+    when one window task would own more than ``df_ceiling`` rows. The
+    probe costs one sample-sized job at plan-build time; pass an
+    explicit bool to skip it (pipelines pin their plan shape this way).
+    Both paths produce identical rows (integer counts), so dispatch
+    never changes results."""
     from pyspark.sql import Window
 
+    if skew_safe is None:
+        skew_safe = _span_skew_probe(
+            docs, n, id_col, text_col, probe_mod, df_ceiling
+        )
     h = ngram_hashes(docs, n, id_col, text_col, distinct=True)
     if skew_safe:
         dfreq = h.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))

@@ -453,8 +453,11 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("is_dup")
         .persist(StorageLevel.MEMORY_ONLY)
     )
+    # skew_safe pinned False: the span stage runs over near-dedup
+    # SURVIVORS (boilerplate documents largely removed), and the
+    # composed pipeline wants a build-time-action-free, stable plan
     spans = textops.duplicate_span_stats(
-        s6.select("doc_id", "text"), n=SPAN_STAGE_N
+        s6.select("doc_id", "text"), n=SPAN_STAGE_N, skew_safe=False
     ).select("doc_id", "shared_span_ratio")
     flagged = (
         s6.join(spans, "doc_id", "left")

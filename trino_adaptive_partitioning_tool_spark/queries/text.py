@@ -559,7 +559,10 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure equi-join dataflow (operators/text.duplicate_span_stats). The
     oracle replays the identical shingle-hash join in DuckDB."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    return ops.duplicate_span_stats(docs, n=_SPAN_N)
+    # skew_safe pinned (no auto-probe): the driver/bench plan must be
+    # action-free at build time and stable across rounds; the operator's
+    # auto-dispatch is exercised by tests/test_text_prep.py
+    return ops.duplicate_span_stats(docs, n=_SPAN_N, skew_safe=False)
 
 
 @register(
