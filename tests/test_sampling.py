@@ -83,6 +83,80 @@ def test_pack_sequences_fill_and_budget(spark):
     assert bad == 0
 
 
+def test_pack_manifest_parquet_round_trip_reconstructs_exactly(spark, tmp_path):
+    """Write the per-document packing manifest to parquet, read it back,
+    and prove exact reconstruction: every document appears once, every
+    in-pack start offset is < budget, and laying each (lang, shard) lane
+    end-to-end in (pack_id, seq_in_pack) order reproduces every recorded
+    offset with no gap or overlap (= every token accounted for exactly
+    once)."""
+    from pyspark.sql import Window
+
+    from trino_adaptive_partitioning_tool_spark.operators.dedup import tokens_expr
+
+    budget = 512
+    docs = _docs(spark).withColumn(
+        "token_count", F.size(tokens_expr("text")).cast("bigint")
+    )
+    manifest = sampling.pack_sequences_manifest(
+        docs.select("lang", "doc_id", "token_count"),
+        "lang", "doc_id", "token_count", budget=budget, n_shards=4,
+    )
+    path = str(tmp_path / "packs")
+    sampling.write_pack_manifest(manifest, path, partition_cols=("lang",))
+    back = spark.read.parquet(path)
+
+    n_docs = docs.count()
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+    assert back.where(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= budget)
+    ).count() == 0
+    # token-count totals survive the round trip exactly
+    assert (
+        back.agg(F.sum("token_count")).first()[0]
+        == docs.agg(F.sum("token_count")).first()[0]
+    )
+    # contiguity: within a (lang, shard) lane ordered by (pack_id,
+    # seq_in_pack), each document's global start offset equals the
+    # running sum of all previous documents' tokens
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("pack_id", "seq_in_pack")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    recon = back.withColumn(
+        "expected_start", F.coalesce(F.sum("token_count").over(w), F.lit(0))
+    ).withColumn(
+        "recorded_start", F.col("pack_id") * budget + F.col("pack_offset")
+    )
+    assert recon.where(
+        F.col("expected_start") != F.col("recorded_start")
+    ).count() == 0
+
+
+def test_pack_manifest_handles_doc_longer_than_budget(spark):
+    """A document longer than the budget overhangs into later packs:
+    the manifest stays contiguous (next doc's recorded start = previous
+    cumulative tokens) even when intermediate pack ids are skipped."""
+    rows = [
+        ("en", 1, 2000),  # spans packs 0..3
+        ("en", 2, 100),
+        ("en", 3, 100),
+        ("en", 4, 100),
+    ]
+    docs = spark.createDataFrame(rows, ["lang", "doc_id", "token_count"])
+    m = sampling.pack_sequences_manifest(
+        docs, "lang", "doc_id", "token_count", budget=512, n_shards=1
+    ).orderBy("pack_id", "seq_in_pack").collect()
+    assert len(m) == 4
+    starts = [r["pack_id"] * 512 + r["pack_offset"] for r in m]
+    sizes = [r["token_count"] for r in m]
+    assert starts[0] == 0
+    for k in range(1, 4):
+        assert starts[k] == starts[k - 1] + sizes[k - 1]
+
+
 def test_cap_per_group_deterministic_and_capped(spark):
     docs = _docs(spark)
     capped = sampling.cap_per_group(docs, "lang", "doc_id", cap=7)

@@ -131,6 +131,22 @@ def pack_sequences(
 
     Window-sum over (group, shard) keys → parallelism = groups×shards,
     independent of total rows."""
+    return _pack_annotated(
+        df, group_col, id_col, token_count_col, budget, n_shards
+    ).drop("pack_order", "tokens_before")
+
+
+def _pack_annotated(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int,
+) -> DataFrame:
+    """pack_sequences' annotated core: input plus shard, pack_order
+    (stable hash), tokens_before (end-to-end start offset within the
+    (group, shard) lane), and pack_id."""
     shard = F.pmod(md5_60(F.col(id_col).cast("string")), F.lit(n_shards))
     order = md5_60(F.concat_ws("|", F.lit("packorder"), F.col(id_col).cast("string")))
     w = (
@@ -148,5 +164,55 @@ def pack_sequences(
         .withColumn(
             "pack_id", (F.col("tokens_before") / F.lit(budget)).cast("bigint")
         )
-        .drop("pack_order", "tokens_before")
     )
+
+
+def pack_sequences_manifest(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The MATERIALIZABLE per-document packing manifest: for every
+    document its (group, shard, pack_id), its position within the pack
+    (seq_in_pack, 1-based in stable hash order), its token count, and
+    its start offset inside the pack (pack_offset = tokens_before -
+    pack_id * budget, in [0, budget) by construction). Written as a
+    parquet artifact (write_pack_manifest), this is sufficient to
+    reconstruct every batch exactly: ordering a lane by (pack_id,
+    seq_in_pack) and laying documents end-to-end reproduces each
+    document's recorded offset, so every token is accounted for exactly
+    once and no pack starts a document at an offset >= budget —
+    round-trip-verified in tests/test_sampling.py. Same two-window plan
+    shape as pack_sequences (parallelism = groups x shards)."""
+    ann = _pack_annotated(
+        df, group_col, id_col, token_count_col, budget, n_shards
+    )
+    w_seq = Window.partitionBy(group_col, "shard", "pack_id").orderBy(
+        "pack_order", id_col
+    )
+    return ann.select(
+        F.col(group_col),
+        F.col("shard").cast("bigint").alias("shard"),
+        "pack_id",
+        F.row_number().over(w_seq).cast("bigint").alias("seq_in_pack"),
+        F.col(id_col),
+        F.col(token_count_col).cast("bigint").alias("token_count"),
+        (F.col("tokens_before") - F.col("pack_id") * budget)
+        .cast("bigint")
+        .alias("pack_offset"),
+    )
+
+
+def write_pack_manifest(
+    manifest: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """Persist a pack_sequences_manifest frame as the parquet artifact a
+    training-data loader consumes (optionally hive-partitioned by e.g.
+    the group column so one lane's packs prune to one directory)."""
+    writer = manifest.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -178,3 +178,57 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("token_count").alias("pack_tokens"),
     )
+
+
+def _packing_manifest_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+        CAST(len({_TOKS}) AS BIGINT) AS token_count,
+        ({md5_60_sql("CAST(doc_id AS VARCHAR)")} % 4) AS shard,
+        {md5_60_sql("concat_ws('|', 'packorder', CAST(doc_id AS VARCHAR))")}
+          AS pack_order
+      FROM documents
+    ), s AS (
+      SELECT lang, doc_id, token_count, shard, pack_order,
+        COALESCE(SUM(token_count) OVER (
+          PARTITION BY lang, shard ORDER BY pack_order, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS tokens_before
+      FROM t
+    ), p AS (
+      SELECT *, CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS pack_id
+      FROM s
+    )
+    SELECT lang,
+      CAST(shard AS BIGINT) AS shard,
+      pack_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY lang, shard, pack_id ORDER BY pack_order, doc_id
+      ) AS BIGINT) AS seq_in_pack,
+      doc_id,
+      token_count,
+      CAST(tokens_before - pack_id * 512 AS BIGINT) AS pack_offset
+    FROM p
+    """
+
+
+@register("sequence_packing_manifest", oracle=_packing_manifest_oracle())
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materializable per-document packing artifact (operators/
+    sampling.pack_sequences_manifest): every document's pack assignment,
+    in-pack sequence position, token count, and in-pack start offset —
+    hash-checked per document, so the driver certifies the exact batch
+    layout a loader would reconstruct, not just pack-level stats.
+    Round-trip through parquet is verified in tests/test_sampling.py."""
+    docs = tables.load_table(spark, sf_dir, "documents").withColumn(
+        "token_count", F.size(tokens_expr("text")).cast("bigint")
+    )
+    return sampling.pack_sequences_manifest(
+        docs.select("lang", "doc_id", "token_count"),
+        "lang",
+        "doc_id",
+        "token_count",
+        budget=512,
+        n_shards=4,
+    )

@@ -413,6 +413,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("rollup_advice",
      ["table_name", "column_name", "groupby_freq", "ndv", "table_rows"],
      ["est_rollup_fraction"]),
+    ("sequence_packing_manifest",
+     ["lang", "shard", "pack_id", "seq_in_pack", "doc_id", "token_count",
+      "pack_offset"], []),
     ("sequence_packing_stats",
      ["lang", "shard", "pack_id", "n_docs", "pack_tokens"], []),
     ("shuffle_partition_advice",
