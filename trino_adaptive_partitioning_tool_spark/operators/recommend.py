@@ -54,6 +54,18 @@ def view_columns_df(
     return spark.createDataFrame(rows, schema=schema), sorted(table_names)
 
 
+# Session-memoized default-args analyses: several registered queries
+# (flagship recommendations, their exact twin, the drift triggers, the
+# dashboard) each consume run_analysis output, but mapInPandas closures
+# canonicalize differently per plan build, so the .cache() marks inside
+# one call NEVER hit from a separately-built call — without this memo
+# each consumer re-materializes the whole mining+profiling pipeline.
+# Keyed on applicationId so a new session starts clean; only the
+# default-input path memoizes (custom logs/views/filters are caller
+# state the key can't see).
+_ANALYSIS_CACHE: dict[tuple, dict[str, DataFrame]] = {}
+
+
 def run_analysis(
     spark: SparkSession,
     sf_dir: str,
@@ -69,6 +81,17 @@ def run_analysis(
     reference splices a raw SQL string — an injection surface, SURVEY
     §8.5; we require a Column expression).
     """
+    memo_key = None
+    if logs_df is None and views_df is None and time_filter is None:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            exact_stats,
+            profile_percentiles,
+        )
+        hit = _ANALYSIS_CACHE.get(memo_key)
+        if hit is not None:
+            return dict(hit)
     logs = logs_df if logs_df is not None else fixtures.query_logs_df(spark)
     views = views_df if views_df is not None else fixtures.catalog_views_df(spark)
     views = views.where(F.col("table_type") == "MATERIALIZED VIEW")
@@ -110,7 +133,7 @@ def run_analysis(
     transformed = transforms.with_transforms(top)
     scripts = transforms.partition_scripts(transformed, views)
 
-    return {
+    result = {
         "query_logs": logs,
         "views": views,
         "mined_logs": mined_logs,
@@ -125,6 +148,10 @@ def run_analysis(
         "top_candidates": top,
         "recommendations": scripts,
     }
+    if memo_key is not None:
+        _ANALYSIS_CACHE[memo_key] = result
+        return dict(result)
+    return result
 
 
 def recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:

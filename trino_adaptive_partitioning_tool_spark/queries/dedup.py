@@ -401,7 +401,16 @@ def dedup_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON d.text = c.text AND d.doc_id > c.mn
     ),
     dupset AS (
-      SELECT doc_id FROM near_dups UNION SELECT doc_id FROM exact_dups
+      -- DuckDB 1.0 quirk: under WITH RECURSIVE, a plain UNION in a
+      -- NON-recursive CTE behaves as UNION ALL (no dedup) — surfaced at
+      -- sf0.1 where a doc is both a near-dup and an exact dup, and the
+      -- left join then double-counted it. Explicit DISTINCT is
+      -- engine-proof.
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM near_dups
+        UNION ALL
+        SELECT doc_id FROM exact_dups
+      ) u
     )
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -417,7 +417,17 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = pq.pq_topk_rerank(emb, queries, k=_K, shortlist=150)
+    # shortlist scales with the corpus (1/3, floor 150): a FIXED 150 was
+    # 30% of the sf0.01 corpus but only 7.5% at sf0.1, where the recall
+    # gate fired red (found by the sf0.1 full-parity sweep, r7). The
+    # testdata embeddings are near-uniform random — PQ's worst case
+    # (distances concentrate, m=4 k=16 ADC barely separates neighbors),
+    # measured recall@5 at sf0.1: 10% shortlist -> 0.40, 20% -> 0.68,
+    # 33% -> 0.88. Real embedding corpora have cluster structure that
+    # lets much smaller shortlists clear the same gate. One count at
+    # plan-build time — memo=True pays it once per session.
+    shortlist = max(150, emb.count() // 3)
+    approx = pq.pq_topk_rerank(emb, queries, k=_K, shortlist=shortlist)
     exact = pq.l2_topk(emb, queries, k=_K)
     recall = (
         exact.join(
