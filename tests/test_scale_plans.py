@@ -274,6 +274,14 @@ _SHUFFLE_CEILINGS = {
     # shuffles; AQE converts back to broadcast at runtime when the
     # projection actually fits
     "workload_drift_report": 5,
+    # r7: embeds the full exact-stats advisor pipeline (dimension-sized
+    # aggregations) + the drift aggregation + the trigger joins
+    "partition_recommendation_drift": 21,
+    # r7: map-only scoring above the scan — the only exchange is the
+    # 1-row broadcast of the bucket->weight map
+    "text_model_quality_scores_loaded": 0,
+    # r7: one shuffle, the (group, shard) lane window
+    "sequence_packing_manifest": 1,
 }
 
 
