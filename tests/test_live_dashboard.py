@@ -1,0 +1,84 @@
+"""Live dashboard server (sources/live.py): the re-query surface the
+static HTML cannot provide — served from stdlib http.server and driven
+here over real localhost HTTP with urllib."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from conftest import SMOKE_SF_DIR
+from trino_adaptive_partitioning_tool_spark.sources import live
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = live.serve_dashboard(spark, SMOKE_SF_DIR, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path: str):
+    host, port = server.server_address[:2]
+    with urllib.request.urlopen(f"http://{host}:{port}{path}", timeout=120) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+def test_query_endpoint_runs_registered_query(server):
+    status, ctype, body = _get(
+        server, "/api/query?name=resource_scores"
+    )
+    assert status == 200 and ctype.startswith("application/json")
+    payload = json.loads(body)
+    assert payload["name"] == "resource_scores"
+    rows = payload["rows"]
+    assert len(rows) == 20
+    assert {"query_id", "resource_score"} <= set(rows[0])
+
+
+def test_query_endpoint_unknown_name_404(server):
+    try:
+        status, _, body = _get(server, "/api/query?name=nope")
+    except urllib.error.HTTPError as e:  # urllib raises on 4xx
+        status, body = e.code, e.read()
+    assert status == 404
+    assert "unknown query" in json.loads(body)["error"]
+
+
+def test_queries_endpoint_lists_registry(server):
+    status, _, body = _get(server, "/api/queries")
+    names = json.loads(body)
+    assert status == 200
+    assert "partition_recommendations" in names
+    assert "partition_recommendation_drift" in names
+
+
+def test_refresh_recomputes_with_time_window(server):
+    """The reference app's date-range widget: a narrowed window must
+    re-run the analysis over fewer log rows, and the full window must
+    reproduce the unfiltered query count."""
+    status, _, body = _get(server, "/api/refresh")
+    full = json.loads(body)
+    assert status == 200
+    assert full["n_queries"] == 20  # the fixture log
+    assert full["recommendations"], "full window should recommend keys"
+
+    status, _, body = _get(server, "/api/refresh?from=2025-06-01")
+    late = json.loads(body)
+    assert status == 200
+    assert 0 < late["n_queries"] < full["n_queries"]
+    assert late["window"]["from"] == "2025-06-01"
+
+
+def test_root_serves_dashboard_html_with_live_toolbar(server):
+    status, ctype, body = _get(server, "/")
+    assert status == 200 and ctype.startswith("text/html")
+    html = body.decode()
+    assert "Adaptive partitioning dashboard" in html
+    assert "/api/refresh" in html  # the live toolbar
+    assert "Re-partitioning triggers" in html

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write a static HTML dashboard (the reference's "
         "five-page Streamlit UI rendered offline) to <out>/dashboard.html",
     )
+    p.add_argument(
+        "--serve", type=int, metavar="PORT", default=None,
+        help="serve the LIVE dashboard on localhost:PORT (the reference's "
+        "Streamlit launcher analog, src/ui_dashboard.py): re-query "
+        "endpoints /api/query and /api/refresh recompute from the engine",
+    )
     return p
 
 
@@ -131,6 +137,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"applied: {r['view']} partitioned by {keys} -> {dest}")
     else:
         print("\nDry run (default): no tables rewritten; pass --execute to apply.")
+
+    if args.serve is not None:
+        from .sources.live import serve_dashboard
+
+        server = serve_dashboard(spark, args.sf_dir, port=args.serve)
+        host, port = server.server_address[:2]
+        print(f"Live dashboard: http://{host}:{port}/ (Ctrl-C to stop)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
     return 0
 
 
