@@ -1,0 +1,95 @@
+"""Unit tests for the integer-lattice k-means operator
+(operators/clustering.py): exact rounding, partition-order independence
+(the property the oracle replay relies on), empty-cluster carry, and
+the map-only assignment contract."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from trino_adaptive_partitioning_tool_spark.operators import clustering as C
+from trino_adaptive_partitioning_tool_spark.plans import inspect
+
+from conftest import SMOKE_SF_DIR
+
+
+def test_round_centroid_is_half_away_from_zero():
+    for s in range(-50, 51):
+        for n in (1, 2, 3, 7, 10):
+            got = C._round_centroid(s, n)
+            exact = Fraction(s, n)
+            # half-away-from-zero reference via Fraction arithmetic
+            half = Fraction(1, 2)
+            if exact >= 0:
+                want = int(exact + half)
+            else:
+                want = -int(-exact + half)
+            assert got == want, (s, n, got, want)
+
+
+def test_assignments_partition_order_independent(spark):
+    """The exactness contract: integer sums commute, so repartitioning
+    the corpus cannot change a single assignment or distance."""
+    emb = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    base = sorted(
+        tuple(r) for r in C.kmeans_assignments(emb, k=4, iters=3).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in C.kmeans_assignments(
+            emb.repartition(13), k=4, iters=3
+        ).collect()
+    )
+    assert base == shuffled
+
+
+def test_empty_cluster_carries_previous_centroid(spark):
+    """Two identical init centroids: the tie-break sends every member to
+    the lower cluster id, leaving the twin empty — it must keep its
+    previous centroid instead of crashing or collapsing k."""
+    rows = [(i, [0.0, 0.0]) for i in range(2)] + [
+        (i, [10.0, 10.0]) for i in range(2, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # init = 3 lowest ids -> centroids [0,0], [0,0], [10000,10000]
+    centroids, quantized = C.kmeans_fit(df, k=3, iters=2)
+    assert centroids[1] == [0, 0]  # carried, not recomputed
+    assigned = C.assign_clusters(quantized, centroids).collect()
+    by_cluster = {r["vec_id"]: r["cluster"] for r in assigned}
+    assert all(by_cluster[i] == 0 for i in range(2))
+    assert all(by_cluster[i] == 2 for i in range(2, 6))
+    # nobody lands in the empty twin (tie-break picks the lower id)
+    assert all(r["cluster"] != 1 for r in assigned)
+
+
+def test_assignment_is_map_only(spark):
+    """The 100 TB contract: nearest-centroid assignment must not plan a
+    join or shuffle — centroids are a literal folded into codegen."""
+    emb = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    quantized = emb.select(
+        "vec_id", C.quantize_expr(F.col("embedding")).alias("v")
+    )
+    df = C.assign_clusters(quantized, [[0] * 64, [500] * 64])
+    assert inspect.shuffle_count(df) == 0
+    assert "Join" not in inspect.physical_plan(df)
+
+
+def test_dist2_matches_naive_definition(spark):
+    """The <q,q> - 2<q,c> + <c,c> expansion equals the naive per-dim
+    sum of squared differences (both exact integers)."""
+    emb = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet").limit(20)
+    centroids, quantized = C.kmeans_fit(emb, k=2, iters=1)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in C.assign_clusters(quantized, centroids).collect()
+    }
+    for row in quantized.collect():
+        v = [int(x) for x in row["v"]]
+        naive = [
+            (j, sum((a - b) ** 2 for a, b in zip(v, c)))
+            for j, c in enumerate(centroids)
+        ]
+        best = min(naive, key=lambda t: (t[1], t[0]))
+        assert got[row["vec_id"]] == (best[0], best[1])

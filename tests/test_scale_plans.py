@@ -282,6 +282,13 @@ _SHUFFLE_CEILINGS = {
     "text_model_quality_scores_loaded": 0,
     # r7: one shuffle, the (group, shard) lane window
     "sequence_packing_manifest": 1,
+    # r7 integer-lattice k-means: assignment is MAP-ONLY (centroids are
+    # a k x dim literal folded into codegen — no join, no shuffle); the
+    # curation queries on top pay only their own composition
+    "embedding_kmeans_assign": 0,
+    "embedding_cluster_profile": 2,
+    "cluster_balanced_sample": 2,
+    "cluster_outlier_prune": 1,
 }
 
 

@@ -1,0 +1,228 @@
+"""Deterministic integer-lattice k-means over embedding columns.
+
+DataFrame-native Lloyd's iterations for training-data curation (topic
+balancing, semantic outlier pruning — the SemDeDup/D4 family of
+embedding-space curation steps). Unlike the pyspark.ml KMeans behind
+operators/ivf.py (seeded but not SQL-replayable — float sums depend on
+partition order), every step here is EXACT integer arithmetic, so the
+whole fit replays bit-for-bit in the DuckDB oracle:
+
+* vectors quantize to int64 lattice points (floor(x*1000), the same
+  convention as the LSH signatures in operators/similarity.py);
+* initial centroids are the k lowest-id vectors (ORDER BY id LIMIT k —
+  deterministic, SQL-expressible);
+* distances are integer: d2(q,c) = <q,q> - 2<q,c> + <c,c>, argmin ties
+  broken by cluster id;
+* new centroids round the exact per-dimension mean back to the lattice
+  with a pure-integer half-away-from-zero formula,
+  c = sign(s) * ((2|s| + n) intdiv (2n)), identical on Spark (`div`)
+  and DuckDB (`//`) since both truncate toward zero and the operands
+  are non-negative. No float enters the loop, so partition order,
+  executor count, and engine cannot change the result.
+
+Scale design (100 TB):
+* assignment is MAP-ONLY: centroids are a k x dim literal (bounded,
+  model-sized) folded into whole-stage codegen — no join, no shuffle;
+* each update is ONE shuffle of k*dim partial sums per map partition
+  (posexplode + groupBy(cluster, dim) with map-side combine), i.e.
+  shuffle volume is O(parts * k * dim), independent of row count;
+* centroids live driver-side between iterations (k x dim ints — the
+  same bounded collect pyspark.ml's own Lloyd loop performs);
+* the quantized corpus is scanned once per assignment pass — persist
+  it for multi-iteration fits on cold storage.
+
+Reference parity: the reference tool has no clustering surface (it is
+a partition advisor, src/partitioning.py); this module is part of the
+rebuild's LLM-pipeline extension mandate alongside operators/dedup.py
+and operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+
+
+def quantize_expr(col: Column) -> Column:
+    """int64 lattice quantization of a float-array column — the exact
+    Spark twin of the oracle's
+    list_transform(c, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT_SCALE))
+
+
+def quantize_sql(expr: str) -> str:
+    """DuckDB rendering of quantize_expr for oracle builders."""
+    return (
+        f"list_transform({expr}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+    )
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two long-array columns (JVM fold,
+    whole-stage codegen — no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _round_centroid(s: int, n: int) -> int:
+    """Half-away-from-zero integer rounding of s/n. Mirrors the oracle's
+    CASE WHEN s >= 0 THEN (2*s + n) // (2*n) ELSE -((2*(-s) + n) // (2*n))
+    — all operands non-negative inside the division, so Python floor-div,
+    Spark `div`, and DuckDB `//` (both truncating) agree exactly."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((2 * (-s) + n) // (2 * n))
+
+
+def assign_clusters(
+    quantized: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment against a centroid literal.
+
+    Returns (id_col, cluster, dist2): integer squared L2 distance on the
+    lattice, ties broken by cluster id. One struct array_min per row —
+    pure Column expressions, no join, no shuffle.
+    """
+    v = F.col(vec_col)
+    qq = _dot_long(v, v)
+    entries = []
+    for j, c in enumerate(centroids):
+        c_lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        cc = int(sum(x * x for x in c))
+        d2 = qq - 2 * _dot_long(v, c_lit) + F.lit(cc).cast("long")
+        entries.append(
+            F.struct(d2.alias("d2"), F.lit(j).cast("int").alias("cl"))
+        )
+    best = F.array_min(F.array(*entries))  # struct order = (d2, cl)
+    return quantized.select(
+        F.col(id_col),
+        best["cl"].alias("cluster"),
+        best["d2"].alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], DataFrame]:
+    """Integer-lattice Lloyd's: `iters` assignment passes with centroid
+    updates between them (iters=3 → assign, update, assign, update,
+    assign). Returns (final centroids, quantized corpus frame).
+
+    Each update collects k*dim partial sums to the driver — bounded by
+    model size (k x dim), never by corpus size; the identical pattern
+    pyspark.ml's Lloyd loop uses. Empty clusters keep their previous
+    centroid (standard Lloyd's fallback, replayed by the oracle's
+    COALESCE over a LEFT JOIN)."""
+    quantized = df.select(
+        F.col(id_col), quantize_expr(F.col(vec_col)).alias("v")
+    )
+    # k lowest-id vectors: deterministic, SQL-expressible init
+    init_rows = quantized.orderBy(id_col).limit(k).collect()
+    centroids = [[int(x) for x in r["v"]] for r in init_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iters - 1):
+        assigned = assign_clusters(quantized, centroids, id_col)
+        sums = (
+            assigned.join(quantized, id_col)
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k * dim rows (model-sized)
+        )
+        by_cluster: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], [0] * dim)[r["pos"]] = int(
+                r["s"]
+            )
+            counts[r["cluster"]] = int(r["n"])
+        centroids = [
+            [
+                _round_centroid(by_cluster[j][d], counts[j])
+                for d in range(dim)
+            ]
+            if j in by_cluster
+            else centroids[j]  # empty cluster: carry previous
+            for j in range(k)
+        ]
+    return centroids, quantized
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + final assignment: (id_col, cluster, dist2)."""
+    centroids, quantized = kmeans_fit(df, k, iters, id_col, vec_col)
+    return assign_clusters(quantized, centroids, id_col)
+
+
+def kmeans_oracle_cte(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """Unrolled-CTE DuckDB replay of kmeans_assignments. Returns
+    (cte_sql, final_assignment_cte_name); the final CTE has columns
+    (id_col, cluster, dist2). Every value is integer-exact, so the
+    replay is bit-identical to the Spark fit."""
+    parts = [
+        f"q AS (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1"
+        f" AS INTEGER) AS cl, v FROM"
+        f" (SELECT {id_col}, v FROM q ORDER BY {id_col} LIMIT {k}) t)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d2 = (
+            "CAST(list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, c.v)"
+            " + list_dot_product(c.v, c.v) AS BIGINT)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT {id_col}, cl AS cluster, d2 AS dist2 FROM ("
+            f"SELECT q.{id_col}, c.cl, {d2} AS d2,"
+            f" ROW_NUMBER() OVER (PARTITION BY q.{id_col}"
+            f" ORDER BY {d2}, c.cl) AS rn"
+            f" FROM q CROSS JOIN {prev} c) t WHERE rn = 1)"
+        )
+        if it < iters:
+            parts.append(
+                f"s{it} AS (SELECT a.cluster AS cl, g.i,"
+                f" CAST(SUM(q.v[g.i]) AS BIGINT) AS s, COUNT(*) AS n"
+                f" FROM a{it} a JOIN q USING ({id_col}) CROSS JOIN dims g"
+                f" GROUP BY a.cluster, g.i)"
+            )
+            parts.append(
+                f"n{it} AS (SELECT cl, list(c ORDER BY i) AS v FROM ("
+                f"SELECT cl, i, CAST(CASE WHEN s >= 0"
+                f" THEN (2*s + n) // (2*n)"
+                f" ELSE -((2*(-s) + n) // (2*n)) END AS BIGINT) AS c"
+                f" FROM s{it}) t GROUP BY cl)"
+            )
+            parts.append(
+                f"c{it} AS (SELECT p.cl, COALESCE(nn.v, p.v) AS v"
+                f" FROM {prev} p LEFT JOIN n{it} nn USING (cl))"
+            )
+            prev = f"c{it}"
+    return ",\n    ".join(parts), f"a{iters}"

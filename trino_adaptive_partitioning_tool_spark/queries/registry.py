@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         advisor,
         cdc,
+        clustering,
         core_sql,
         core_sql2,
         dedup,

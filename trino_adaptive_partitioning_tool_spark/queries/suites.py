@@ -42,6 +42,7 @@ from . import registry
 from . import (  # noqa: F401
     advisor,
     cdc,
+    clustering,
     core_sql,
     core_sql2,
     dedup,
@@ -330,6 +331,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
 ]
 
 _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
+    ("cluster_balanced_sample", ["vec_id", "cluster", "label"], []),
+    ("cluster_outlier_prune", ["vec_id", "cluster", "dist2"], []),
     ("dedup_exact", ["canonical_doc_id", "dup_count", "n_chars"], []),
     ("dedup_exact_groups", ["canonical_id", "dup_count"], []),
     ("dedup_keep_canonical", ["doc_id", "lang", "source", "n_chars"], []),
@@ -338,7 +341,11 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("dedup_source_attribution",
      ["source", "n_docs", "n_dup_docs"], ["dup_rate"]),
     ("dedup_token_jaccard", ["id_a", "id_b"], ["jaccard"]),
+    ("embedding_cluster_profile",
+     ["cluster", "n_vecs", "sum_dist2", "min_dist2", "max_dist2",
+      "n_labels"], []),
     ("embedding_dedup_keep_canonical", ["vec_id", "label"], []),
+    ("embedding_kmeans_assign", ["vec_id", "cluster", "dist2"], []),
     ("embedding_near_duplicates", ["id_a", "id_b"], ["cosine"]),
     ("embedding_near_duplicates_exact", ["id_a", "id_b"], ["cosine"]),
     ("embedding_quantization_stats",
