@@ -168,3 +168,73 @@ def cluster_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > F.expr("(9*n + 9) div 10"))
         .select("vec_id", "cluster", "dist2")
     )
+
+
+_SEMDEDUP_TAU = 0.35  # synthetic corpus max pairwise cosine is ~0.60
+
+
+@register(
+    "semdedup_keep_canonical",
+    oracle=_with_cte(
+        f"""
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT DISTINCT pb.vec_id
+      FROM {{final}} pa
+      JOIN {{final}} pb
+        ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+      JOIN embeddings ea ON ea.vec_id = pa.vec_id
+      JOIN embeddings eb ON eb.vec_id = pb.vec_id
+      WHERE ROUND(list_cosine_similarity(
+              list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 6)
+            >= {_SEMDEDUP_TAU}
+    )
+    """
+    ),
+)
+def semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise
+    stage scoped to k-means clusters — the algorithm's actual scale
+    design. embedding_dedup_keep_canonical's all-pairs crossJoin is the
+    ground-truth twin (ORACLE-BASELINE-ONLY, sf <= 0.01); THIS is the
+    production path: near-duplicate pairs only form within a cluster, so
+    the quadratic term is bounded by max cluster size, not corpus size,
+    and the pair join is an equi-join on the cluster key (shuffle, not
+    broadcast — cluster frames are corpus-sized). Keep-lowest-id rule,
+    cosine on the ORIGINAL float vectors (rounded to 6dp on both
+    engines). Fully hash-oracled: the oracle replays the entire k-means
+    fit plus the intra-cluster pair scan."""
+    from ..operators.similarity import _dot, _norm
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    assigned = _assignments(spark, sf_dir).select("vec_id", "cluster")
+    a = assigned.join(v, "vec_id").select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.join(v, "vec_id").select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )

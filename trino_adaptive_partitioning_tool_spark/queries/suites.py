@@ -350,6 +350,7 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("embedding_near_duplicates_exact", ["id_a", "id_b"], ["cosine"]),
     ("embedding_quantization_stats",
      ["vec_id", "label", "n_dims"], ["scale", "max_abs_err"]),
+    ("semdedup_keep_canonical", ["vec_id", "label"], []),
     ("similarity_ivf_topk", ["query_id", "vec_id", "rank"], ["cosine"]),
     ("similarity_pq_topk", ["query_id", "vec_id", "rank"], ["l2"]),
     ("similarity_topk_bruteforce",
