@@ -90,9 +90,18 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Hash/range repartitioning exchanges the plan would RUN, counted
+    from the formatted plan (each physical node numbered exactly once).
+
+    The previous textual counter over the tree string was cache-state
+    dependent: InMemoryTableScan nodes re-print their cached-build
+    subtree at every reference, and WHICH cached entry the CacheManager
+    substitutes depends on what else the session cached — the identical
+    query measured 21 or 48 "exchanges" depending on unrelated earlier
+    work (found via a flaky plan-ceiling test, r7). The formatted plan
+    treats cached scans as leaves, so the count is a property of the
+    query alone."""
+    return plan_manifest(df)["exchanges"]
 
 
 def referenced_columns(df: DataFrame) -> dict[str, list[str]]:
