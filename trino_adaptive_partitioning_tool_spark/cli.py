@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.dashboard:
         from .queries import advisor as advisor_q
+        from .queries import clustering as clustering_q
         from .sources.dashboard import write_dashboard
 
         extras = {
@@ -117,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
             ),
             "Re-partitioning triggers (drift vs current keys)": (
                 advisor_q.partition_recommendation_drift(spark, args.sf_dir)
+            ),
+            "Embedding clusters (integer-lattice k-means profile)": (
+                clustering_q.embedding_cluster_profile(spark, args.sf_dir)
             ),
         }
         dash_path = write_dashboard(

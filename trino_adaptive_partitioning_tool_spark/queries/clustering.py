@@ -28,19 +28,32 @@ _ITERS = 3
 _BALANCE_CAP = 40  # per-cluster sample cap
 _BALANCE_SALT = "cluster-balance"
 
-# One fit per (session, sf_dir): queries 2-4 compose the same assignment
-# frame, so the k*dim driver-side Lloyd collects happen once, not per
-# query (same pattern as operators/recommend.run_analysis's session memo).
+# One fit per (session, sf_dir): every query here (and the streaming
+# ingest twin in queries/streaming_q.py) composes the same fit, so the
+# k*dim driver-side Lloyd collects happen once, not per query (same
+# pattern as operators/recommend.run_analysis's session memo).
+_FIT_CACHE: dict[tuple[str, str], list[list[int]]] = {}
 _ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Session-memoized integer centroids of the corpus fit — the static
+    model the streaming assignment twin applies per micro-batch."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FIT_CACHE:
+        emb = tables.load_table(spark, sf_dir, "embeddings")
+        centroids, quantized = ops.kmeans_fit(emb, k=_K, iters=_ITERS)
+        _FIT_CACHE[key] = centroids
+        _ASSIGN_CACHE[key] = ops.assign_clusters(
+            quantized, centroids
+        ).persist()
+    return _FIT_CACHE[key]
 
 
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ASSIGN_CACHE:
-        emb = tables.load_table(spark, sf_dir, "embeddings")
-        _ASSIGN_CACHE[key] = ops.kmeans_assignments(
-            emb, k=_K, iters=_ITERS
-        ).persist()
+        fitted_centroids(spark, sf_dir)
     return _ASSIGN_CACHE[key]
 
 

@@ -897,3 +897,80 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# streamed "new vector" id range for the clustering ingest twin — kept
+# disjoint from the LSH ingest range so the two feeds' memo dirs never
+# alias semantically
+_CLUSTER_INGEST_LO, _CLUSTER_INGEST_HI = 420, 470
+
+
+def _cluster_ingest_oracle() -> str:
+    from ..operators import clustering as cops
+    from .clustering import _ITERS, _K
+
+    cte, final = cops.kmeans_oracle_cte(_K, _ITERS)
+    return (
+        f"WITH {cte}\n    SELECT vec_id, cluster, dist2 FROM {final}"
+        f" WHERE vec_id >= {_CLUSTER_INGEST_LO}"
+        f" AND vec_id < {_CLUSTER_INGEST_HI}"
+    )
+
+
+@register("streaming_cluster_ingest", oracle=_cluster_ingest_oracle())
+def streaming_cluster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous cluster assignment: new embeddings stream in and every
+    micro-batch runs the MAP-ONLY integer-lattice nearest-centroid
+    assignment against the static corpus fit (queries/clustering.py's
+    session-memoized centroids) — the streaming topic-router in front of
+    a curation pipeline (route to cluster-balanced queues, flag
+    outlier-distance arrivals).
+
+    Determinism argument: the assignment is stateless and per-row (a
+    centroid literal folded into codegen — no stream-static join at
+    all), so the drained union over micro-batches equals the batch
+    assignment of the same id range regardless of feed slicing. The
+    oracle replays the full k-means fit (unrolled CTEs) filtered to the
+    streamed ids — exact integer arithmetic end to end, so this
+    streaming query is fully hash-checked, not rows-only."""
+    from pyspark.sql import functions as F
+
+    from ..operators import clustering as cops
+    from ..sources import tables
+    from .clustering import fitted_centroids
+
+    centroids = fitted_centroids(spark, sf_dir)
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    new_vecs = emb.where(
+        (F.col("vec_id") >= _CLUSTER_INGEST_LO)
+        & (F.col("vec_id") < _CLUSTER_INGEST_HI)
+    )
+
+    def _write(d: str) -> None:
+        # widen float32 -> double BEFORE the JSON write so the feed
+        # round-trips the exact values the batch path quantizes
+        new_vecs.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ).coalesce(2).write.mode("overwrite").json(f"{d}/vecs")
+
+    tmp = _memo_feed(spark, "clusteringest", sf_dir, _write)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(f"{tmp}/vecs")
+    )
+    quantized = stream.select(
+        "vec_id", cops.quantize_expr(F.col("embedding")).alias("v")
+    )
+    assigned = cops.assign_clusters(quantized, centroids)
+    name = f"stream_cluster_{uuid.uuid4().hex[:8]}"
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _fresh_ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

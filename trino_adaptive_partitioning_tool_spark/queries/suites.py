@@ -504,6 +504,7 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
     ("streaming_click_attribution_outer",
      ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
      ["purchase_value"]),
+    ("streaming_cluster_ingest", ["vec_id", "cluster", "dist2"], []),
     ("streaming_dedup_events", ["event_type", "n_events"], ["total_value"]),
     ("streaming_dedup_gate",
      ["doc_id", "n_candidates", "best_match_id", "is_near_dup"],

@@ -137,6 +137,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _page(self) -> str:
         from ..operators import recommend
         from ..queries import advisor as advisor_q
+        from ..queries import clustering as clustering_q
         from . import dashboard
 
         res = recommend.run_analysis(
@@ -148,6 +149,11 @@ class _Handler(BaseHTTPRequestHandler):
             ),
             "Re-partitioning triggers (drift vs current keys)": (
                 advisor_q.partition_recommendation_drift(
+                    self.spark, self.sf_dir
+                )
+            ),
+            "Embedding clusters (integer-lattice k-means profile)": (
+                clustering_q.embedding_cluster_profile(
                     self.spark, self.sf_dir
                 )
             ),
