@@ -119,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
             "Re-partitioning triggers (drift vs current keys)": (
                 advisor_q.partition_recommendation_drift(spark, args.sf_dir)
             ),
+            "Drift re-partition scripts (patched DDL per drifted view)": (
+                advisor_q.drift_repartition_scripts(spark, args.sf_dir)
+            ),
             "Embedding clusters (integer-lattice k-means profile)": (
                 clustering_q.embedding_cluster_profile(spark, args.sf_dir)
             ),

@@ -1657,3 +1657,136 @@ def skew_salt_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("salt_factor") > 1)
         .orderBy(F.desc("n_rows"), "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: the last step of the adaptive loop — drift triggers rendered as
+# executable DDL. partition_recommendation_drift says WHICH (view,
+# column) pairs drifted into relevance; this emits the REPLACE PARTITION
+# SPEC a user would apply: current transforms kept, drifted columns
+# appended as identity keys (full transform re-scoring remains
+# partition_recommendations_exact's job — this is the drift-time patch,
+# the manual loop the reference user closes by re-running the one-shot
+# analysis, src/partitioning.py:294-325 + :414-440).
+# ---------------------------------------------------------------------------
+@register(
+    "drift_repartition_scripts",
+    memo=True,
+    oracle=f"""
+    WITH scored AS ({_scored_sql()}),
+    top3 AS (
+      SELECT view_name, column_name, candidate_rank FROM (
+        SELECT view_name, column_name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY view_name ORDER BY score DESC, column_name
+               ) AS candidate_rank
+        FROM scored WHERE score > 0
+      ) r WHERE candidate_rank <= 3
+    ),
+    trans AS (
+      {_all_transform_legs()}
+    ),
+    recs AS (
+      SELECT t.view_name,
+        string_agg(t.column_name, ', ' ORDER BY t.candidate_rank)
+          AS keys_csv,
+        string_agg(tr.transform, ', ' ORDER BY t.candidate_rank)
+          AS transforms_csv
+      FROM top3 t
+      JOIN trans tr
+        ON t.view_name = tr.view_name AND t.column_name = tr.column_name
+      GROUP BY t.view_name
+    ),
+    {_LOGS_CTE},
+    {_MINED_CTE},
+    {_VIEW_COLS_CTE},
+    usage AS (
+      SELECT m.name AS column_name,
+        CAST(SUM(CASE WHEN l.create_time < TIMESTAMP '{_DRIFT_CUTOFF}'
+                 THEN m.cnt ELSE 0 END) AS BIGINT) AS n_early,
+        CAST(SUM(CASE WHEN l.create_time >= TIMESTAMP '{_DRIFT_CUTOFF}'
+                 THEN m.cnt ELSE 0 END) AS BIGINT) AS n_late
+      FROM mined m JOIN query_logs l USING (query_id)
+      WHERE m.kind IN ('join_column', 'where_column') AND m.name <> ''
+      GROUP BY m.name
+    ),
+    added AS (
+      SELECT vc.view_name,
+        string_agg(vc.column_name, ', ' ORDER BY vc.column_name)
+          AS added_columns_csv
+      FROM view_columns vc
+      JOIN usage u ON vc.column_name = u.column_name
+      LEFT JOIN top3 k
+        ON vc.view_name = k.view_name AND vc.column_name = k.column_name
+      WHERE k.column_name IS NULL
+        AND (u.n_early = 0 OR u.n_late > u.n_early)
+      GROUP BY vc.view_name
+    )
+    SELECT a.view_name,
+      COALESCE(r.keys_csv, '') AS current_keys_csv,
+      a.added_columns_csv,
+      CASE WHEN r.transforms_csv IS NULL THEN a.added_columns_csv
+           ELSE r.transforms_csv || ', ' || a.added_columns_csv
+      END AS new_spec_csv,
+      'ALTER TABLE ' || a.view_name || ' REPLACE PARTITION SPEC ('
+        || CASE WHEN r.transforms_csv IS NULL THEN a.added_columns_csv
+                ELSE r.transforms_csv || ', ' || a.added_columns_csv
+           END || ');' AS alter_ddl
+    FROM added a LEFT JOIN recs r USING (view_name)
+    ORDER BY a.view_name
+    """,
+)
+def drift_repartition_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-to-DDL: for every view with at least one 're-partition'
+    trigger (a non-key column whose usage is new or risen), emit the
+    patched REPLACE PARTITION SPEC — current transforms preserved in
+    candidate-rank order, drifted columns appended as identity keys in
+    name order. Fully hash-oracled including the DDL string.
+
+    Scale shape: composes two dimension-sized frames (the trigger table
+    and the recommendation table — both O(views x columns) regardless of
+    data scale) with one equi-join on view_name; the expensive inputs
+    (log mining, stats profiling) are the session-memoized frames every
+    advisor query shares."""
+    from ..operators import recommend
+
+    triggers = partition_recommendation_drift(spark, sf_dir)
+    added = (
+        triggers.where(F.col("trigger_action") == "re-partition")
+        .groupBy("view_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("column_name")), ", "
+            ).alias("added_columns_csv")
+        )
+    )
+    res = recommend.run_analysis(
+        spark, sf_dir, exact_stats=True, profile_percentiles=False
+    )
+    recs = res["recommendations"].where(F.size("partition_keys") > 0).select(
+        F.col("view").alias("view_name"),
+        F.array_join("partition_keys", ", ").alias("keys_csv"),
+        F.array_join("transforms", ", ").alias("transforms_csv"),
+    )
+    new_spec = F.when(
+        F.col("transforms_csv").isNull(), F.col("added_columns_csv")
+    ).otherwise(
+        F.concat_ws(", ", F.col("transforms_csv"), F.col("added_columns_csv"))
+    )
+    return (
+        added.join(recs, "view_name", "left")
+        .select(
+            "view_name",
+            F.coalesce("keys_csv", F.lit("")).alias("current_keys_csv"),
+            "added_columns_csv",
+            new_spec.alias("new_spec_csv"),
+            F.concat(
+                F.lit("ALTER TABLE "),
+                F.col("view_name"),
+                F.lit(" REPLACE PARTITION SPEC ("),
+                new_spec,
+                F.lit(");"),
+            ).alias("alter_ddl"),
+        )
+        .orderBy("view_name")
+    )

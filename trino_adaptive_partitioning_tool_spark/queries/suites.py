@@ -402,6 +402,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("dq_coverage_gaps", ["relation", "n_parents", "n_childless"], []),
     ("dq_referential_orphans",
      ["relation", "n_child_rows", "n_orphan_keys", "n_orphan_rows"], []),
+    ("drift_repartition_scripts",
+     ["view_name", "current_keys_csv", "added_columns_csv", "new_spec_csv",
+      "alter_ddl"], []),
     ("event_type_user_overlap",
      ["type_a", "type_b", "n_both", "n_a", "n_b"], ["user_jaccard"]),
     ("histogram_quantile_estimate", [], ["q", "quantile_checked"]),

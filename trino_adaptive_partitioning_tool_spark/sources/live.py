@@ -152,6 +152,9 @@ class _Handler(BaseHTTPRequestHandler):
                     self.spark, self.sf_dir
                 )
             ),
+            "Drift re-partition scripts (patched DDL per drifted view)": (
+                advisor_q.drift_repartition_scripts(self.spark, self.sf_dir)
+            ),
             "Embedding clusters (integer-lattice k-means profile)": (
                 clustering_q.embedding_cluster_profile(
                     self.spark, self.sf_dir
