@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     per_query: dict[str, list[float]] = {}
+    per_query_cold: dict[str, list[float]] = {}
     env = dict(os.environ, SPARK_GRAFT_BENCH_SKIP_EXTRAS="1")
     for run in range(n_runs):
         out = subprocess.run(
@@ -35,6 +36,15 @@ def main() -> None:
         parsed = json.loads(line)
         for name, sec in parsed["queries"].items():
             per_query.setdefault(name, []).append(float(sec))
+        # first-call (cold) times are too large for the driver-captured
+        # stdout tail; bench.py writes them to BENCH_PLANS.json instead
+        try:
+            with open(os.path.join(REPO, "BENCH_PLANS.json")) as fh:
+                cold = json.load(fh).get("cold_queries", {})
+            for name, sec in cold.items():
+                per_query_cold.setdefault(name, []).append(float(sec))
+        except (OSError, ValueError):
+            pass
         print(
             f"# run {run + 1}/{n_runs}: total {parsed['value']}s",
             file=sys.stderr,
@@ -45,6 +55,10 @@ def main() -> None:
     }
     payload = {
         "medians": medians,
+        "cold_medians": {
+            name: round(statistics.median(vals), 3)
+            for name, vals in sorted(per_query_cold.items())
+        },
         "runs": n_runs,
         "samples": {n: v for n, v in sorted(per_query.items())},
         "generated_utc": datetime.datetime.now(

@@ -263,11 +263,14 @@ _SHUFFLE_CEILINGS = {
     # plans carry a few more exchanges; each added exchange moves
     # sketch-sized data only, and both queries got faster (1.3->0.9s,
     # WindowExec-free) for it
-    "cms_heavy_hitters": 7,
+    # +2: the ensure_parallelism round-robin repartitions (full-data
+    # shuffles, now counted — they spread the single-row-group scan's
+    # CPU-bound sketch work across cores; see plans/inspect.shuffle_count)
+    "cms_heavy_hitters": 9,
     "histogram_quantile_estimate": 18,
     "incremental_histogram_rollup": 2,
     "text_entropy_scores": 3,
-    "winnow_containment_pairs": 4,
+    "winnow_containment_pairs": 5,  # +1 ensure_parallelism round-robin
     "pii_redaction_stats": 1,
     "document_chunking_stats": 2,
     # r6: shingle stream shuffled once by id (window), once by h

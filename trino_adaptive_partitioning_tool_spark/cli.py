@@ -102,30 +102,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Report written: {report_path}")
 
     if args.dashboard:
-        from .queries import advisor as advisor_q
-        from .queries import clustering as clustering_q
-        from .sources.dashboard import write_dashboard
+        from .sources.dashboard import advisor_extras, write_dashboard
 
-        extras = {
-            "Co-located join bucketing advice": advisor_q.bucket_join_advice(
-                spark, args.sf_dir
-            ),
-            "Aggregate rollup advice": advisor_q.rollup_advice(
-                spark, args.sf_dir
-            ),
-            "Workload drift (early vs late log window)": (
-                advisor_q.workload_drift_report(spark, args.sf_dir)
-            ),
-            "Re-partitioning triggers (drift vs current keys)": (
-                advisor_q.partition_recommendation_drift(spark, args.sf_dir)
-            ),
-            "Drift re-partition scripts (patched DDL per drifted view)": (
-                advisor_q.drift_repartition_scripts(spark, args.sf_dir)
-            ),
-            "Embedding clusters (integer-lattice k-means profile)": (
-                clustering_q.embedding_cluster_profile(spark, args.sf_dir)
-            ),
-        }
+        extras = advisor_extras(spark, args.sf_dir)
         dash_path = write_dashboard(
             results, f"{args.out}/dashboard.html", extras=extras
         )

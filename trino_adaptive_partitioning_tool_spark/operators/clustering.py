@@ -128,9 +128,17 @@ def kmeans_fit(
     COALESCE over a LEFT JOIN)."""
     quantized = df.select(
         F.col(id_col), quantize_expr(F.col(vec_col)).alias("v")
-    )
+    ).persist()  # scanned once per assignment pass + once per update —
+    # without this every Lloyd pass re-reads and re-quantizes the full
+    # corpus. Ownership: stays persisted for the caller's final
+    # assignment; callers may .unpersist() the returned frame when done.
     # k lowest-id vectors: deterministic, SQL-expressible init
     init_rows = quantized.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k-means fit needs at least k={k} rows; corpus has "
+            f"{len(init_rows)}"
+        )
     centroids = [[int(x) for x in r["v"]] for r in init_rows]
     dim = len(centroids[0])
 

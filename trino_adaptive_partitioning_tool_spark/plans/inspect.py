@@ -100,8 +100,12 @@ def shuffle_count(df: DataFrame) -> int:
     query measured 21 or 48 "exchanges" depending on unrelated earlier
     work (found via a flaky plan-ceiling test, r7). The formatted plan
     treats cached scans as leaves, so the count is a property of the
-    query alone."""
-    return plan_manifest(df)["exchanges"]
+    query alone.
+
+    Round-robin repartitions (df.repartition(n)) count too: they move
+    every row, same as a hash shuffle at 100 TB."""
+    m = plan_manifest(df)
+    return m["exchanges"] + m["roundrobin_exchanges"]
 
 
 def referenced_columns(df: DataFrame) -> dict[str, list[str]]:
@@ -177,8 +181,10 @@ def plan_manifest(df: DataFrame) -> dict:
     pushed = partition = 0
     # "exchanges" counts only repartitioning shuffles (hash/range) to
     # stay comparable with the pre-formatted-plan counter; global
-    # sort/limit SinglePartition exchanges are reported separately.
-    shuffle_exchanges = single_exchanges = 0
+    # sort/limit SinglePartition exchanges are reported separately, and
+    # so are round-robin repartitions (df.repartition(n) — a FULL-data
+    # shuffle that the old else-bucket mislabeled as single-partition).
+    shuffle_exchanges = single_exchanges = roundrobin_exchanges = 0
     for i, (nid, name, start) in enumerate(blocks):
         if nid in excluded:
             continue
@@ -189,10 +195,13 @@ def plan_manifest(df: DataFrame) -> dict:
         if name == "Exchange":
             if "hashpartitioning" in detail or "rangepartitioning" in detail:
                 shuffle_exchanges += 1
+            elif "roundrobinpartitioning" in detail.lower():
+                roundrobin_exchanges += 1
             else:
                 single_exchanges += 1
     return {
         "exchanges": shuffle_exchanges,
+        "roundrobin_exchanges": roundrobin_exchanges,
         "single_partition_exchanges": single_exchanges,
         "broadcasts": counts.get("BroadcastExchange", 0),
         "reused_subplans": counts.get("InMemoryTableScan", 0)

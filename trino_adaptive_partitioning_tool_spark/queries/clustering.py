@@ -15,6 +15,8 @@ queries/similarity.py.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,20 +36,25 @@ _BALANCE_SALT = "cluster-balance"
 # pattern as operators/recommend.run_analysis's session memo).
 _FIT_CACHE: dict[tuple[str, str], list[list[int]]] = {}
 _ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+# the live dashboard serves queries from ThreadingHTTPServer threads;
+# an unsynchronized check-then-set would run duplicate Lloyd fits and
+# leak the loser's persisted assignment frame
+_FIT_LOCK = threading.Lock()
 
 
 def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     """Session-memoized integer centroids of the corpus fit — the static
     model the streaming assignment twin applies per micro-batch."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _FIT_CACHE:
-        emb = tables.load_table(spark, sf_dir, "embeddings")
-        centroids, quantized = ops.kmeans_fit(emb, k=_K, iters=_ITERS)
-        _FIT_CACHE[key] = centroids
-        _ASSIGN_CACHE[key] = ops.assign_clusters(
-            quantized, centroids
-        ).persist()
-    return _FIT_CACHE[key]
+    with _FIT_LOCK:
+        if key not in _FIT_CACHE:
+            emb = tables.load_table(spark, sf_dir, "embeddings")
+            centroids, quantized = ops.kmeans_fit(emb, k=_K, iters=_ITERS)
+            _FIT_CACHE[key] = centroids
+            _ASSIGN_CACHE[key] = ops.assign_clusters(
+                quantized, centroids
+            ).persist()
+        return _FIT_CACHE[key]
 
 
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:

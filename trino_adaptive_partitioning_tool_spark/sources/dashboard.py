@@ -547,3 +547,30 @@ def write_dashboard(
     with open(path, "w") as fh:
         fh.write(render_dashboard(results, extras=extras))
     return path
+
+
+def advisor_extras(spark, sf_dir: str) -> dict[str, DataFrame]:
+    """The advisor-extension tables every dashboard surface renders —
+    ONE definition so the static CLI dashboard and the live server
+    (sources/live.py) can never silently diverge."""
+    from ..queries import advisor as advisor_q
+    from ..queries import clustering as clustering_q
+
+    return {
+        "Co-located join bucketing advice": advisor_q.bucket_join_advice(
+            spark, sf_dir
+        ),
+        "Aggregate rollup advice": advisor_q.rollup_advice(spark, sf_dir),
+        "Workload drift (early vs late log window)": (
+            advisor_q.workload_drift_report(spark, sf_dir)
+        ),
+        "Re-partitioning triggers (drift vs current keys)": (
+            advisor_q.partition_recommendation_drift(spark, sf_dir)
+        ),
+        "Drift re-partition scripts (patched DDL per drifted view)": (
+            advisor_q.drift_repartition_scripts(spark, sf_dir)
+        ),
+        "Embedding clusters (integer-lattice k-means profile)": (
+            clustering_q.embedding_cluster_profile(spark, sf_dir)
+        ),
+    }

@@ -36,6 +36,20 @@ from pyspark.sql import functions as F
 _ROW_CAP = 500
 
 
+def _parseable_ts(s: str) -> bool:
+    """True iff Spark's timestamp cast will parse `s` (ISO date or
+    date+time) — checked with the same grammar datetime accepts."""
+    import datetime as _dt
+
+    for fmt in ("%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            _dt.datetime.strptime(s, fmt)
+            return True
+        except ValueError:
+            continue
+    return False
+
+
 def _rows(df: DataFrame, cap: int = _ROW_CAP) -> list[dict[str, Any]]:
     out = []
     for r in df.limit(cap).collect():
@@ -87,9 +101,24 @@ class _Handler(BaseHTTPRequestHandler):
                 if name not in qs:
                     self._json({"error": f"unknown query {name!r}"}, 404)
                     return
-                df = qs[name](self.spark, q.get("sf_dir", self.sf_dir))
+                # always the server's own sf_dir: letting the request
+                # pick a filesystem path would hand any local process
+                # that can reach the port an arbitrary-directory read
+                # through the shared SparkSession
+                df = qs[name](self.spark, self.sf_dir)
                 self._json({"name": name, "rows": _rows(df)})
             elif url.path == "/api/refresh":
+                # validate BEFORE the Spark filter: an unparseable bound
+                # would cast to NULL and silently drop every log row —
+                # indistinguishable from a genuinely empty window
+                for bound in (q.get("from"), q.get("to")):
+                    if bound is not None and not _parseable_ts(bound):
+                        self._json(
+                            {"error": f"unparseable timestamp {bound!r}; "
+                             "use YYYY-MM-DD[ HH:MM:SS]"},
+                            400,
+                        )
+                        return
                 self._json(self._refresh(q.get("from"), q.get("to")))
             else:
                 self._json({"error": "not found"}, 404)
@@ -136,31 +165,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _page(self) -> str:
         from ..operators import recommend
-        from ..queries import advisor as advisor_q
-        from ..queries import clustering as clustering_q
         from . import dashboard
 
         res = recommend.run_analysis(
             self.spark, self.sf_dir, profile_percentiles=False
         )
-        extras = {
-            "Workload drift (early vs late log window)": (
-                advisor_q.workload_drift_report(self.spark, self.sf_dir)
-            ),
-            "Re-partitioning triggers (drift vs current keys)": (
-                advisor_q.partition_recommendation_drift(
-                    self.spark, self.sf_dir
-                )
-            ),
-            "Drift re-partition scripts (patched DDL per drifted view)": (
-                advisor_q.drift_repartition_scripts(self.spark, self.sf_dir)
-            ),
-            "Embedding clusters (integer-lattice k-means profile)": (
-                clustering_q.embedding_cluster_profile(
-                    self.spark, self.sf_dir
-                )
-            ),
-        }
+        extras = dashboard.advisor_extras(self.spark, self.sf_dir)
         html = dashboard.render_dashboard(res, extras=extras)
         toolbar = (
             "<div class='tiles'>"
