@@ -108,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     "date_granularity_probe",
     "distribution_stats",
     "cardinality_profile",
-    "approx_distinct_profile",
     # incremental / mergeable sketches
     "incremental_histogram_rollup",
     "incremental_distinct_rollup",
@@ -152,6 +151,10 @@ _PRIORITY: tuple[str, ...] = (
     # r6 flagship: cross-document span-level dedup signal (the Q9 shape
     # it displaces is folded into tpch_digest — still certified)
     "duplicate_span_stats",
+    # r7 flagship: the fully-oracled integer-lattice k-means assignment
+    # (displaces approx_distinct_profile into stats_functions_digest —
+    # still certified)
+    "embedding_kmeans_assign",
 )
 
 

@@ -358,6 +358,9 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
 ]
 
 _STATS_FUNCTIONS: list[tuple[str, list[str], list[str]]] = [
+    # r7: displaced from the driver window by embedding_kmeans_assign
+    # (this round's flagship); its gated-exact output folds exactly
+    ("approx_distinct_profile", ["metric"], ["value_checked"]),
     ("date_functions_suite",
      ["order_year", "order_quarter", "n_orders", "first_month_end",
       "max_day_of_year", "max_days_since_1995"], []),
