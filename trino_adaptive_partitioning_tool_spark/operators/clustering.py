@@ -116,6 +116,7 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = True,
 ) -> tuple[list[list[int]], DataFrame]:
     """Integer-lattice Lloyd's: `iters` assignment passes with centroid
     updates between them (iters=3 → assign, update, assign, update,
@@ -126,8 +127,15 @@ def kmeans_fit(
     pyspark.ml's Lloyd loop uses. Empty clusters keep their previous
     centroid (standard Lloyd's fallback, replayed by the oracle's
     COALESCE over a LEFT JOIN)."""
+    # quantize=False: the vector column is ALREADY integer-valued (e.g.
+    # token-hash count vectors) — just widen to long
+    vec = (
+        quantize_expr(F.col(vec_col))
+        if quantize
+        else F.transform(F.col(vec_col), lambda x: x.cast("long"))
+    )
     quantized = df.select(
-        F.col(id_col), quantize_expr(F.col(vec_col)).alias("v")
+        F.col(id_col), vec.alias("v")
     ).persist()  # scanned once per assignment pass + once per update —
     # without this every Lloyd pass re-reads and re-quantizes the full
     # corpus. Ownership: stays persisted for the caller's final
@@ -189,13 +197,22 @@ def kmeans_oracle_cte(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_cte: str | None = None,
 ) -> tuple[str, str]:
     """Unrolled-CTE DuckDB replay of kmeans_assignments. Returns
     (cte_sql, final_assignment_cte_name); the final CTE has columns
     (id_col, cluster, dist2). Every value is integer-exact, so the
-    replay is bit-identical to the Spark fit."""
+    replay is bit-identical to the Spark fit.
+
+    `q_cte` overrides the default quantization CTE with a caller-built
+    `q AS (...)` whose columns are ({id_col}, v BIGINT[]) — used by
+    consumers whose vectors are derived (e.g. token-hash counts) rather
+    than quantized embeddings."""
     parts = [
-        f"q AS (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})",
+        q_cte
+        if q_cte is not None
+        else f"q AS (SELECT {id_col}, {quantize_sql(vec_col)} AS v"
+        f" FROM {table})",
         f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1"
         f" AS INTEGER) AS cl, v FROM"
         f" (SELECT {id_col}, v FROM q ORDER BY {id_col} LIMIT {k}) t)",

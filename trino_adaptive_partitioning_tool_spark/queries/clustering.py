@@ -258,3 +258,90 @@ def semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dominated, "vec_id", "left_anti").select(
         "vec_id", F.col("label").cast("bigint").alias("label")
     )
+
+
+# --- topic clustering of raw text (no embeddings required) ---------------
+# 16-dim token-hash count vectors: v[i] = number of tokens whose 60-bit
+# md5 hash lands in bucket i. Exact integers end to end, so the SAME
+# integer-lattice k-means (quantize=False) replays bit-for-bit in SQL.
+_DOC_DIM = 16
+_DOC_K = 6
+_DOC_ITERS = 2
+
+
+def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens_expr
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("token")
+    )
+    h = F.pmod(md5_60(F.col("token")), F.lit(_DOC_DIM))
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(h == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(_DOC_DIM)
+        ]
+    )
+    # empty-token documents drop out of the explode: left-join back with
+    # a zero vector so every document gets a cluster
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.array(
+            *[
+                F.coalesce(F.col(f"c{i}"), F.lit(0)).cast("long")
+                for i in range(_DOC_DIM)
+            ]
+        ).alias("v"),
+    )
+
+
+def _doc_q_cte() -> str:
+    from .text import _TOKS
+
+    h = md5_60_sql("token")
+    sums = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN b.pos = {i} THEN 1 END), 0)"
+        f" AS BIGINT)"
+        for i in range(_DOC_DIM)
+    )
+    return (
+        f"tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),\n"
+        f"    b AS (SELECT doc_id, ({h}) % {_DOC_DIM} AS pos FROM tok),\n"
+        f"    q AS (SELECT d.doc_id,\n        [{sums}] AS v\n"
+        f"      FROM documents d LEFT JOIN b USING (doc_id)\n"
+        f"      GROUP BY d.doc_id)"
+    )
+
+
+def _doc_kmeans_oracle() -> str:
+    cte, final = ops.kmeans_oracle_cte(
+        _DOC_K,
+        _DOC_ITERS,
+        dim=_DOC_DIM,
+        id_col="doc_id",
+        q_cte=_doc_q_cte(),
+    )
+    return f"WITH {cte}\n    SELECT doc_id, cluster, dist2 FROM {final}"
+
+
+@register(
+    "document_topic_clusters", memo=True, oracle=_doc_kmeans_oracle()
+)
+def document_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering of RAW TEXT — no embeddings required: documents
+    become 16-dim token-hash count vectors (one groupBy with 16 map-side
+    -combined counters), then the same integer-lattice Lloyd's fit
+    (quantize=False) assigns each document a topic cluster. The
+    cheap-and-cheerful corpus-structure probe a curation pipeline runs
+    BEFORE any model: mixture balancing, per-topic quality baselines,
+    split stratification. Fully hash-oracled — vector build, fit, and
+    assignment all replay exactly in SQL."""
+    vecs = _doc_vectors(spark, sf_dir)
+    centroids, quantized = ops.kmeans_fit(
+        vecs, k=_DOC_K, iters=_DOC_ITERS, id_col="doc_id", vec_col="v",
+        quantize=False,
+    )
+    return ops.assign_clusters(quantized, centroids, id_col="doc_id")

@@ -299,6 +299,7 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["null_rate"]),
     ("document_chunking_stats",
      ["doc_id", "n_chunks", "total_chunk_chars", "chunks_md5"], []),
+    ("document_topic_clusters", ["doc_id", "cluster", "dist2"], []),
     ("lateral_explode_tokens", ["doc_id", "tok"], []),
     ("pii_redaction_stats",
      ["doc_id", "n_email", "n_url", "n_phone", "redacted_md5"], []),
