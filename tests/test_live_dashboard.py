@@ -82,3 +82,25 @@ def test_root_serves_dashboard_html_with_live_toolbar(server):
     assert "Adaptive partitioning dashboard" in html
     assert "/api/refresh" in html  # the live toolbar
     assert "Re-partitioning triggers" in html
+
+
+def test_refresh_rejects_unparseable_timestamp(server):
+    """An unparseable bound must 400, not silently NULL-filter every log
+    row into an empty-looking overview (r7 review finding)."""
+    try:
+        status, _, body = _get(server, "/api/refresh?from=06%2F01%2F2025")
+    except urllib.error.HTTPError as e:
+        status, body = e.code, e.read()
+    assert status == 400
+    assert "unparseable timestamp" in json.loads(body)["error"]
+
+
+def test_query_endpoint_ignores_sf_dir_override(server):
+    """The request must not be able to point the shared SparkSession at
+    an arbitrary filesystem path (r7 review finding): an sf_dir param is
+    ignored and the server's own directory is used."""
+    status, _, body = _get(
+        server, "/api/query?name=resource_scores&sf_dir=/nonexistent/path"
+    )
+    assert status == 200
+    assert len(json.loads(body)["rows"]) == 20  # served from self.sf_dir
