@@ -327,6 +327,27 @@ def _doc_kmeans_oracle() -> str:
     return f"WITH {cte}\n    SELECT doc_id, cluster, dist2 FROM {final}"
 
 
+_DOC_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized document topic assignment (one fit per
+    (session, sf_dir) — shared by document_topic_clusters and the
+    cluster-aware mixture plan)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _FIT_LOCK:
+        if key not in _DOC_ASSIGN_CACHE:
+            vecs = _doc_vectors(spark, sf_dir)
+            centroids, quantized = ops.kmeans_fit(
+                vecs, k=_DOC_K, iters=_DOC_ITERS, id_col="doc_id",
+                vec_col="v", quantize=False,
+            )
+            _DOC_ASSIGN_CACHE[key] = ops.assign_clusters(
+                quantized, centroids, id_col="doc_id"
+            ).persist()
+        return _DOC_ASSIGN_CACHE[key]
+
+
 @register(
     "document_topic_clusters", memo=True, oracle=_doc_kmeans_oracle()
 )
@@ -339,9 +360,85 @@ def document_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE any model: mixture balancing, per-topic quality baselines,
     split stratification. Fully hash-oracled — vector build, fit, and
     assignment all replay exactly in SQL."""
-    vecs = _doc_vectors(spark, sf_dir)
-    centroids, quantized = ops.kmeans_fit(
-        vecs, k=_DOC_K, iters=_DOC_ITERS, id_col="doc_id", vec_col="v",
-        quantize=False,
+    return _doc_assignments(spark, sf_dir)
+
+
+def _cluster_mixture_oracle() -> str:
+    from .text import _TOKS
+
+    cte, final = ops.kmeans_oracle_cte(
+        _DOC_K, _DOC_ITERS, dim=_DOC_DIM, id_col="doc_id",
+        q_cte=_doc_q_cte(),
     )
-    return ops.assign_clusters(quantized, centroids, id_col="doc_id")
+    return f"""
+    WITH {cte},
+    toklen AS (
+      SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    grp AS (
+      SELECT a.cluster, t.lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens
+      FROM {final} a JOIN toklen t USING (doc_id)
+      GROUP BY a.cluster, t.lang
+    ),
+    weighted AS (SELECT *, sqrt(total_tokens) AS raw_w FROM grp),
+    tot AS (SELECT SUM(raw_w) AS w FROM weighted)
+    SELECT cluster, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           total_tokens,
+           ROUND(raw_w / w, 6) AS mixture_share,
+           CAST(ROUND(ROUND(raw_w / w, 6) * 1000000, 0) AS BIGINT)
+             AS budget_tokens
+    FROM weighted, tot
+    ORDER BY cluster, lang
+    """
+
+
+@register("cluster_mixture_plan", memo=True, oracle=_cluster_mixture_oracle())
+def cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware training-mixture plan: token budget per (topic
+    cluster, lang) stratum with a sqrt-dampened share (temperature-style
+    upsampling — small topics get proportionally MORE than their raw
+    token mass, the standard multilingual-sampling move), projected onto
+    a 1M-token budget. Where corpus_mixture_plan balances by PROVENANCE
+    (lang, source), this balances by CONTENT (the token-hash k-means
+    topics) — the pair covers both axes a curation pipeline mixes on.
+    One extra shuffle over the topic fit (the strata rollup); the strata
+    table is k x langs rows at any corpus scale. Fully hash-oracled."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    toklen = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    grp = (
+        _doc_assignments(spark, sf_dir)
+        .join(toklen, "doc_id")
+        .groupBy("cluster", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    weighted = grp.withColumn("raw_w", F.sqrt(F.col("total_tokens")))
+    tot = weighted.agg(F.sum("raw_w").alias("w"))
+    share = F.round(F.col("raw_w") / F.col("w"), 6)
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            share.alias("mixture_share"),
+            # round(round(share,6)*1e6): the inner round-6 pins both
+            # engines to the same 6-decimal share (same pattern as
+            # corpus_mixture_plan)
+            F.round(share * 1_000_000, 0).cast("bigint")
+            .alias("budget_tokens"),
+        )
+        .orderBy("cluster", "lang")
+    )

@@ -283,6 +283,9 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
 
 _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
+    ("cluster_mixture_plan",
+     ["cluster", "lang", "n_docs", "total_tokens", "budget_tokens"],
+     ["mixture_share"]),
     ("corpus_filter_funnel",
      ["stage_idx", "stage", "n_docs", "n_tokens"], []),
     ("corpus_filter_funnel_extended",
