@@ -299,6 +299,13 @@ _SHUFFLE_CEILINGS = {
     "embedding_cluster_profile": 2,
     "cluster_balanced_sample": 1,
     "cluster_outlier_prune": 1,
+    # r7 cont.: intra-cluster pair join (2) + dominated distinct (1) +
+    # anti-join (1) — the SemDeDup scale path; never an all-pairs stage
+    "semdedup_keep_canonical": 4,
+    # one groupBy builds the token-hash vectors; assignment is map-only
+    "document_topic_clusters": 1,
+    # vector build + strata rollup + 1-row total attach + output sort
+    "cluster_mixture_plan": 4,
 }
 
 
