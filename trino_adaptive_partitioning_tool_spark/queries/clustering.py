@@ -273,28 +273,22 @@ def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import tokens_expr
 
     docs = tables.load_table(spark, sf_dir, "documents")
+    # explode_OUTER keeps empty-token documents as one NULL-token row:
+    # the NULL hash fails every bucket predicate, so all 16 sums are 0 —
+    # every document gets a (possibly zero) vector from the ONE groupBy,
+    # with no corpus-sized join back (which would broadcast at smoke
+    # scale but degrade to an extra sort-merge shuffle at 100 TB)
     toks = docs.select(
-        "doc_id", F.explode(tokens_expr("text")).alias("token")
+        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
     )
     h = F.pmod(md5_60(F.col("token")), F.lit(_DOC_DIM))
-    agg = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(h == i, 1).otherwise(0))
-            .cast("long")
-            .alias(f"c{i}")
-            for i in range(_DOC_DIM)
-        ]
-    )
-    # empty-token documents drop out of the explode: left-join back with
-    # a zero vector so every document gets a cluster
-    return docs.select("doc_id").join(agg, "doc_id", "left").select(
-        "doc_id",
+    return toks.groupBy("doc_id").agg(
         F.array(
             *[
-                F.coalesce(F.col(f"c{i}"), F.lit(0)).cast("long")
+                F.sum(F.when(h == i, 1).otherwise(0)).cast("long")
                 for i in range(_DOC_DIM)
             ]
-        ).alias("v"),
+        ).alias("v")
     )
 
 
@@ -387,8 +381,10 @@ def _cluster_mixture_oracle() -> str:
     SELECT cluster, lang,
            CAST(n_docs AS BIGINT) AS n_docs,
            total_tokens,
-           ROUND(raw_w / w, 6) AS mixture_share,
-           CAST(ROUND(ROUND(raw_w / w, 6) * 1000000, 0) AS BIGINT)
+           CAST(ROUND(CAST(CAST(raw_w / w AS VARCHAR)
+                  AS DECIMAL(38,12)), 6) AS DOUBLE) AS mixture_share,
+           CAST(ROUND(ROUND(CAST(CAST(raw_w / w AS VARCHAR)
+                  AS DECIMAL(38,12)), 6) * 1000000, 0) AS BIGINT)
              AS budget_tokens
     FROM weighted, tot
     ORDER BY cluster, lang
@@ -406,13 +402,13 @@ def cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     topics) — the pair covers both axes a curation pipeline mixes on.
     One extra shuffle over the topic fit (the strata rollup); the strata
     table is k x langs rows at any corpus scale. Fully hash-oracled."""
+    from ..operators.dedup import tokens_expr
+
     docs = tables.load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda t: t != "",
-    )
     toklen = docs.select(
-        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
     )
     grp = (
         _doc_assignments(spark, sf_dir)
