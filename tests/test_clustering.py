@@ -93,3 +93,36 @@ def test_dist2_matches_naive_definition(spark):
         ]
         best = min(naive, key=lambda t: (t[1], t[0]))
         assert got[row["vec_id"]] == (best[0], best[1])
+
+
+def test_centroid_model_round_trip(spark, tmp_path):
+    """Fit -> write -> read -> assign must equal assigning with the
+    in-memory centroids (integer centroids serialize exactly)."""
+    emb = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    centroids, quantized = C.kmeans_fit(emb, k=4, iters=2)
+    path = str(tmp_path / "kmeans_model")
+    C.write_centroids(spark, centroids, path, meta={"k": 4, "iters": 2})
+    loaded = C.read_centroids(spark, path)
+    assert loaded == centroids
+    a = sorted(tuple(r) for r in C.assign_clusters(quantized, centroids).collect())
+    b = sorted(tuple(r) for r in C.assign_clusters(quantized, loaded).collect())
+    assert a == b
+
+
+def test_read_centroids_rejects_bad_models(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = str(tmp_path / "empty_model")
+    spark.createDataFrame(
+        [], "cluster int, centroid array<long>, meta string"
+    ).write.mode("overwrite").parquet(empty)
+    with _pytest.raises(ValueError, match="empty centroid model"):
+        C.read_centroids(spark, empty)
+
+    gappy = str(tmp_path / "gappy_model")
+    spark.createDataFrame(
+        [(0, [1, 2], "{}"), (2, [3, 4], "{}")],
+        "cluster int, centroid array<long>, meta string",
+    ).write.mode("overwrite").parquet(gappy)
+    with _pytest.raises(ValueError, match="non-contiguous"):
+        C.read_centroids(spark, gappy)

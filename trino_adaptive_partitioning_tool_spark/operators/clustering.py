@@ -251,3 +251,39 @@ def kmeans_oracle_cte(
             )
             prev = f"c{it}"
     return ",\n    ".join(parts), f"a{iters}"
+
+
+def write_centroids(
+    spark,
+    centroids: list[list[int]],
+    path: str,
+    meta: dict | None = None,
+) -> None:
+    """Persist a fitted centroid set as a tiny parquet model artifact
+    (cluster id, integer centroid vector, optional metadata JSON) — the
+    train-once/apply-everywhere seam: a batch job fits on the corpus
+    sample, every later batch or streaming assignment loads the model
+    and stays map-only. Integer centroids round-trip exactly (no float
+    serialization drift)."""
+    import json as _json
+
+    rows = [
+        (j, [int(x) for x in c], _json.dumps(meta or {}, sort_keys=True))
+        for j, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<long>, meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_centroids(spark, path: str) -> list[list[int]]:
+    """Load a centroid model written by write_centroids, cluster order
+    restored by id."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    if not rows:
+        raise ValueError(f"empty centroid model at {path}")
+    if [r["cluster"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"centroid model at {path} has non-contiguous cluster ids"
+        )
+    return [[int(x) for x in r["centroid"]] for r in rows]
