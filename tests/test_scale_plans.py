@@ -306,6 +306,8 @@ _SHUFFLE_CEILINGS = {
     "document_topic_clusters": 1,
     # vector build + strata rollup + 1-row total attach + output sort
     "cluster_mixture_plan": 4,
+    # vector build + quality-score equi-join + per-cluster rollup
+    "cluster_quality_profile": 3,
 }
 
 

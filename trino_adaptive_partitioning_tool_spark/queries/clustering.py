@@ -438,3 +438,96 @@ def cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "lang")
     )
+
+
+def _cluster_quality_oracle() -> str:
+    from .text import _TOKS
+
+    cte, final = ops.kmeans_oracle_cte(
+        _DOC_K, _DOC_ITERS, dim=_DOC_DIM, id_col="doc_id",
+        q_cte=_doc_q_cte(),
+    )
+    return f"""
+    WITH {cte},
+    qtok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    qsig AS (
+      SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(toks,
+          t -> list_contains(['the','and','of','to','a','in','is','that'], t)
+        )) AS DOUBLE) AS n_stop,
+        CAST(length(text)
+             - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+        CAST(length(text) AS DOUBLE) AS n_char,
+        CAST(len(list_distinct(toks)) AS DOUBLE)
+          / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio,
+        LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
+      FROM qtok
+    ),
+    qscore AS (
+      SELECT doc_id,
+        ROUND(ROUND(n_stop / GREATEST(n_tok, 1.0), 4) * 40
+          + (1.0 - ROUND(n_punct / GREATEST(n_char, 1.0), 4)) * 20
+          + (1.0 - ROUND(1.0 - distinct_ratio, 4)) * 20
+          + ROUND(length_score, 4) * 20, 2) AS quality_score
+      FROM qsig
+    )
+    SELECT a.cluster,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN s.quality_score < 50.0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_low_quality,
+      CAST(SUM(CAST(ROUND(s.quality_score * 100, 0) AS BIGINT))
+           AS BIGINT) AS sum_quality_centi,
+      CAST(ROUND(CAST(CAST(
+             SUM(CAST(ROUND(s.quality_score * 100, 0) AS BIGINT))
+             / (100.0 * COUNT(*)) AS VARCHAR) AS DECIMAL(38,12)), 4)
+           AS DOUBLE) AS mean_quality
+    FROM {final} a JOIN qscore s USING (doc_id)
+    GROUP BY a.cluster
+    ORDER BY a.cluster
+    """
+
+
+@register(
+    "cluster_quality_profile", memo=True, oracle=_cluster_quality_oracle()
+)
+def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-conditioned quality: the heuristic quality score
+    (operators/text.quality_scores) rolled up per token-hash topic
+    cluster — the table that tells a curation pipeline WHICH topics are
+    rotten (drop/downweight whole clusters, SemDeDup-paper style)
+    rather than filtering documents one by one.
+
+    Exactness: quality_score is a 2dp-rounded double, so the rollup
+    sums its exact centi-point integers (SUM order can't drift) and
+    derives the mean from that one exact division; the oracle rounds
+    through VARCHAR::DECIMAL (the repo's Spark-HALF_UP convention).
+    One extra shuffle over the topic fit. Fully hash-oracled."""
+    from ..operators import text as text_ops
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    scores = text_ops.quality_scores(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 100, 0)
+        .cast("bigint")
+        .alias("centi"),
+    )
+    return (
+        _doc_assignments(spark, sf_dir)
+        .join(scores, "doc_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("centi") < 5000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_quality"),
+            F.sum("centi").alias("sum_quality_centi"),
+            F.round(
+                F.sum("centi") / (100.0 * F.count(F.lit(1))), 4
+            ).alias("mean_quality"),
+        )
+        .orderBy("cluster")
+    )

@@ -286,6 +286,9 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("cluster_mixture_plan",
      ["cluster", "lang", "n_docs", "total_tokens", "budget_tokens"],
      ["mixture_share"]),
+    ("cluster_quality_profile",
+     ["cluster", "n_docs", "n_low_quality", "sum_quality_centi"],
+     ["mean_quality"]),
     ("corpus_filter_funnel",
      ["stage_idx", "stage", "n_docs", "n_tokens"], []),
     ("corpus_filter_funnel_extended",
