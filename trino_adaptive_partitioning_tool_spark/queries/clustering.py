@@ -1,12 +1,23 @@
-"""Embedding-clustering curation queries (extension surface).
+"""Clustering-based curation queries (extension surface).
 
 Deterministic integer-lattice k-means (operators/clustering.py) plus
-the curation steps a training-data pipeline builds on it: per-cluster
-profiling, cluster-balanced sampling (topic balancing), and semantic
-outlier pruning. Every query is FULLY hash-oracled — the DuckDB oracle
-replays the entire Lloyd fit through unrolled CTEs in exact integer
-arithmetic, something the pyspark.ml-backed IVF path cannot offer
-(float sums there depend on partition order).
+the curation steps a training-data pipeline builds on it, on BOTH
+vector axes:
+
+* embeddings — final assignment, per-cluster profile, topic-balanced
+  sampling, semantic outlier pruning, SemDeDup (pairwise dedup scoped
+  to clusters — the published algorithm's scale design);
+* raw text — token-hash count vectors clustered into topics, then a
+  cluster-aware training-mixture plan (sqrt-dampened temperature
+  shares) and a per-topic quality profile (drop whole rotten topics).
+
+Every query is FULLY hash-oracled — the DuckDB oracle replays the
+entire Lloyd fit through unrolled CTEs in exact integer arithmetic,
+something the pyspark.ml-backed IVF path cannot offer (float sums
+there depend on partition order). One fit per (session, data dir) on
+each axis; the streaming assignment twin lives in
+queries/streaming_q.streaming_cluster_ingest and model persistence in
+operators/clustering.write_centroids/read_centroids.
 
 The reference tool has no clustering surface; this module extends the
 LLM-pipeline mandate alongside queries/dedup.py and
