@@ -102,8 +102,10 @@ def test_centroid_model_round_trip(spark, tmp_path):
     centroids, quantized = C.kmeans_fit(emb, k=4, iters=2)
     path = str(tmp_path / "kmeans_model")
     C.write_centroids(spark, centroids, path, meta={"k": 4, "iters": 2})
-    loaded = C.read_centroids(spark, path)
+    loaded, meta = C.read_centroid_model(spark, path)
     assert loaded == centroids
+    assert meta == {"k": 4, "iters": 2}
+    assert C.read_centroids(spark, path) == centroids
     a = sorted(tuple(r) for r in C.assign_clusters(quantized, centroids).collect())
     b = sorted(tuple(r) for r in C.assign_clusters(quantized, loaded).collect())
     assert a == b
@@ -126,3 +128,19 @@ def test_read_centroids_rejects_bad_models(spark, tmp_path):
     ).write.mode("overwrite").parquet(gappy)
     with _pytest.raises(ValueError, match="non-contiguous"):
         C.read_centroids(spark, gappy)
+
+    dup = str(tmp_path / "dup_model")
+    spark.createDataFrame(
+        [(0, [1, 2], "{}"), (0, [3, 4], "{}"), (1, [5, 6], "{}")],
+        "cluster int, centroid array<long>, meta string",
+    ).write.mode("overwrite").parquet(dup)
+    with _pytest.raises(ValueError, match="duplicate cluster ids"):
+        C.read_centroids(spark, dup)
+
+    nully = str(tmp_path / "null_model")
+    spark.createDataFrame(
+        [(0, [1, None], "{}")],
+        "cluster int, centroid array<long>, meta string",
+    ).write.mode("overwrite").parquet(nully)
+    with _pytest.raises(ValueError, match="NULL vector elements"):
+        C.read_centroids(spark, nully)

@@ -276,14 +276,37 @@ def write_centroids(
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
-def read_centroids(spark, path: str) -> list[list[int]]:
-    """Load a centroid model written by write_centroids, cluster order
-    restored by id."""
+def read_centroid_model(spark, path: str) -> tuple[list[list[int]], dict]:
+    """Load a centroid model written by write_centroids: (centroids in
+    cluster-id order, the meta dict stored at write time). Malformed
+    models raise ValueError (empty, duplicate ids, gapped ids, NULL
+    vector elements) — callers can trust a returned model."""
+    import json as _json
+
     rows = spark.read.parquet(path).orderBy("cluster").collect()
     if not rows:
         raise ValueError(f"empty centroid model at {path}")
-    if [r["cluster"] for r in rows] != list(range(len(rows))):
+    ids = [r["cluster"] for r in rows]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            f"centroid model at {path} has duplicate cluster ids"
+        )
+    if ids != list(range(len(rows))):
         raise ValueError(
             f"centroid model at {path} has non-contiguous cluster ids"
         )
-    return [[int(x) for x in r["centroid"]] for r in rows]
+    centroids = []
+    for r in rows:
+        if r["centroid"] is None or any(x is None for x in r["centroid"]):
+            raise ValueError(
+                f"centroid model at {path} has NULL vector elements "
+                f"(cluster {r['cluster']})"
+            )
+        centroids.append([int(x) for x in r["centroid"]])
+    meta = _json.loads(rows[0]["meta"]) if rows[0]["meta"] else {}
+    return centroids, meta
+
+
+def read_centroids(spark, path: str) -> list[list[int]]:
+    """Centroids only — see read_centroid_model for the meta dict."""
+    return read_centroid_model(spark, path)[0]

@@ -451,43 +451,30 @@ def cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_quality_oracle() -> str:
-    from .text import _TOKS
+# the low-quality gate in score points; the Spark side compares exact
+# centi-point integers, derived from the SAME constant
+_LOW_QUALITY_MIN = 50.0
+_LOW_QUALITY_CENTI = int(_LOW_QUALITY_MIN * 100)
 
+
+def _cluster_quality_oracle() -> str:
+    # nest the REGISTERED quality oracle verbatim (funnel.py's reuse
+    # seam) — the heuristic formula lives in exactly two places (the
+    # Spark operator and its paired oracle), never a third copy here
+    from . import registry as _registry
+
+    quality_sql = _registry._ORACLES["text_quality_scores"]
     cte, final = ops.kmeans_oracle_cte(
         _DOC_K, _DOC_ITERS, dim=_DOC_DIM, id_col="doc_id",
         q_cte=_doc_q_cte(),
     )
     return f"""
     WITH {cte},
-    qtok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-    qsig AS (
-      SELECT doc_id,
-        CAST(len(toks) AS DOUBLE) AS n_tok,
-        CAST(len(list_filter(toks,
-          t -> list_contains(['the','and','of','to','a','in','is','that'], t)
-        )) AS DOUBLE) AS n_stop,
-        CAST(length(text)
-             - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-        CAST(length(text) AS DOUBLE) AS n_char,
-        CAST(len(list_distinct(toks)) AS DOUBLE)
-          / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio,
-        LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
-      FROM qtok
-    ),
-    qscore AS (
-      SELECT doc_id,
-        ROUND(ROUND(n_stop / GREATEST(n_tok, 1.0), 4) * 40
-          + (1.0 - ROUND(n_punct / GREATEST(n_char, 1.0), 4)) * 20
-          + (1.0 - ROUND(1.0 - distinct_ratio, 4)) * 20
-          + ROUND(length_score, 4) * 20, 2) AS quality_score
-      FROM qsig
-    )
+    qscore AS (SELECT doc_id, quality_score FROM ({quality_sql}) qq)
     SELECT a.cluster,
       COUNT(*) AS n_docs,
-      CAST(SUM(CASE WHEN s.quality_score < 50.0 THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_low_quality,
+      CAST(SUM(CASE WHEN s.quality_score < {_LOW_QUALITY_MIN}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
       CAST(SUM(CAST(ROUND(s.quality_score * 100, 0) AS BIGINT))
            AS BIGINT) AS sum_quality_centi,
       CAST(ROUND(CAST(CAST(
@@ -531,7 +518,7 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
-                F.when(F.col("centi") < 5000, 1).otherwise(0)
+                F.when(F.col("centi") < _LOW_QUALITY_CENTI, 1).otherwise(0)
             )
             .cast("bigint")
             .alias("n_low_quality"),
