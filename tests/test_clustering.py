@@ -144,3 +144,31 @@ def test_read_centroids_rejects_bad_models(spark, tmp_path):
     ).write.mode("overwrite").parquet(nully)
     with _pytest.raises(ValueError, match="NULL vector elements"):
         C.read_centroids(spark, nully)
+
+
+def test_greedy_init_spreads_seeds(spark):
+    """Farthest-point seeding must (a) be deterministic under
+    repartitioning, (b) never pick duplicate seeds on a corpus with
+    duplicate-heavy heads where lowest-id init does."""
+    from pyspark.sql import functions as F
+
+    # 5 copies of the same point at low ids, then three distant points
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + [
+        (5, [10.0, 0.0]), (6, [0.0, 10.0]), (7, [10.0, 10.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quantized = df.select(
+        "vec_id", C.quantize_expr(F.col("embedding")).alias("v")
+    )
+    seeds = C.greedy_init(quantized, k=4)
+    assert len({tuple(s) for s in seeds}) == 4  # all distinct
+    assert seeds[0] == [0, 0]  # anchor: lowest id
+    # lowest-id init would have chosen [0,0] x4
+    lowest = [
+        [int(x) for x in r["v"]]
+        for r in quantized.orderBy("vec_id").limit(4).collect()
+    ]
+    assert len({tuple(s) for s in lowest}) == 1
+    # partition-order independence
+    seeds2 = C.greedy_init(quantized.repartition(5), k=4)
+    assert seeds2 == seeds

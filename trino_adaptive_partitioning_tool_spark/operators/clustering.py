@@ -310,3 +310,37 @@ def read_centroid_model(spark, path: str) -> tuple[list[list[int]], dict]:
 def read_centroids(spark, path: str) -> list[list[int]]:
     """Centroids only — see read_centroid_model for the meta dict."""
     return read_centroid_model(spark, path)[0]
+
+
+def greedy_init(
+    quantized: DataFrame, k: int, id_col: str = "vec_id"
+) -> list[list[int]]:
+    """Deterministic farthest-point (k-center / Gonzalez) seeding: start
+    from the lowest-id vector, then repeatedly take the point with the
+    MAXIMUM distance to its nearest chosen seed (ties broken by lowest
+    id). Spreads seeds across the data — on duplicate-heavy real corpora
+    the lowest-id default can pick near-identical seeds; this cannot.
+
+    Exactness: distances are the same integer d2 as assignment, and the
+    argmax tie-break is total, so the seed set is a pure function of the
+    data — no RNG, partition-order independent, SQL-replayable (k-1
+    unrolled argmax rounds). Driver cost: k-1 bounded collects of one
+    row each; each round is one map-only pass over the corpus (the
+    chosen-seed list is a literal, exactly like assignment)."""
+    first = quantized.orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("greedy_init on an empty corpus")
+    seeds = [[int(x) for x in first[0]["v"]]]
+    for _ in range(k - 1):
+        # min distance to any chosen seed, then global argmax
+        assigned = assign_clusters(quantized, seeds, id_col)
+        far = (
+            assigned.orderBy(
+                F.col("dist2").desc(), F.col(id_col).asc()
+            )
+            .limit(1)
+            .join(quantized, id_col)
+            .collect()
+        )
+        seeds.append([int(x) for x in far[0]["v"]])
+    return seeds
