@@ -308,6 +308,8 @@ _SHUFFLE_CEILINGS = {
     "cluster_mixture_plan": 4,
     # vector build + quality-score equi-join + per-cluster rollup
     "cluster_quality_profile": 3,
+    # greedy-seeded variant: assignment is the same map-only expression
+    "embedding_kmeans_greedy_assign": 0,
 }
 
 

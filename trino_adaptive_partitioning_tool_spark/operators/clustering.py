@@ -117,10 +117,15 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = True,
+    init: str = "lowest",
 ) -> tuple[list[list[int]], DataFrame]:
     """Integer-lattice Lloyd's: `iters` assignment passes with centroid
     updates between them (iters=3 → assign, update, assign, update,
     assign). Returns (final centroids, quantized corpus frame).
+
+    init="lowest" seeds with the k lowest-id vectors (one collect);
+    init="greedy" uses farthest-point seeding (greedy_init — k-1 extra
+    map-only passes, duplicate-proof seeds).
 
     Each update collects k*dim partial sums to the driver — bounded by
     model size (k x dim), never by corpus size; the identical pattern
@@ -140,14 +145,17 @@ def kmeans_fit(
     # without this every Lloyd pass re-reads and re-quantizes the full
     # corpus. Ownership: stays persisted for the caller's final
     # assignment; callers may .unpersist() the returned frame when done.
-    # k lowest-id vectors: deterministic, SQL-expressible init
-    init_rows = quantized.orderBy(id_col).limit(k).collect()
-    if len(init_rows) < k:
-        raise ValueError(
-            f"k-means fit needs at least k={k} rows; corpus has "
-            f"{len(init_rows)}"
-        )
-    centroids = [[int(x) for x in r["v"]] for r in init_rows]
+    if init == "greedy":
+        centroids = greedy_init(quantized, k, id_col)
+    else:
+        # k lowest-id vectors: deterministic, SQL-expressible init
+        init_rows = quantized.orderBy(id_col).limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(
+                f"k-means fit needs at least k={k} rows; corpus has "
+                f"{len(init_rows)}"
+            )
+        centroids = [[int(x) for x in r["v"]] for r in init_rows]
     dim = len(centroids[0])
 
     for _ in range(iters - 1):
@@ -198,6 +206,7 @@ def kmeans_oracle_cte(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_cte: str | None = None,
+    init: str = "lowest",
 ) -> tuple[str, str]:
     """Unrolled-CTE DuckDB replay of kmeans_assignments. Returns
     (cte_sql, final_assignment_cte_name); the final CTE has columns
@@ -207,17 +216,48 @@ def kmeans_oracle_cte(
     `q_cte` overrides the default quantization CTE with a caller-built
     `q AS (...)` whose columns are ({id_col}, v BIGINT[]) — used by
     consumers whose vectors are derived (e.g. token-hash counts) rather
-    than quantized embeddings."""
+    than quantized embeddings. `init="greedy"` replays greedy_init's
+    k-1 farthest-point selection rounds (min-dist-to-chosen argmax,
+    same integer d2, ties by lowest id) before the Lloyd iterations."""
     parts = [
         q_cte
         if q_cte is not None
         else f"q AS (SELECT {id_col}, {quantize_sql(vec_col)} AS v"
         f" FROM {table})",
-        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1"
-        f" AS INTEGER) AS cl, v FROM"
-        f" (SELECT {id_col}, v FROM q ORDER BY {id_col} LIMIT {k}) t)",
-        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
     ]
+    gd2 = (
+        "CAST(list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, g.v)"
+        " + list_dot_product(g.v, g.v) AS BIGINT)"
+    )
+    if init == "greedy":
+        parts.append(
+            f"g0 AS (SELECT 0 AS cl, v FROM"
+            f" (SELECT {id_col}, v FROM q ORDER BY {id_col} LIMIT 1) t)"
+        )
+        gprev = "g0"
+        for j in range(1, k):
+            parts.append(
+                f"p{j} AS (SELECT {id_col} FROM ("
+                f"SELECT q.{id_col}, MIN({gd2}) AS md"
+                f" FROM q CROSS JOIN {gprev} g GROUP BY q.{id_col}) t"
+                f" ORDER BY md DESC, {id_col} LIMIT 1)"
+            )
+            parts.append(
+                f"g{j} AS (SELECT cl, v FROM {gprev} UNION ALL"
+                f" SELECT {j} AS cl, q.v FROM q"
+                f" JOIN p{j} USING ({id_col}))"
+            )
+            gprev = f"g{j}"
+        parts.append(
+            f"c0 AS (SELECT CAST(cl AS INTEGER) AS cl, v FROM {gprev})"
+        )
+    else:
+        parts.append(
+            f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1"
+            f" AS INTEGER) AS cl, v FROM"
+            f" (SELECT {id_col}, v FROM q ORDER BY {id_col} LIMIT {k}) t)"
+        )
+    parts.append(f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)")
     prev = "c0"
     for it in range(1, iters + 1):
         d2 = (

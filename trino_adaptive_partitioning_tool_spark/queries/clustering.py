@@ -529,3 +529,28 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _greedy_oracle() -> str:
+    cte, final = ops.kmeans_oracle_cte(6, 2, init="greedy")
+    return f"WITH {cte}\n    SELECT vec_id, cluster, dist2 FROM {final}"
+
+
+@register(
+    "embedding_kmeans_greedy_assign", memo=True, oracle=_greedy_oracle()
+)
+def embedding_kmeans_greedy_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lloyd assignment under farthest-point (k-center) seeding, k=6,
+    iters=2 — the duplicate-proof init for real corpora where the
+    lowest-id default could seed near-identical points. The hardest SQL
+    replay in the repo: the oracle unrolls the k-1 greedy selection
+    rounds (min-dist-to-chosen argmax, integer d2, ties by lowest id)
+    AND the Lloyd iterations — every stage bit-identical across
+    engines. Assignment itself stays map-only."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    centroids, quantized = ops.kmeans_fit(
+        emb, k=6, iters=2, init="greedy"
+    )
+    return ops.assign_clusters(quantized, centroids)

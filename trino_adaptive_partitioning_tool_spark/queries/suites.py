@@ -352,6 +352,8 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
      ["cluster", "n_vecs", "sum_dist2", "min_dist2", "max_dist2",
       "n_labels"], []),
     ("embedding_dedup_keep_canonical", ["vec_id", "label"], []),
+    ("embedding_kmeans_greedy_assign",
+     ["vec_id", "cluster", "dist2"], []),
     ("embedding_near_duplicates", ["id_a", "id_b"], ["cosine"]),
     ("embedding_near_duplicates_exact", ["id_a", "id_b"], ["cosine"]),
     ("embedding_quantization_stats",
