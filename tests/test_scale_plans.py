@@ -310,6 +310,8 @@ _SHUFFLE_CEILINGS = {
     "cluster_quality_profile": 3,
     # greedy-seeded variant: assignment is the same map-only expression
     "embedding_kmeans_greedy_assign": 0,
+    # doc-vector build + metadata equi-join + per-topic cap window
+    "topic_balanced_doc_sample": 3,
 }
 
 

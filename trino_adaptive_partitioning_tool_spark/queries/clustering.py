@@ -554,3 +554,53 @@ def embedding_kmeans_greedy_assign(
         emb, k=6, iters=2, init="greedy"
     )
     return ops.assign_clusters(quantized, centroids)
+
+
+_DOC_BALANCE_CAP = 50
+
+
+def _topic_sample_oracle() -> str:
+    cte, final = ops.kmeans_oracle_cte(
+        _DOC_K, _DOC_ITERS, dim=_DOC_DIM, id_col="doc_id",
+        q_cte=_doc_q_cte(),
+    )
+    h = md5_60_sql(
+        "concat_ws('|', 'topic-balance', CAST(a.doc_id AS VARCHAR))"
+    )
+    return f"""
+    WITH {cte}
+    SELECT doc_id, cluster, lang, source FROM (
+      SELECT a.doc_id, a.cluster, d.lang, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.cluster ORDER BY {h}, a.doc_id
+             ) AS rn
+      FROM {final} a JOIN documents d USING (doc_id)
+    ) t WHERE rn <= {_DOC_BALANCE_CAP}
+    """
+
+
+@register(
+    "topic_balanced_doc_sample", memo=True, oracle=_topic_sample_oracle()
+)
+def topic_balanced_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced document subsample — the raw-text twin of
+    cluster_balanced_sample: at most _DOC_BALANCE_CAP documents per
+    token-hash topic cluster, picked by stable id-hash rank (no RNG;
+    re-runs, backfills, and per-partition retries select the same
+    documents). The downstream half of the topic fit: profile tells you
+    which topics dominate, this emits the flattened sample. Fully
+    hash-oracled."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    h = md5_60(
+        F.concat_ws(
+            "|", F.lit("topic-balance"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        _doc_assignments(spark, sf_dir)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _DOC_BALANCE_CAP)
+        .select("doc_id", "cluster", "lang", "source")
+    )

@@ -333,6 +333,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["avg_token_len"]),
     ("text_winnow_fingerprints",
      ["doc_id", "winnow_fp", "winnow_size"], []),
+    ("topic_balanced_doc_sample",
+     ["doc_id", "cluster", "lang", "source"], []),
     ("winnow_containment_pairs",
      ["id_a", "id_b", "shared_fps"], ["containment"]),
 ]
