@@ -172,3 +172,26 @@ def test_greedy_init_spreads_seeds(spark):
     # partition-order independence
     seeds2 = C.greedy_init(quantized.repartition(5), k=4)
     assert seeds2 == seeds
+
+
+def test_greedy_init_raises_on_too_few_distinct_points(spark):
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    rows = [(i, [0.0, 0.0]) for i in range(4)] + [(4, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quantized = df.select(
+        "vec_id", C.quantize_expr(F.col("embedding")).alias("v")
+    )
+    with _pytest.raises(ValueError, match="distinct points"):
+        C.greedy_init(quantized, k=3)  # only 2 distinct points
+
+
+def test_kmeans_fit_rejects_unknown_init(spark):
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="unknown init"):
+        C.kmeans_fit(emb, k=2, iters=1, init="farthest")
+    with _pytest.raises(ValueError, match="unknown init"):
+        C.kmeans_oracle_cte(2, 1, init="Greedy")

@@ -145,6 +145,8 @@ def kmeans_fit(
     # without this every Lloyd pass re-reads and re-quantizes the full
     # corpus. Ownership: stays persisted for the caller's final
     # assignment; callers may .unpersist() the returned frame when done.
+    if init not in ("lowest", "greedy"):
+        raise ValueError(f"unknown init {init!r}: use 'lowest' or 'greedy'")
     if init == "greedy":
         centroids = greedy_init(quantized, k, id_col)
     else:
@@ -225,11 +227,14 @@ def kmeans_oracle_cte(
         else f"q AS (SELECT {id_col}, {quantize_sql(vec_col)} AS v"
         f" FROM {table})",
     ]
-    gd2 = (
-        "CAST(list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, g.v)"
-        " + list_dot_product(g.v, g.v) AS BIGINT)"
-    )
+    if init not in ("lowest", "greedy"):
+        raise ValueError(f"unknown init {init!r}: use 'lowest' or 'greedy'")
     if init == "greedy":
+        gd2 = (
+            "CAST(list_dot_product(q.v, q.v)"
+            " - 2*list_dot_product(q.v, g.v)"
+            " + list_dot_product(g.v, g.v) AS BIGINT)"
+        )
         parts.append(
             f"g0 AS (SELECT 0 AS cl, v FROM"
             f" (SELECT {id_col}, v FROM q ORDER BY {id_col} LIMIT 1) t)"
@@ -359,28 +364,45 @@ def greedy_init(
     from the lowest-id vector, then repeatedly take the point with the
     MAXIMUM distance to its nearest chosen seed (ties broken by lowest
     id). Spreads seeds across the data — on duplicate-heavy real corpora
-    the lowest-id default can pick near-identical seeds; this cannot.
+    the lowest-id default can pick near-identical seeds; this RAISES if
+    the corpus has fewer than k distinct points instead of silently
+    duplicating seeds.
 
     Exactness: distances are the same integer d2 as assignment, and the
     argmax tie-break is total, so the seed set is a pure function of the
     data — no RNG, partition-order independent, SQL-replayable (k-1
     unrolled argmax rounds). Driver cost: k-1 bounded collects of one
-    row each; each round is one map-only pass over the corpus (the
-    chosen-seed list is a literal, exactly like assignment)."""
+    struct each; each round is ONE aggregation pass over the corpus —
+    max of (d2, -id, v), the vector riding inside the struct, so there
+    is no join back to recover it."""
     first = quantized.orderBy(id_col).limit(1).collect()
     if not first:
         raise ValueError("greedy_init on an empty corpus")
     seeds = [[int(x) for x in first[0]["v"]]]
+    v = F.col("v")
     for _ in range(k - 1):
-        # min distance to any chosen seed, then global argmax
-        assigned = assign_clusters(quantized, seeds, id_col)
-        far = (
-            assigned.orderBy(
-                F.col("dist2").desc(), F.col(id_col).asc()
+        qq = _dot_long(v, v)
+        legs = []
+        for c in seeds:
+            c_lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            cc = int(sum(x * x for x in c))
+            legs.append(
+                qq - 2 * _dot_long(v, c_lit) + F.lit(cc).cast("long")
             )
-            .limit(1)
-            .join(quantized, id_col)
-            .collect()
-        )
-        seeds.append([int(x) for x in far[0]["v"]])
+        min_d2 = F.array_min(F.array(*legs))
+        far = quantized.agg(
+            F.max(
+                F.struct(
+                    min_d2.alias("d2"),
+                    (-F.col(id_col)).alias("nid"),
+                    v.alias("v"),
+                )
+            ).alias("b")
+        ).collect()[0]["b"]
+        if far["d2"] == 0:
+            raise ValueError(
+                f"greedy_init needs at least k={k} distinct points; "
+                f"the corpus has only {len(seeds)}"
+            )
+        seeds.append([int(x) for x in far["v"]])
     return seeds

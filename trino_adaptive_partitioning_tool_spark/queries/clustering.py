@@ -531,9 +531,30 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GREEDY_K = 6
+_GREEDY_ITERS = 2
+_GREEDY_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _greedy_oracle() -> str:
-    cte, final = ops.kmeans_oracle_cte(6, 2, init="greedy")
+    cte, final = ops.kmeans_oracle_cte(
+        _GREEDY_K, _GREEDY_ITERS, init="greedy"
+    )
     return f"WITH {cte}\n    SELECT vec_id, cluster, dist2 FROM {final}"
+
+
+def _greedy_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _FIT_LOCK:  # threaded dashboard: no duplicate fits/leaked frames
+        if key not in _GREEDY_ASSIGN_CACHE:
+            emb = tables.load_table(spark, sf_dir, "embeddings")
+            centroids, quantized = ops.kmeans_fit(
+                emb, k=_GREEDY_K, iters=_GREEDY_ITERS, init="greedy"
+            )
+            _GREEDY_ASSIGN_CACHE[key] = ops.assign_clusters(
+                quantized, centroids
+            ).persist()
+        return _GREEDY_ASSIGN_CACHE[key]
 
 
 @register(
@@ -542,18 +563,14 @@ def _greedy_oracle() -> str:
 def embedding_kmeans_greedy_assign(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Lloyd assignment under farthest-point (k-center) seeding, k=6,
-    iters=2 — the duplicate-proof init for real corpora where the
-    lowest-id default could seed near-identical points. The hardest SQL
-    replay in the repo: the oracle unrolls the k-1 greedy selection
-    rounds (min-dist-to-chosen argmax, integer d2, ties by lowest id)
-    AND the Lloyd iterations — every stage bit-identical across
-    engines. Assignment itself stays map-only."""
-    emb = tables.load_table(spark, sf_dir, "embeddings")
-    centroids, quantized = ops.kmeans_fit(
-        emb, k=6, iters=2, init="greedy"
-    )
-    return ops.assign_clusters(quantized, centroids)
+    """Lloyd assignment under farthest-point (k-center) seeding,
+    k=_GREEDY_K, iters=_GREEDY_ITERS — the duplicate-proof init for real
+    corpora where the lowest-id default could seed near-identical
+    points. The hardest SQL replay in the repo: the oracle unrolls the
+    k-1 greedy selection rounds (min-dist-to-chosen argmax, integer d2,
+    ties by lowest id) AND the Lloyd iterations — every stage
+    bit-identical across engines. Assignment itself stays map-only."""
+    return _greedy_assignments(spark, sf_dir)
 
 
 _DOC_BALANCE_CAP = 50
