@@ -312,6 +312,8 @@ _SHUFFLE_CEILINGS = {
     "embedding_kmeans_greedy_assign": 0,
     # doc-vector build + metadata equi-join + per-topic cap window
     "topic_balanced_doc_sample": 3,
+    # map-only full-corpus scoring + k-sized rollup + output range sort
+    "embedding_drift_report": 2,
 }
 
 

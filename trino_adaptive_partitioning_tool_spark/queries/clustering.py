@@ -621,3 +621,106 @@ def topic_balanced_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _DOC_BALANCE_CAP)
         .select("doc_id", "cluster", "lang", "source")
     )
+
+
+_DRIFT_K = 4
+_DRIFT_ITERS = 2
+
+
+def _embedding_drift_oracle() -> str:
+    # fit corpus = even ids; the final centroid CTE of the builder is
+    # c{iters-1} by construction (c0 when iters == 1) — the one the last
+    # assignment pass used
+    q_cte = (
+        "q AS (SELECT vec_id, "
+        + ops.quantize_sql("embedding")
+        + " AS v FROM embeddings WHERE vec_id % 2 = 0)"
+    )
+    cte, _final = ops.kmeans_oracle_cte(
+        _DRIFT_K, _DRIFT_ITERS, q_cte=q_cte
+    )
+    cfinal = f"c{_DRIFT_ITERS - 1}" if _DRIFT_ITERS > 1 else "c0"
+    d2 = (
+        "CAST(list_dot_product(qa.v, qa.v) - 2*list_dot_product(qa.v, c.v)"
+        " + list_dot_product(c.v, c.v) AS BIGINT)"
+    )
+    return f"""
+    WITH {cte},
+    qall AS (SELECT vec_id, {ops.quantize_sql("embedding")} AS v
+             FROM embeddings),
+    af AS (
+      SELECT vec_id, cl AS cluster, d2 AS dist2 FROM (
+        SELECT qa.vec_id, c.cl, {d2} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                 ORDER BY {d2}, c.cl) AS rn
+        FROM qall qa CROSS JOIN {cfinal} c) t WHERE rn = 1
+    )
+    SELECT cluster,
+      CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fit,
+      CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+      CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN dist2 ELSE 0 END) AS BIGINT)
+        AS sum_d2_fit,
+      CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN dist2 ELSE 0 END) AS BIGINT)
+        AS sum_d2_new,
+      CASE WHEN SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                > SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+             THEN 'grew'
+           WHEN SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                < SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+             THEN 'shrank'
+           ELSE 'stable' END AS population_status
+    FROM af GROUP BY cluster ORDER BY cluster
+    """
+
+
+@register(
+    "embedding_drift_report", memo=True, oracle=_embedding_drift_oracle()
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA drift — the twin of workload_drift_report for the corpus
+    itself: fit k-means on the reference slice (even ids, the stand-in
+    for 'last month's corpus'), assign EVERY vector against those fixed
+    centroids, and compare per-cluster populations and exact integer
+    inertia between the fit slice and the new slice. A cluster that
+    'grew' is a semantic region the new data over-represents (mixture
+    rebalance trigger); rising sum_d2 with stable counts means the new
+    data sits farther from the old geometry (refit trigger). Fully
+    hash-oracled: the oracle replays the fit on the even slice and the
+    full-corpus assignment. Map-only scoring over one corpus pass +
+    one k-sized rollup."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    fit_slice = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    centroids, _q = ops.kmeans_fit(
+        fit_slice, k=_DRIFT_K, iters=_DRIFT_ITERS
+    )
+    quant_all = emb.select(
+        "vec_id", ops.quantize_expr(F.col("embedding")).alias("v")
+    )
+    assigned = ops.assign_clusters(quant_all, centroids)
+    is_new = F.pmod(F.col("vec_id"), F.lit(2)) == 1
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.sum(F.when(~is_new, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fit"),
+            F.sum(F.when(is_new, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(~is_new, F.col("dist2")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_d2_fit"),
+            F.sum(F.when(is_new, F.col("dist2")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_d2_new"),
+        )
+        .withColumn(
+            "population_status",
+            F.when(F.col("n_new") > F.col("n_fit"), F.lit("grew"))
+            .when(F.col("n_new") < F.col("n_fit"), F.lit("shrank"))
+            .otherwise(F.lit("stable")),
+        )
+        .orderBy("cluster")
+    )

@@ -354,6 +354,9 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
      ["cluster", "n_vecs", "sum_dist2", "min_dist2", "max_dist2",
       "n_labels"], []),
     ("embedding_dedup_keep_canonical", ["vec_id", "label"], []),
+    ("embedding_drift_report",
+     ["cluster", "n_fit", "n_new", "sum_d2_fit", "sum_d2_new",
+      "population_status"], []),
     ("embedding_kmeans_greedy_assign",
      ["vec_id", "cluster", "dist2"], []),
     ("embedding_near_duplicates", ["id_a", "id_b"], ["cosine"]),
