@@ -200,6 +200,14 @@ def kmeans_assignments(
     return assign_clusters(quantized, centroids, id_col)
 
 
+def kmeans_oracle_final_centroids(iters: int) -> str:
+    """Name of the centroid CTE the LAST assignment pass of
+    kmeans_oracle_cte uses — the fitted model a composing oracle can
+    score additional rows against. Kept next to the builder so the
+    naming knowledge lives in exactly one module."""
+    return f"c{iters - 1}" if iters > 1 else "c0"
+
+
 def kmeans_oracle_cte(
     k: int = 8,
     iters: int = 3,
