@@ -107,6 +107,96 @@ HEADLINE_QUERIES = [
 ]
 
 
+def emit_output_lines(
+    *,
+    total: float,
+    timings: dict[str, float],
+    layout_speedup,
+    scan_scaling_x,
+    regressions: dict[str, dict],
+    missing_baseline: list[str],
+    sf: float,
+    tail_budget: int = 1900,
+) -> list[str]:
+    """Build the stdout JSON lines the driver captures.
+
+    The driver keeps only the TAIL (~2 KB) of stdout and json-parses the
+    FINAL line. Rounds 5 and 7 both produced `parsed: null` artifacts
+    because the single output line outgrew that tail once the per-query
+    dict passed ~60 entries — the headline `value` sat at the FRONT of
+    the line and was the first thing truncated. The contract is now:
+
+      line 1: the FULL record (every per-query timing) — for humans,
+              logs, and any capture that keeps whole stdout;
+      line 2 (FINAL): a compact summary GUARANTEED to fit `tail_budget`
+              bytes, with the per-query dict greedily filled
+              slowest-first until the serialized line would overflow,
+              and — per the r7 verdict — `value`, `regressions`, and
+              `sf` emitted as the LAST keys so even a mid-line
+              truncation of some future capture leaves them readable.
+
+    Returns the lines; main() prints them. Pure function so
+    tests/test_bench_contract.py can pin the budget at 200+ queries.
+    """
+    compact_reg = {
+        n: v.get("x", v.get("cold", {}).get("x"))
+        for n, v in sorted(regressions.items())
+    }
+    full = {
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "layout_speedup": layout_speedup,
+        "scan_scaling_x": scan_scaling_x,
+        "missing_baseline": missing_baseline,
+        "n_queries": len(timings),
+        "value": round(total, 3),
+        "regressions": compact_reg,
+        "sf": sf,
+    }
+    dumps = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
+
+    # Compact line: fixed envelope first, then fill `queries` with the
+    # slowest entries while the whole line still fits the tail budget.
+    # Regressions are always kept whole (they are the round's signal);
+    # if a pathological run regresses everything, elide past 20.
+    reg_items = list(compact_reg.items())
+    if len(reg_items) > 20:
+        compact_reg = dict(reg_items[:20])
+        compact_reg["_elided"] = len(reg_items) - 20
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries_elided": 0,
+        "queries_full_in": "BENCH_PLANS.json",
+        "queries": {},
+        "layout_speedup": layout_speedup,
+        "scan_scaling_x": scan_scaling_x,
+        "missing_baseline_count": len(missing_baseline),
+        "value": round(total, 3),
+        "regressions": compact_reg,
+        "sf": sf,
+    }
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, t in slowest:
+        candidate = dict(compact["queries"])
+        candidate[name] = round(t, 2)
+        trial = {**compact, "queries": candidate,
+                 "queries_elided": len(timings) - len(candidate)}
+        if len(dumps(trial).encode()) > tail_budget:
+            break
+        compact["queries"] = candidate
+    compact["queries_elided"] = len(timings) - len(compact["queries"])
+
+    lines = [dumps(full)]
+    # Only add the second line when the full record itself would bust the
+    # tail budget — at small query counts one line is the whole story.
+    if len(lines[0].encode()) > tail_budget:
+        lines.append(dumps(compact))
+    return lines
+
+
 def main() -> None:
     # exact all-pairs oracle twins are sf<=0.01 ground-truth baselines;
     # they must never enter a headline (scale) benchmark
@@ -164,10 +254,19 @@ def main() -> None:
     for name in HEADLINE_QUERIES:
         if name not in qs:
             continue
-        best, n = float("inf"), 0
+        n = 0
         cold = 0.0
         df = None
-        for i in range(reps):
+        # Sub-second queries are fixed-cost-dominated: one warm rep is
+        # pure noise against a 1.5x budget (r7 flagged three ~0.3s
+        # queries at 1.5-1.58x, all join-free plans — host hiccups, not
+        # regressions). For any query whose recorded median is < 0.5s,
+        # take the MEDIAN of >= 3 warm reps instead of the min of one;
+        # for the rest, min-over-reps stays the steady-state estimate.
+        fast = (baseline_medians.get(name) or 1.0) < 0.5
+        warm_reps = max(reps - 1, 3) if fast else max(reps - 1, 1)
+        warm: list[float] = []
+        for i in range(1 + warm_reps):
             start = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()
@@ -176,12 +275,17 @@ def main() -> None:
                 # first-call time: includes plan construction, session
                 # memo/fit training, and cold shuffle stages. Memoized
                 # (memo=True) and session-cached queries return warm
-                # plans/frames on later reps, so `best` alone would
-                # never price that work (a 10x regression in e.g. the
-                # k-means fit would be invisible) — the regression
+                # plans/frames on later reps, so the warm stat alone
+                # would never price that work (a 10x regression in e.g.
+                # the k-means fit would be invisible) — the regression
                 # budget below checks BOTH numbers.
                 cold = elapsed
-            best = min(best, elapsed)
+            else:
+                warm.append(elapsed)
+        if fast:
+            best = sorted(warm)[len(warm) // 2]
+        else:
+            best = min([cold, *warm])
         timings[name] = round(best, 3)
         cold_timings[name] = round(cold, 3)
         total += best
@@ -467,6 +571,8 @@ def main() -> None:
     # write the heavy diagnostics (per-query plan shapes, row-group twin
     # timings) to BENCH_PLANS.json next to this script instead.
     side = {
+        "warm_queries": timings,  # the COMPLETE per-query record — the
+        # stdout compact line elides past its tail budget, this never does
         "plans": plans,
         "applied_layout_speedup": layout_speedup,
         "applied_layout_partitions": layout_partitions,
@@ -490,28 +596,16 @@ def main() -> None:
         print(f"# plan manifest write failed: {exc!r}", file=sys.stderr)
 
     scan_scaling = (twin_block or {}).get("scan_scaling") or {}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {n: round(t, 2) for n, t in timings.items()},
-                "layout_speedup": layout_speedup,
-                "scan_scaling_x": scan_scaling.get("speedup"),
-                # compact (name -> x-over-median): full detail is in
-                # BENCH_PLANS.json; the driver's ~2 KB stdout tail
-                # must not truncate the line
-                "regressions": {
-                    n: v.get("x", v.get("cold", {}).get("x"))
-                    for n, v in regressions.items()
-                },
-                "missing_baseline": missing_baseline,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    for line in emit_output_lines(
+        total=total,
+        timings=timings,
+        layout_speedup=layout_speedup,
+        scan_scaling_x=scan_scaling.get("speedup"),
+        regressions=regressions,
+        missing_baseline=missing_baseline,
+        sf=sf,
+    ):
+        print(line)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
