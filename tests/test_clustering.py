@@ -145,6 +145,43 @@ def test_read_centroids_rejects_bad_models(spark, tmp_path):
     with _pytest.raises(ValueError, match="NULL vector elements"):
         C.read_centroids(spark, nully)
 
+    ragged = str(tmp_path / "ragged_model")
+    spark.createDataFrame(
+        [(0, [1, 2, 3], "{}"), (1, [4, 5], "{}")],
+        "cluster int, centroid array<long>, meta string",
+    ).write.mode("overwrite").parquet(ragged)
+    with _pytest.raises(ValueError, match="ragged dimensions"):
+        C.read_centroids(spark, ragged)
+
+    # a ragged model would otherwise flow into assign_clusters, whose
+    # zip_with pads the short vector with NULLs -> silent misassignment
+    wrongdim = str(tmp_path / "wrongdim_model")
+    spark.createDataFrame(
+        [(0, [1, 2], '{"dim": 3}'), (1, [4, 5], '{"dim": 3}')],
+        "cluster int, centroid array<long>, meta string",
+    ).write.mode("overwrite").parquet(wrongdim)
+    with _pytest.raises(ValueError, match="dimension mismatch"):
+        C.read_centroids(spark, wrongdim)
+
+
+def test_evict_fit_caches(spark):
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    qc._assignments(spark, SMOKE_SF_DIR)
+    app = spark.sparkContext.applicationId
+    assert (app, SMOKE_SF_DIR) in qc._ASSIGN_CACHE
+    # filtered eviction for a different sf_dir touches nothing
+    assert qc.evict_fit_caches(app_id=app, sf_dir="/nonexistent") == 0
+    assert (app, SMOKE_SF_DIR) in qc._ASSIGN_CACHE
+    dropped = qc.evict_fit_caches(app_id=app, sf_dir=SMOKE_SF_DIR)
+    assert dropped >= 2  # fit + persisted assignment at minimum
+    assert (app, SMOKE_SF_DIR) not in qc._ASSIGN_CACHE
+    assert (app, SMOKE_SF_DIR) not in qc._FIT_CACHE
+    # the surface still works after eviction (re-fits on demand)
+    assert qc._assignments(spark, SMOKE_SF_DIR).count() > 0
+
 
 def test_greedy_init_spreads_seeds(spark):
     """Farthest-point seeding must (a) be deterministic under

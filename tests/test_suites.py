@@ -163,5 +163,11 @@ def test_every_query_window_or_digest_certified():
     qs = set(registry.queries())
     folded = {t[0] for t in _ALL_SPECS}
     digests = {n for n in qs if n.endswith("_digest")}
+    # The subtraction below is only sound if every digest actually sits
+    # in the driver's 50-query window: a digest registered OUTSIDE it
+    # would silently de-certify everything folded into it (r7 verdict
+    # "what's wrong" #3 — latent hole, live invariant pinned here).
+    outside = digests - set(_PRIORITY)
+    assert not outside, f"digests outside the driver window: {sorted(outside)}"
     uncovered = qs - set(_PRIORITY) - folded - digests
     assert not uncovered, f"uncertified queries: {sorted(uncovered)}"

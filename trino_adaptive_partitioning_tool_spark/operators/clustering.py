@@ -333,7 +333,11 @@ def read_centroid_model(spark, path: str) -> tuple[list[list[int]], dict]:
     """Load a centroid model written by write_centroids: (centroids in
     cluster-id order, the meta dict stored at write time). Malformed
     models raise ValueError (empty, duplicate ids, gapped ids, NULL
-    vector elements) — callers can trust a returned model."""
+    vector elements, ragged/mismatched dimensions) — callers can trust
+    a returned model. The dimension check matters downstream:
+    assign_clusters builds the distance with zip_with, which pads a
+    short vector with NULLs and would silently misassign instead of
+    erroring (r7 advice)."""
     import json as _json
 
     rows = spark.read.parquet(path).orderBy("cluster").collect()
@@ -356,7 +360,18 @@ def read_centroid_model(spark, path: str) -> tuple[list[list[int]], dict]:
                 f"(cluster {r['cluster']})"
             )
         centroids.append([int(x) for x in r["centroid"]])
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1:
+        raise ValueError(
+            f"centroid model at {path} has ragged dimensions {sorted(dims)}"
+        )
     meta = _json.loads(rows[0]["meta"]) if rows[0]["meta"] else {}
+    expected = meta.get("dim")
+    if expected is not None and int(expected) != dims.pop():
+        raise ValueError(
+            f"centroid model at {path} dimension mismatch: meta dim="
+            f"{expected}, vectors are {len(centroids[0])}-long"
+        )
     return centroids, meta
 
 

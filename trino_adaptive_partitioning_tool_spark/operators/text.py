@@ -458,7 +458,9 @@ def _span_skew_probe(
     exactly the pathological profile while costing one pass over the
     sample (filter pushed below the shingling). Deterministic (Murmur3
     id hash, no RNG): the same corpus always dispatches the same way."""
-    sample = docs.where(F.abs(F.hash(F.col(id_col))) % probe_mod == 0)
+    # pmod, not abs-then-mod: JVM abs(Integer.MIN_VALUE) stays negative,
+    # which would silently drop a MIN_VALUE-hashing row from the sample
+    sample = docs.where(F.pmod(F.hash(F.col(id_col)), F.lit(probe_mod)) == 0)
     row = (
         ngram_hashes(sample, n, id_col, text_col, distinct=True)
         .groupBy("h")
@@ -479,7 +481,12 @@ def duplicate_span_stats(
     probe_mod: int = _SPAN_PROBE_MOD,
     df_ceiling: int = _SPAN_DF_CEILING,
 ) -> DataFrame:
-    """CROSS-document duplicated-span fraction: per document, the share
+    """CROSS-document duplicated-span fraction. NOTE: the default
+    ``skew_safe=None`` runs an EAGER skew-probe Spark job at
+    DataFrame-construction time (plan shape becomes data-dependent);
+    pass an explicit bool to keep construction lazy and the plan pinned.
+
+    Per document, the share
     of its distinct n-token spans that also occur in at least one OTHER
     document — the span-level dedup signal of Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better"),

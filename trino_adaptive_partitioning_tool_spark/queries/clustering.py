@@ -75,6 +75,42 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ASSIGN_CACHE[key]
 
 
+def evict_fit_caches(
+    app_id: str | None = None, sf_dir: str | None = None
+) -> int:
+    """Release the session-memoized fits and persisted assignment
+    frames. The module caches are keyed by (applicationId, sf_dir) and
+    otherwise live for the process — fine for one bench/driver run, but
+    a long-lived live-dashboard server cycling through many sf_dirs
+    would accumulate persisted frames indefinitely (r7 advice). Filters
+    are ANDed; with both None everything is evicted. Returns the number
+    of cache entries dropped; unpersist failures (e.g. a stopped
+    SparkContext) are swallowed — eviction must always succeed."""
+    dropped = 0
+    with _FIT_LOCK:
+        for cache in (
+            _FIT_CACHE,
+            _ASSIGN_CACHE,
+            _DOC_ASSIGN_CACHE,
+            _GREEDY_ASSIGN_CACHE,
+            _DRIFT_REPORT_CACHE,
+        ):
+            for key in [
+                k
+                for k in cache
+                if (app_id is None or k[0] == app_id)
+                and (sf_dir is None or k[1] == sf_dir)
+            ]:
+                val = cache.pop(key)
+                dropped += 1
+                if isinstance(val, DataFrame):
+                    try:
+                        val.unpersist()
+                    except Exception:
+                        pass
+    return dropped
+
+
 def _with_cte(select: str) -> str:
     cte, final = ops.kmeans_oracle_cte(_K, _ITERS)
     return f"WITH {cte}\n    {select.format(final=final)}"
