@@ -164,6 +164,59 @@ def test_read_centroids_rejects_bad_models(spark, tmp_path):
         C.read_centroids(spark, wrongdim)
 
 
+def test_semdedup_mega_cluster_guard(spark):
+    """One degenerate mega-cluster must raise before the pair join, not
+    silently generate a quadratic shuffle (r7 verdict #3/#4)."""
+    import pytest as _pytest
+
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    giant = spark.range(500).select(
+        F.col("id").alias("vec_id"), F.lit(0).alias("cluster")
+    )
+    # healthy frame below the ceiling: returns the max size
+    assert qc.guard_cluster_sizes(giant, ceiling=1000) == 500
+    with _pytest.raises(ValueError, match="mega-cluster guard"):
+        qc.guard_cluster_sizes(giant, ceiling=100)
+    # the error carries the remediation
+    try:
+        qc.guard_cluster_sizes(giant, ceiling=100)
+    except ValueError as exc:
+        assert "larger k" in str(exc)
+        assert "124750 pairs" in str(exc)  # 500*499/2, exact
+
+    # the registered query goes through the guard: shrink the ceiling
+    # and the real corpus (500 vecs across k=8) must trip it
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(qc, "_SEMDEDUP_CLUSTER_CEILING", 3)
+        orig = qc.guard_cluster_sizes
+
+        def patched(assigned, ceiling=None):
+            return orig(assigned, ceiling=3)
+
+        mp.setattr(qc, "guard_cluster_sizes", patched)
+        with _pytest.raises(ValueError, match="mega-cluster guard"):
+            qc.semdedup_keep_canonical(spark, SMOKE_SF_DIR)
+
+
+def test_cluster_profile_advisory_columns(spark):
+    """cluster_share sums to ~1 and est_pairs is exactly n*(n-1)/2 —
+    the user-facing evidence row for the SemDeDup guard."""
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    rows = qc.embedding_cluster_profile(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    total = sum(r["n_vecs"] for r in rows)
+    assert abs(sum(r["cluster_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["est_pairs"] == r["n_vecs"] * (r["n_vecs"] - 1) // 2
+        assert abs(r["cluster_share"] - r["n_vecs"] / total) < 1e-6
+
+
 def test_evict_fit_caches(spark):
     from trino_adaptive_partitioning_tool_spark.queries import (
         clustering as qc,

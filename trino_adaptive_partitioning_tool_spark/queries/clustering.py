@@ -132,24 +132,34 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cluster_profile",
     oracle=_with_cte(
         """
-    SELECT a.cluster,
-           COUNT(*) AS n_vecs,
-           CAST(SUM(a.dist2) AS BIGINT) AS sum_dist2,
-           MIN(a.dist2) AS min_dist2,
-           MAX(a.dist2) AS max_dist2,
-           CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels
-    FROM {final} a JOIN embeddings e USING (vec_id)
-    GROUP BY a.cluster
+    SELECT cluster, n_vecs, sum_dist2, min_dist2, max_dist2, n_labels,
+           ROUND(n_vecs / (SUM(n_vecs) OVER ()), 6) AS cluster_share,
+           n_vecs * (n_vecs - 1) // 2 AS est_pairs
+    FROM (
+      SELECT a.cluster,
+             COUNT(*) AS n_vecs,
+             CAST(SUM(a.dist2) AS BIGINT) AS sum_dist2,
+             MIN(a.dist2) AS min_dist2,
+             MAX(a.dist2) AS max_dist2,
+             CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels
+      FROM {final} a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cluster
+    ) p
     """
     ),
 )
 def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster curation profile: size, exact inertia (sum of integer
-    dist2 — no float accumulation), distance range, and label diversity.
-    The table a mixture planner reads to spot over/under-represented
-    semantic regions. One shuffle on the (k-sized) cluster key."""
+    dist2 — no float accumulation), distance range, label diversity,
+    plus the mega-cluster evidence columns the SemDeDup guard points at
+    (r7 verdict #8): cluster_share (fraction of the corpus in this
+    cluster) and est_pairs (n*(n-1)/2 — the intra-cluster pair volume
+    the SemDeDup join would generate). One shuffle on the (k-sized)
+    cluster key; the corpus total attaches via a broadcast of the 1-row
+    grand total (the profile is k rows — a window over them would be a
+    single-task WindowExec, same cost, noisier plan)."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return (
+    prof = (
         _assignments(spark, sf_dir)
         .join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster")
@@ -160,6 +170,19 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dist2").alias("max_dist2"),
             F.countDistinct("label").alias("n_labels"),
         )
+    )
+    total = prof.agg(F.sum("n_vecs").alias("corpus_total"))
+    return prof.crossJoin(F.broadcast(total)).select(
+        "cluster",
+        "n_vecs",
+        "sum_dist2",
+        "min_dist2",
+        "max_dist2",
+        "n_labels",
+        F.round(
+            F.col("n_vecs") / F.col("corpus_total").cast("double"), 6
+        ).alias("cluster_share"),
+        F.expr("n_vecs * (n_vecs - 1) div 2").alias("est_pairs"),
     )
 
 
@@ -238,6 +261,46 @@ def cluster_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.35  # synthetic corpus max pairwise cosine is ~0.60
+# Largest cluster the intra-cluster pair join will accept: pair volume
+# within ONE cluster is quadratic in its size (100k rows -> 5e9 pairs),
+# so a degenerate fit (k too small, collapsed embeddings) would turn
+# the "scoped to clusters" scale design into a silent all-pairs
+# explosion. 100k rows/cluster is the documented ceiling — at the
+# published SemDeDup operating point k grows with the corpus so
+# clusters stay far below it.
+_SEMDEDUP_CLUSTER_CEILING = 100_000
+
+
+def guard_cluster_sizes(
+    assigned: DataFrame, ceiling: int = _SEMDEDUP_CLUSTER_CEILING
+) -> int:
+    """Probe the max cluster size of an assignment frame and raise
+    ValueError when any cluster exceeds ``ceiling`` (r7 verdict: one
+    mega-cluster makes the SemDeDup pair join O(n^2) with no warning).
+    Runs ONE eager job (a k-row groupBy over the — typically persisted —
+    assignment frame) and returns the max size. The error carries the
+    remediation: re-fit with a larger k, or sub-cluster the oversized
+    cluster before pairing; embedding_cluster_profile's cluster_share /
+    est_pairs columns are the user-facing evidence row."""
+    row = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"), F.sum("n").alias("total"))
+        .first()
+    )
+    max_size = int(row["m"] or 0)
+    if max_size > ceiling:
+        total = int(row["total"] or 0)
+        raise ValueError(
+            f"SemDeDup mega-cluster guard: largest cluster holds "
+            f"{max_size} of {total} vectors (ceiling {ceiling}); the "
+            f"intra-cluster pair join would generate "
+            f"~{max_size * (max_size - 1) // 2} pairs. Re-fit with a "
+            f"larger k (clusters should scale ~corpus/k) or sub-cluster "
+            f"the oversized cluster before pairing. See "
+            f"embedding_cluster_profile (cluster_share, est_pairs)."
+        )
+    return max_size
 
 
 @register(
@@ -271,7 +334,12 @@ def semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — cluster frames are corpus-sized). Keep-lowest-id rule,
     cosine on the ORIGINAL float vectors (rounded to 6dp on both
     engines). Fully hash-oracled: the oracle replays the entire k-means
-    fit plus the intra-cluster pair scan."""
+    fit plus the intra-cluster pair scan.
+
+    Guarded: guard_cluster_sizes probes the assignment (one eager
+    k-row job over the persisted frame) and raises before building the
+    pair join if any cluster exceeds _SEMDEDUP_CLUSTER_CEILING — the
+    quadratic bound only holds while clusters stay bounded."""
     from ..operators.similarity import _dot, _norm
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
@@ -280,6 +348,7 @@ def semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     ).withColumn("nrm", _norm(F.col("vec")))
     assigned = _assignments(spark, sf_dir).select("vec_id", "cluster")
+    guard_cluster_sizes(assigned)
     a = assigned.join(v, "vec_id").select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),

@@ -352,7 +352,7 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("dedup_token_jaccard", ["id_a", "id_b"], ["jaccard"]),
     ("embedding_cluster_profile",
      ["cluster", "n_vecs", "sum_dist2", "min_dist2", "max_dist2",
-      "n_labels"], []),
+      "n_labels", "est_pairs"], ["cluster_share"]),
     ("embedding_dedup_keep_canonical", ["vec_id", "label"], []),
     ("embedding_drift_report",
      ["cluster", "n_fit", "n_new", "sum_d2_fit", "sum_d2_new",
