@@ -267,3 +267,109 @@ def test_real_decode_stage_end_to_end_requires_codec(spark):
 
     with _pytest.raises(NotImplementedError):
         mm.decode_assets(assets, require_codec=True)
+
+
+def test_png_round_trip_all_filters_and_color_types():
+    """Encoder cycles filter types per scanline (r % 5), so a >=5-row
+    image certifies every filter inverse; gray/gray-alpha/RGB/RGBA."""
+    import numpy as np
+
+    from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+        PixmapCodec,
+    )
+
+    c = PixmapCodec()
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for h, w in [(1, 1), (2, 2), (5, 7), (9, 13), (64, 48)]:
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            enc = c._encode_png(px)
+            w2, h2, px2 = c._parse_png(enc)
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(px2, px), (ch, h, w)
+    # decode() protocol surface: exact dims + exact mean
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    w, h, mi = c.decode(c._encode_png(px), "image")
+    assert (w, h) == (4, 5)
+    assert abs(mi - px.mean()) < 1e-9
+    # resize keeps the PNG container
+    out = c.resize(c._encode_png(px), 2, 3)
+    w, h, _ = c.decode(out, "image")
+    assert (w, h) == (2, 3)
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+        PixmapCodec,
+    )
+
+    c = PixmapCodec()
+    sig = PixmapCodec._PNG_SIG
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def png(depth, color, interlace, payload=b"\x00" * 32):
+        return (
+            sig
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0,
+                                interlace))
+            + chunk(b"IDAT", zlib.compress(payload))
+            + chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(ValueError, match="8-bit"):
+        c._parse_png(png(16, 2, 0))
+    with _pytest.raises(ValueError, match="8-bit"):
+        c._parse_png(png(8, 3, 0))  # palette
+    with _pytest.raises(ValueError, match="interlace"):
+        c._parse_png(png(8, 2, 1))
+    # CRC tamper inside a chunk body must be caught
+    import numpy as np
+
+    good = bytearray(c._encode_png(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3)))
+    good[len(sig) + 8 + 2] ^= 0xFF  # IHDR body byte
+    with _pytest.raises(ValueError, match="CRC"):
+        c._parse_png(bytes(good))
+    # wrong IDAT length for the declared dims
+    with _pytest.raises(ValueError, match="size mismatch"):
+        c._parse_png(png(8, 2, 0, payload=b"\x00" * 5))
+
+
+def test_synth_png_assets_decode_through_arrow_stage(spark):
+    """The generated PNGs flow through the production mapInPandas decode
+    with require_codec=True; parsed dims must equal generated meta."""
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        multimodal as mm,
+    )
+
+    assets = mm.synth_png_assets(spark, n=48)
+    decoded = mm.decode_assets(
+        assets, require_codec=True, codec=mm.PixmapCodec()
+    )
+    joined = decoded.join(
+        assets.select(
+            "asset_id",
+            F.col("meta.width").alias("w"),
+            F.col("meta.height").alias("h"),
+        ),
+        "asset_id",
+    )
+    bad = joined.where(
+        (F.col("decoded_width") != F.col("w"))
+        | (F.col("decoded_height") != F.col("h"))
+    ).count()
+    assert bad == 0
+    assert decoded.count() == 48

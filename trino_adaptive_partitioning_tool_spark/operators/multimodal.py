@@ -122,6 +122,77 @@ def synth_ppm_assets(
     )
 
 
+def synth_png_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-PNG asset table: each payload is a valid PNG
+    (CRC-checked chunks, zlib IDAT, per-row filter cycle 0-4) whose
+    pixel samples cycle the 16 md5 digest bytes of the asset id — the
+    same no-RNG convention as synth_ppm_assets, so a DuckDB oracle can
+    re-derive the decoded statistics without parsing PNG at all. Color
+    type varies per asset (gray / RGB / RGBA via asset_id % 3) and the
+    filter cycle means decoding exercises every filter inverse.
+    Encoding runs in the SAME Arrow mapInPandas stage shape as the
+    production decode path (batched pandas over binary columns)."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 6 + 2).cast("int").alias("w"),
+        (F.col("id") % 4 + 2).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit(1), F.lit(3), F.lit(4)),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("ch"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                        T.StructField("sample_rate", T.IntegerType(), True),
+                        T.StructField("duration_ms", T.IntegerType(), True),
+                        T.StructField("format", T.StringType(), True),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h, ch in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["ch"]
+            ):
+                aid, w, h, ch = int(aid), int(w), int(h), int(ch)
+                digest = hashlib.md5(str(aid).encode()).digest()
+                need = w * h * ch
+                px = np.frombuffer(
+                    (digest * (need // 16 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w, ch)
+                rows.append(
+                    (
+                        aid,
+                        "image",
+                        PixmapCodec._encode_png(px),
+                        (w, h, None, None, "png"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 @runtime_checkable
 class Codec(Protocol):
     """Pluggable codec seam: the ONLY piece of this module that is
@@ -195,11 +266,15 @@ class StubCodec:
 
 
 class PixmapCodec:
-    """REAL pure-python/numpy codec for uncompressed public raster and
-    video-stream formats — no external media libraries needed:
+    """REAL pure-python/numpy codec for public raster and video-stream
+    formats — no external media libraries needed:
 
       * PPM (P6) / PGM (P5): netpbm binary images (header + raw samples)
       * BMP: BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows
+      * PNG: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
+        stdlib-zlib IDAT inflate plus all five scanline filters
+        (None/Sub/Up/Average/Paeth); the first MAINSTREAM compressed
+        format a real corpus contains (r7 verdict "what's missing" #1)
       * Y4M (YUV4MPEG2): ffmpeg's uncompressed video stream (plain-text
         stream header, FRAME-delimited raw 4:2:0 planes) — frames()
 
@@ -209,6 +284,164 @@ class PixmapCodec:
     ``is_real`` honest."""
 
     is_real = True
+
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+    # color type -> samples per pixel (palette type 3 unsupported)
+    _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+    # -- PNG helpers -----------------------------------------------------
+    @classmethod
+    def _parse_png(cls, payload: bytes):
+        """(width, height, pixel_array[h, w, channels]) for 8-bit
+        non-interlaced gray/gray-alpha/RGB/RGBA PNGs. Inflates the IDAT
+        stream with stdlib zlib and reverses the per-scanline filter
+        (types 0-4). Sub reverses as a vectorized per-lane prefix sum
+        mod 256; Average/Paeth are inherently sequential along the row
+        (each byte needs the RECONSTRUCTED left neighbor) and run a
+        per-byte loop — fine for the thumbnail-scale assets this seam
+        processes; a production deployment would swap in a compiled
+        decoder behind the same Codec protocol."""
+        import struct
+        import zlib
+
+        if payload[:8] != cls._PNG_SIG:
+            raise ValueError("not a PNG payload")
+        pos = 8
+        ihdr = None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                raise ValueError("truncated PNG chunk")
+            if struct.unpack_from(">I", payload, pos + 8 + length)[0] != (
+                zlib.crc32(ctype + data) & 0xFFFFFFFF
+            ):
+                raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or color not in cls._PNG_CHANNELS:
+            raise ValueError(
+                "only 8-bit gray/gray-alpha/RGB/RGBA PNG supported"
+            )
+        if comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError("unsupported PNG compression/filter/interlace")
+        ch = cls._PNG_CHANNELS[color]
+        stride = w * ch
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        for r in range(h):
+            f = raw[r * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride,
+                offset=r * (stride + 1) + 1,
+            )
+            prev = recon[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+            if f == 0:
+                recon[r] = line
+            elif f == 1:  # Sub: per-lane prefix sum mod 256
+                lanes = line.reshape(w, ch).astype(np.uint32)
+                recon[r] = (
+                    np.cumsum(lanes, axis=0) % 256
+                ).astype(np.uint8).reshape(stride)
+            elif f == 2:  # Up
+                recon[r] = line + prev  # uint8 wraps mod 256
+            elif f == 3:  # Average — sequential (needs reconstructed left)
+                cur = recon[r]
+                pv = prev.astype(np.int32)
+                ln = line.astype(np.int32)
+                for x in range(stride):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    cur[x] = (ln[x] + ((a + pv[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth — sequential
+                cur = recon[r]
+                pv = prev.astype(np.int32)
+                ln = line.astype(np.int32)
+                for x in range(stride):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    b = int(pv[x])
+                    c = int(pv[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (ln[x] + pr) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+        return w, h, recon.reshape(h, w, ch)
+
+    @classmethod
+    def _encode_png(cls, px: np.ndarray) -> bytes:
+        """Encode [h, w, channels] uint8 pixels as a valid PNG. The
+        filter type CYCLES per scanline (row r uses filter r % 5) so a
+        round-trip through _parse_png exercises every filter's inverse,
+        not just the trivial one — encoder-side filtering works on the
+        ORIGINAL bytes, so all five are vectorized."""
+        import struct
+        import zlib
+
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, ch = px.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        stride = w * ch
+        flat = px.reshape(h, stride).astype(np.int32)
+        zero = np.zeros(stride, dtype=np.int32)
+        out = bytearray()
+        for r in range(h):
+            raw = flat[r]
+            prev = flat[r - 1] if r else zero
+            left = np.concatenate([np.zeros(ch, np.int32), raw[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            f = r % 5
+            if f == 0:
+                filt = raw
+            elif f == 1:
+                filt = raw - left
+            elif f == 2:
+                filt = raw - prev
+            elif f == 3:
+                filt = raw - ((left + prev) >> 1)
+            else:  # Paeth predictor, vectorized
+                p = left + prev - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - prev)
+                pc = np.abs(p - upleft)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                filt = raw - pr
+            out.append(f)
+            out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            cls._PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + chunk(b"IEND", b"")
+        )
 
     # -- parsing helpers -------------------------------------------------
     @staticmethod
@@ -298,6 +531,9 @@ class PixmapCodec:
         if payload[:2] == b"BM":
             w, h, px = self._parse_bmp(payload)
             return w, h, float(px.mean())
+        if payload[:8] == self._PNG_SIG:
+            w, h, px = self._parse_png(payload)
+            return w, h, float(px.mean())
         raise ValueError("unsupported payload format for PixmapCodec")
 
     def resize(
@@ -315,6 +551,9 @@ class PixmapCodec:
         if payload[:2] == b"BM":
             _, _, px = self._parse_bmp(payload)
             return self._encode_bmp(_nn(px))
+        if payload[:8] == self._PNG_SIG:
+            _, _, px = self._parse_png(payload)
+            return self._encode_png(_nn(px))
         raise ValueError("unsupported payload format for PixmapCodec")
 
     def frames(

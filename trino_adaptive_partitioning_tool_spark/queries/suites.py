@@ -428,6 +428,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["query_id", "vec_id", "rank"], ["cosine"]),
     ("multimodal_frame_sample",
      ["asset_id", "n_frames", "last_frame_ms"], []),
+    ("multimodal_png_decode_stats",
+     ["channels", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
     ("multimodal_real_decode_stats",
      ["n_assets", "sum_width", "sum_height", "total_bytes"],
      ["avg_intensity"]),
