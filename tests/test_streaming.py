@@ -279,3 +279,67 @@ def test_streaming_similarity_ingest_equals_batch_lsh(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_usage_store_multi_batch_equals_batch_drift(spark, tmp_path):
+    """The mined-usage increment store must be micro-batch-slicing
+    invariant: a FORCED multi-batch drain (8 feed files, 1 file per
+    trigger) has to produce exactly the batch one-shot aggregation,
+    and the trigger frame built on it must equal
+    partition_recommendation_drift row-for-row."""
+    from conftest import SMOKE_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.queries.advisor import (
+        _DRIFT_CUTOFF,
+        drift_triggers_from_usage,
+        partition_recommendation_drift,
+    )
+    from trino_adaptive_partitioning_tool_spark.streaming import (
+        usage_store,
+    )
+    from trino_adaptive_partitioning_tool_spark.streaming.query_log_stream import (
+        QUERY_LOG_SCHEMA,
+    )
+
+    feed = str(tmp_path / "logs")
+    fixtures.query_logs_df(spark).repartition(8).write.mode(
+        "overwrite"
+    ).json(feed)
+    stream = (
+        spark.readStream.schema(QUERY_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    store = str(tmp_path / "store")
+    usage_store.maintain_usage_store(
+        stream, store, str(tmp_path / "ckpt"), _DRIFT_CUTOFF
+    )
+
+    # store == batch one-shot increments over the whole log
+    got_usage = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store)
+        .select("column_name", "n_early", "n_late")
+        .collect()
+    )
+    want_usage = sorted(
+        tuple(r)
+        for r in usage_store.usage_increments(
+            fixtures.query_logs_df(spark), _DRIFT_CUTOFF
+        ).collect()
+    )
+    assert got_usage == want_usage
+    assert len(got_usage) > 0
+
+    # triggers off the store == the batch drift query, row for row
+    got = [
+        tuple(r)
+        for r in drift_triggers_from_usage(
+            spark, SMOKE_SF_DIR, spark.read.parquet(store)
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in partition_recommendation_drift(spark, SMOKE_SF_DIR).collect()
+    ]
+    assert got == want

@@ -1052,10 +1052,7 @@ _registry_oracles["partition_recommendations"] = (
 #   keep          — a current key whose usage is steady or rising
 #   no-action     — a non-key column with no actionable drift
 # ---------------------------------------------------------------------------
-@register(
-    "partition_recommendation_drift",
-    memo=True,
-    oracle=f"""
+_DRIFT_TRIGGERS_ORACLE = f"""
     WITH scored AS ({_scored_sql()}),
     keys AS (
       SELECT view_name, column_name FROM (
@@ -1104,43 +1101,22 @@ _registry_oracles["partition_recommendations"] = (
     LEFT JOIN keys k
       ON vc.view_name = k.view_name AND vc.column_name = k.column_name
     ORDER BY vc.view_name, vc.column_name
-    """,
-)
-def partition_recommendation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(view, column) re-partitioning triggers from workload drift:
-    the drift report's usage shift joined against the CURRENT exact-stats
-    partition keys (the adaptive loop the reference runs manually by
-    re-invoking its one-shot analysis, src/partitioning.py:294-325).
-    Scale shape: the mined-usage aggregation is the drift report's
-    (log-sized, map-side combined); the key frame is advisor-output-sized
-    (tiny); the candidate frame is catalog-sized — every join is an
-    equi-join with no forced broadcasts."""
-    from ..operators import mining, recommend
+    """
 
-    logs = fixtures.query_logs_df(spark)
-    mined = mining.mine_query_log(logs).where(
-        F.col("kind").isin("join_column", "where_column")
-        & (F.col("name") != "")
-    )
-    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
-    usage = (
-        mined.join(logs.select("query_id", "create_time"), "query_id")
-        .groupBy(F.col("name").alias("column_name"))
-        .agg(
-            F.sum(
-                F.when(F.col("create_time") < cutoff, F.col("cnt")).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_early"),
-            F.sum(
-                F.when(F.col("create_time") >= cutoff, F.col("cnt")).otherwise(
-                    0
-                )
-            )
-            .cast("bigint")
-            .alias("n_late"),
-        )
-    )
+
+def drift_triggers_from_usage(
+    spark: SparkSession, sf_dir: str, usage: DataFrame
+) -> DataFrame:
+    """Trigger logic shared by the batch drift query and its streaming
+    increment-store twin (queries/streaming_q.streaming_drift_triggers):
+    given per-column (column_name, n_early, n_late) usage counts —
+    however they were accumulated — classify the drift and join against
+    the CURRENT exact-stats partition keys to emit per-(view, column)
+    re-partitioning triggers. Counts are additive, so a foreachBatch
+    store that sums per-micro-batch increments feeds this identically
+    to the one-shot batch aggregation."""
+    from ..operators import recommend
+
     status = usage.withColumn(
         "usage_status",
         F.when(F.col("n_early") == 0, F.lit("new"))
@@ -1192,6 +1168,51 @@ def partition_recommendation_drift(spark: SparkSession, sf_dir: str) -> DataFram
         "usage_status",
         trigger.alias("trigger_action"),
     ).orderBy("view_name", "column_name")
+
+
+@register(
+    "partition_recommendation_drift",
+    memo=True,
+    oracle=_DRIFT_TRIGGERS_ORACLE,
+)
+def partition_recommendation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(view, column) re-partitioning triggers from workload drift:
+    the drift report's usage shift joined against the CURRENT exact-stats
+    partition keys (the adaptive loop the reference runs manually by
+    re-invoking its one-shot analysis, src/partitioning.py:294-325).
+    Scale shape: the mined-usage aggregation is the drift report's
+    (log-sized, map-side combined); the key frame is advisor-output-sized
+    (tiny); the candidate frame is catalog-sized — every join is an
+    equi-join with no forced broadcasts. The classify+join tail lives
+    in drift_triggers_from_usage, shared with the streaming
+    increment-store twin (streaming_drift_triggers)."""
+    from ..operators import mining
+
+    logs = fixtures.query_logs_df(spark)
+    mined = mining.mine_query_log(logs).where(
+        F.col("kind").isin("join_column", "where_column")
+        & (F.col("name") != "")
+    )
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    usage = (
+        mined.join(logs.select("query_id", "create_time"), "query_id")
+        .groupBy(F.col("name").alias("column_name"))
+        .agg(
+            F.sum(
+                F.when(F.col("create_time") < cutoff, F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_early"),
+            F.sum(
+                F.when(F.col("create_time") >= cutoff, F.col("cnt")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+    return drift_triggers_from_usage(spark, sf_dir, usage)
 
 
 # ---------------------------------------------------------------------------

@@ -974,3 +974,54 @@ def streaming_cluster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _drift_triggers_oracle() -> str:
+    # The streaming increment store sums EXACTLY what the batch drift
+    # query aggregates in one shot (per-column early/late mention
+    # counts are additive over micro-batches), so the streaming twin
+    # shares the batch query's full DuckDB oracle verbatim.
+    from .advisor import _DRIFT_TRIGGERS_ORACLE
+
+    return _DRIFT_TRIGGERS_ORACLE
+
+
+@register("streaming_drift_triggers", oracle=_drift_triggers_oracle())
+def streaming_drift_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the adaptive partitioning loop: the
+    query-log stream drains through a foreachBatch-maintained
+    mined-usage increment store (streaming/usage_store.py — per-batch
+    miner pass, per-column early/late counts folded into a persisted
+    KB-sized table), and the drift trigger logic
+    (advisor.drift_triggers_from_usage) runs off ONLY that store. The
+    reference re-runs its one-shot analysis on a fresh log window by
+    hand (src/partitioning.py:294-325); the r7 batch loop scheduled it;
+    this makes "fresh" continuous — triggers re-derive per drain with
+    no log re-scan.
+
+    Determinism argument: the store holds pure sums of per-row counts,
+    so ANY micro-batch slicing of the feed yields the same final table
+    (exact stream == batch, asserted in tests/test_streaming.py with a
+    forced multi-batch drain), and the result equals
+    partition_recommendation_drift row-for-row — certified by sharing
+    its full DuckDB oracle."""
+    import tempfile as _tempfile
+
+    from ..streaming import usage_store
+    from .advisor import _DRIFT_CUTOFF, drift_triggers_from_usage
+
+    tmp = _memo_feed(
+        spark, "logs", "fixture",
+        lambda d: fixtures.query_logs_df(spark)
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(f"{d}/logs"),
+    )
+    store = _tempfile.mkdtemp(prefix="tapt_usage_store_") + "/usage"
+    stream = qls.stream_query_logs(spark, f"{tmp}/logs")
+    usage_store.maintain_usage_store(
+        stream, store, _fresh_ckpt(), _DRIFT_CUTOFF
+    )
+    return drift_triggers_from_usage(
+        spark, sf_dir, spark.read.parquet(store)
+    )

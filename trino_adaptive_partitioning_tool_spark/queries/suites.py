@@ -531,6 +531,9 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
     ("streaming_dedup_gate",
      ["doc_id", "n_candidates", "best_match_id", "is_near_dup"],
      ["best_est_jaccard"]),
+    ("streaming_drift_triggers",
+     ["view_name", "column_name", "is_current_key", "n_early", "n_late",
+      "usage_status", "trigger_action"], []),
     ("streaming_incremental_stats",
      ["n_partitions", "n_rows", "exact_distinct_user_id",
       "exact_distinct_event_type", "user_id_gate_ok", "event_type_gate_ok"],
