@@ -356,6 +356,11 @@ _F_FUNCS = ["upper", "abs", "length"]
 _F_LAMBDA_PARAMS = ["lam_one", "lam_two"]
 _F_UNNEST_ALIASES = ["u_t1", "u_t2"]
 _F_UNNEST_COLS = ["u_c1", "u_c2", "u_c3"]
+# r8 long-tail sources: VALUES derived tables and ROWS FROM table
+# functions — both contribute NO base tables and NO columns; their
+# output names come from disjoint pools so suppression stays exact
+_F_VALUES_ALIASES = ["v_t1", "v_t2"]
+_F_VALUES_COLS = ["v_c1", "v_c2", "v_c3"]
 
 
 def _fz_merge(dst, src):
@@ -375,12 +380,44 @@ def _fz_column(draw):
 
 @st.composite
 def _fz_table_source(draw, depth, exp, ctes):
-    kinds = ["base", "base", "sampled", "unnest"]
+    kinds = ["base", "base", "sampled", "unnest", "values", "rowsfrom"]
     if ctes:
         kinds.append("cte")
     if depth > 0:
         kinds.append("derived")
     kind = draw(st.sampled_from(kinds))
+    if kind == "values":
+        # Trino VALUES derived table: no base-table scan, and the
+        # t(cols) output names are derived columns — never phantom
+        # base columns
+        n_cols = draw(st.integers(1, 2))
+        n_rows = draw(st.integers(1, 2))
+        lits = ["7", "'v'", "3.5"]
+        rows = ", ".join(
+            "(" + ", ".join(draw(st.sampled_from(lits))
+                            for _ in range(n_cols)) + ")"
+            for _ in range(n_rows)
+        )
+        va = draw(st.sampled_from(_F_VALUES_ALIASES))
+        vcols = draw(st.lists(st.sampled_from(_F_VALUES_COLS),
+                              min_size=n_cols, max_size=n_cols,
+                              unique=True))
+        as_kw = "AS " if draw(st.booleans()) else ""
+        return f"(VALUES {rows}) {as_kw}{va}(" + ", ".join(vcols) + ")"
+    if kind == "rowsfrom":
+        # Trino ROWS FROM multi-table-function source: `rows` must not
+        # mine as a table name; outputs are derived columns
+        fns = ", ".join(
+            f"{draw(st.sampled_from(_F_FUNCS))}('x')"
+            for _ in range(draw(st.integers(1, 2)))
+        )
+        va = draw(st.sampled_from(_F_VALUES_ALIASES))
+        vcols = draw(st.lists(st.sampled_from(_F_VALUES_COLS),
+                              min_size=1, max_size=2, unique=True))
+        ord_ = " WITH ORDINALITY" if draw(st.booleans()) else ""
+        as_kw = "AS " if draw(st.booleans()) else ""
+        return (f"ROWS FROM ({fns}){ord_} {as_kw}{va}("
+                + ", ".join(vcols) + ")")
     if kind == "base":
         t = draw(st.sampled_from(_F_TABLES))
         exp["tables"].add(t)
@@ -698,3 +735,61 @@ def test_group_miner_never_crashes(sql):
         name and name.lower() not in _KEYWORDS and not name.startswith("(")
         for name in gb
     )
+
+
+def test_values_derived_table_no_phantom_columns():
+    m = mining.mine_statement(
+        "SELECT t.id, t.name FROM (VALUES (1, 'a'), (2, 'b')) AS t(id, name) "
+        "JOIN orders o ON o.o_custkey = t.id "
+        "WHERE t.name <> 'a' AND o.o_orderstatus = 'F'"
+    )
+    assert m["tables"] == ["orders"]
+    assert dict(m["join_columns"]) == {"o_custkey": 1}
+    assert dict(m["where_columns"]) == {"o_orderstatus": 1}
+
+
+def test_values_without_as_keyword():
+    m = mining.mine_statement(
+        "SELECT * FROM (VALUES (1), (2)) t(x) WHERE x > 1"
+    )
+    assert m["tables"] == []
+    assert dict(m["where_columns"]) == {}
+
+
+def test_rows_from_not_mined_as_table():
+    m = mining.mine_statement(
+        "SELECT a FROM ROWS FROM (my_func(1), other_func('x')) "
+        "WITH ORDINALITY AS t(a, b, ord) WHERE a > 0"
+    )
+    assert m["tables"] == []
+    assert dict(m["where_columns"]) == {}
+
+
+def test_rows_from_joined_with_base_table():
+    m = mining.mine_statement(
+        "SELECT * FROM lineitem l CROSS JOIN ROWS FROM (seq(1, 5)) AS t(n) "
+        "WHERE l.l_quantity > t.n"
+    )
+    assert m["tables"] == ["lineitem"]
+    assert dict(m["where_columns"]) == {"l_quantity": 1}
+
+
+def test_match_recognize_hard_skipped_with_counted_warning():
+    m = mining.mine_statement(
+        "SELECT m.userid FROM orders MATCH_RECOGNIZE ("
+        " PARTITION BY custkey ORDER BY orderdate"
+        " MEASURES A.totalprice AS start_price, LAST(B.orderdate) AS ed"
+        " ONE ROW PER MATCH"
+        " PATTERN (A B+ C*)"
+        " DEFINE B AS B.totalprice > PREV(B.totalprice),"
+        " C AS C.totalprice < 100"
+        ") AS m WHERE m.userid > 10"
+    )
+    assert m["tables"] == ["orders"]
+    # pattern variables and DEFINE predicates never mined as columns
+    assert "totalprice" not in m["where_columns"]
+    assert "b" not in m["where_columns"] and "c" not in m["where_columns"]
+    assert dict(m["skipped"]) == {"match_recognize": 1}
+    # the warning surfaces as a mined row
+    rows = mining._explode_mined("q9", m)
+    assert ("q9", "skipped_construct", "match_recognize", 1) in rows

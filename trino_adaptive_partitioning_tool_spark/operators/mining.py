@@ -137,6 +137,7 @@ def _mine_tokens(
     join_cols: Counter,
     where_cols: Counter,
     outer_aliases: frozenset[str],
+    skipped: Counter | None = None,
 ) -> None:
     """Recursive token walk: mines one SELECT/WITH scope, descending into
     derived tables and predicate subqueries (the reference's sqlglot
@@ -145,6 +146,8 @@ def _mine_tokens(
     scoped: inherited from enclosing scopes, never leaked back out."""
     low = [t.lower() for t in toks]
     aliases: set[str] = set(outer_aliases)
+    if skipped is None:
+        skipped = Counter()
 
     # CTE pre-scan — WITH [RECURSIVE] name [(cols)] AS ( body ) [, ...]:
     # the names must be known BEFORE any FROM references them (a CTE
@@ -176,7 +179,8 @@ def _mine_tokens(
         inner = toks[i + 1 : end - 1]
         if inner and inner[0].lower() in ("select", "with"):
             _mine_tokens(
-                inner, tables, join_cols, where_cols, frozenset(aliases)
+                inner, tables, join_cols, where_cols, frozenset(aliases),
+                skipped,
             )
         return end
 
@@ -192,7 +196,14 @@ def _mine_tokens(
             i += 1
             if i < len(low) and low[i] == "as":
                 i += 1
-            if i < len(toks) and _is_identifier(toks[i]):
+            if (
+                i < len(toks)
+                and _is_identifier(toks[i])
+                # MATCH_RECOGNIZE after a table ref is a row-pattern
+                # block, not the table's alias — leave it for the main
+                # walk's hard-skip branch
+                and low[i] != "match_recognize"
+            ):
                 aliases.add(_base_name(toks[i]))
                 i += 1
             if i < len(low) and low[i] == "tablesample":
@@ -291,13 +302,53 @@ def _mine_tokens(
 
     def consume_derived(i: int) -> int:
         """toks[i] == '(': mine the derived table and consume its
-        [AS] alias; returns the next index."""
+        [AS] alias plus optional derived-column list; returns the next
+        index. Covers `(SELECT ...) AS t(x, y)` and Trino
+        `(VALUES (...), (...)) AS t(x, y)` — a VALUES body contains no
+        base-table scans (recurse_if_subquery skips it), and the
+        derived column names register as ALIASES so later references
+        to them never count as phantom base-table columns."""
         i = recurse_if_subquery(i)
         if i < len(low) and low[i] == "as":
             i += 1
         if i < len(toks) and _is_identifier(toks[i]):
             aliases.add(_base_name(toks[i]))
             i += 1
+            if i < len(toks) and toks[i] == "(":
+                end = _skip_parens(toks, i)
+                for t in toks[i + 1 : end - 1]:
+                    if _is_identifier(t):
+                        aliases.add(_base_name(t))
+                i = end
+        return i
+
+    def consume_rows_from(i: int) -> int:
+        """toks[i:i+2] == ROWS FROM '(': Trino's multi-table-function
+        source — skip the function list (their arguments are function
+        inputs, not this scope's columns), optional WITH ORDINALITY,
+        then register `[AS] t(cols)` like consume_unnest: the outputs
+        are derived columns, never base-table scans. Without this the
+        FROM walk would mine `rows` itself as a table name."""
+        i += 2  # past ROWS FROM
+        if i < len(toks) and toks[i] == "(":
+            i = _skip_parens(toks, i)
+        if (
+            i + 1 < len(low)
+            and low[i] == "with"
+            and low[i + 1] == "ordinality"
+        ):
+            i += 2
+        if i < len(low) and low[i] == "as":
+            i += 1
+        if i < len(toks) and _is_identifier(toks[i]):
+            aliases.add(_base_name(toks[i]))
+            i += 1
+            if i < len(toks) and toks[i] == "(":
+                end = _skip_parens(toks, i)
+                for t in toks[i + 1 : end - 1]:
+                    if _is_identifier(t):
+                        aliases.add(_base_name(t))
+                i = end
         return i
 
     def consume_unnest(i: int) -> int:
@@ -350,6 +401,14 @@ def _mine_tokens(
                     and toks[i + 1] == "("
                 ):
                     i = consume_unnest(i)
+                elif (
+                    low[i] == "rows"
+                    and i + 1 < len(low)
+                    and low[i + 1] == "from"
+                    and i + 2 < len(toks)
+                    and toks[i + 2] == "("
+                ):
+                    i = consume_rows_from(i)
                 elif _is_identifier(toks[i]):
                     i = read_table_ref(i)
                 elif toks[i] == ",":
@@ -374,6 +433,15 @@ def _mine_tokens(
                 and toks[i + 1] == "("
             ):
                 i = consume_unnest(i)
+            elif (
+                i < len(low)
+                and low[i] == "rows"
+                and i + 1 < len(low)
+                and low[i + 1] == "from"
+                and i + 2 < len(toks)
+                and toks[i + 2] == "("
+            ):
+                i = consume_rows_from(i)
             else:
                 i = read_table_ref(i)
         elif tl == "on":
@@ -382,6 +450,24 @@ def _mine_tokens(
             i = collect_using(i + 1)
         elif tl == "where":
             i = collect_columns(i + 1, where_cols)
+        elif (
+            tl == "match_recognize"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            # Trino row-pattern recognition: the block's PATTERN
+            # variables and DEFINE predicates reference pattern rows,
+            # not base-table columns — mining them would fabricate
+            # phantom columns. HARD-SKIP the whole block with a counted
+            # warning (surfaces as a `skipped_construct` mined row) and
+            # register the optional output alias.
+            skipped["match_recognize"] += 1
+            i = _skip_parens(toks, i + 1)
+            if i < len(low) and low[i] == "as":
+                i += 1
+            if i < len(toks) and _is_identifier(toks[i]):
+                aliases.add(_base_name(toks[i]))
+                i += 1
         elif (
             tl == "filter"
             and i + 2 < len(toks)
@@ -420,6 +506,7 @@ def mine_statement(sql: str) -> dict[str, Any]:
         "join_columns": Counter(),
         "where_columns": Counter(),
         "has_limit": False,
+        "skipped": Counter(),
     }
     if not sql:
         return empty
@@ -432,7 +519,8 @@ def mine_statement(sql: str) -> dict[str, Any]:
     tables: list[str] = []
     join_cols: Counter = Counter()
     where_cols: Counter = Counter()
-    _mine_tokens(toks, tables, join_cols, where_cols, frozenset())
+    skipped: Counter = Counter()
+    _mine_tokens(toks, tables, join_cols, where_cols, frozenset(), skipped)
 
     return {
         "parsed": True,
@@ -440,6 +528,9 @@ def mine_statement(sql: str) -> dict[str, Any]:
         "join_columns": join_cols,
         "where_columns": where_cols,
         "has_limit": any(t.lower() == "limit" for t in toks),
+        # constructs the miner consciously refused to mine (e.g.
+        # MATCH_RECOGNIZE blocks) — a counted warning, not silence
+        "skipped": skipped,
     }
 
 
@@ -463,6 +554,8 @@ def _explode_mined(query_id: str, mined: dict[str, Any]) -> list[tuple]:
         rows.append((query_id, "where_column", c, n))
     if mined["has_limit"]:
         rows.append((query_id, "limit_marker", "", 1))
+    for c, n in mined.get("skipped", Counter()).items():
+        rows.append((query_id, "skipped_construct", c, n))
     return rows
 
 
