@@ -103,6 +103,8 @@ HEADLINE_QUERIES = [
     "topic_balanced_doc_sample",
     "embedding_drift_report",
     "multimodal_decode_stats",
+    "multimodal_png_decode_stats",
+    "multimodal_wav_decode_stats",
     "train_test_split_counts",
 ]
 

@@ -32,8 +32,12 @@ def main() -> None:
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, env=env, cwd=REPO,
         )
-        line = out.stdout.strip().splitlines()[-1]
+        # bench.py prints the FULL record first and (past ~60 queries) a
+        # compact tail-budget summary line last whose queries dict is
+        # truncated — the baseline needs every query, so parse line 1
+        line = out.stdout.strip().splitlines()[0]
         parsed = json.loads(line)
+        assert "queries_elided" not in parsed, "expected the full record"
         for name, sec in parsed["queries"].items():
             per_query.setdefault(name, []).append(float(sec))
         # first-call (cold) times are too large for the driver-captured

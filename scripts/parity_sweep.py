@@ -1,0 +1,84 @@
+"""Full-registry oracle parity sweep at an arbitrary scale.
+
+Replays EVERY registered query 1:1 against its DuckDB oracle with the
+driver's own comparison (canon-sorted md5 value-hash) — the r7/r8
+scale-certification pass that caught two real sf0.1-only bugs in r7.
+
+Usage:
+    python scripts/parity_sweep.py [sf_dir] [name_substring ...]
+
+Defaults to /root/testdata/sf0.1 and the whole registry; positional
+substrings filter query names (OR-ed). table_file_metadata is pinned to
+the parity scale its oracle resolved at registration and is skipped at
+any other sf_dir (same carve-out as the r7 in-round sweep).
+"""
+import hashlib
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+args = sys.argv[1:]
+SF = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
+filters = [a for a in args if "/" not in a]
+
+con = duckdb.connect()  # BEFORE any Spark import (memory gotcha)
+for t in (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+):
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+import __spark_entry__ as e  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .getOrCreate()
+)
+
+qs, oracles = e.queries(), e.oracle_sql()
+names = [
+    n
+    for n in qs
+    if (not filters or any(f in n for f in filters))
+]
+if "sf0.01" not in SF:
+    # its oracle resolves parquet footer paths at registration time
+    names = [n for n in names if n != "table_file_metadata"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.md5(json.dumps(rows).encode()).hexdigest(), len(df)
+
+
+fails = []
+for name in names:
+    try:
+        sdf = qs[name](spark, SF).toPandas()
+        ddf = con.execute(oracles[name]).df()
+        for c in sdf.columns:
+            if str(sdf[c].dtype).startswith("float"):
+                sdf[c] = sdf[c].astype("float64")
+        for c in ddf.columns:
+            if str(ddf[c].dtype).startswith("float"):
+                ddf[c] = ddf[c].astype("float64")
+        hs, ns = canon(sdf)
+        hd, nd = canon(ddf)
+        ok = hs == hd and ns == nd
+        if not ok:
+            fails.append(name)
+            print(f"FAIL {name} spark={ns} oracle={nd}", flush=True)
+    except Exception as exc:  # noqa: BLE001
+        fails.append(name)
+        print(f"ERR {name}: {exc!r}", flush=True)
+
+print(f"\n{len(names) - len(fails)}/{len(names)} pass at {SF}; fails={fails}")
+sys.exit(1 if fails else 0)

@@ -104,3 +104,22 @@ def test_query_endpoint_ignores_sf_dir_override(server):
     )
     assert status == 200
     assert len(json.loads(body)["rows"]) == 20  # served from self.sf_dir
+
+
+def test_server_close_evicts_clustering_caches(spark):
+    """A long-lived dashboard server must release this sf_dir's
+    session-memoized fits and persisted assignment frames on close
+    (r7 advice: the caches otherwise accumulate per sf_dir forever)."""
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    srv = live.serve_dashboard(spark, SMOKE_SF_DIR, port=0)
+    try:
+        qc._assignments(spark, SMOKE_SF_DIR)
+        app = spark.sparkContext.applicationId
+        assert (app, SMOKE_SF_DIR) in qc._ASSIGN_CACHE
+    finally:
+        srv.server_close()
+    assert (app, SMOKE_SF_DIR) not in qc._ASSIGN_CACHE
+    assert (app, SMOKE_SF_DIR) not in qc._FIT_CACHE

@@ -373,3 +373,77 @@ def test_synth_png_assets_decode_through_arrow_stage(spark):
     ).count()
     assert bad == 0
     assert decoded.count() == 48
+
+
+def test_wav_round_trip_and_rejects():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+        PixmapCodec,
+    )
+
+    c = PixmapCodec()
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        for frames in (1, 10, 59):
+            s = rng.integers(-32768, 32768, size=frames * ch,
+                             dtype=np.int16)
+            f2, c2, s2 = c._parse_wav(c._encode_wav(s, ch))
+            assert (f2, c2) == (frames, ch)
+            assert np.array_equal(s2, s)
+    # decode(): frames as width, channels as height, mean |sample|
+    # (int64 abs — abs(int16 -32768) would overflow back to -32768)
+    w, h, mi = c.decode(
+        c._encode_wav(np.array([-32768, 100, -100, 32767],
+                               dtype=np.int16), 2),
+        "audio",
+    )
+    assert (w, h) == (2, 2)
+    assert abs(mi - (32768 + 100 + 100 + 32767) / 4) < 1e-9
+    # chunk walk honors RIFF even-offset padding (odd LIST before data)
+    s = np.array([1, -2, 3, -4], dtype=np.int16)
+    good = c._encode_wav(s, 1)
+    fmt_end = 12 + 8 + 16
+    patched = (good[:fmt_end] + b"LIST" + struct.pack("<I", 3)
+               + b"abc\x00" + good[fmt_end:])
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert np.array_equal(c._parse_wav(patched)[2], s)
+    # rejects: non-WAVE RIFF, 8-bit PCM
+    with _pytest.raises(ValueError, match="RIFF/WAVE"):
+        c._parse_wav(b"RIFFxxxxAVI " + b"\x00" * 8)
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+           + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(ValueError, match="16-bit"):
+        c._parse_wav(bad)
+
+
+def test_synth_wav_assets_decode_through_arrow_stage(spark):
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        multimodal as mm,
+    )
+
+    assets = mm.synth_wav_assets(spark, n=48)
+    decoded = mm.decode_assets(
+        assets, require_codec=True, codec=mm.PixmapCodec()
+    )
+    joined = decoded.join(
+        assets.select(
+            "asset_id",
+            F.col("meta.width").alias("frames"),
+            F.col("meta.height").alias("ch"),
+        ),
+        "asset_id",
+    )
+    bad = joined.where(
+        (F.col("decoded_width") != F.col("frames"))
+        | (F.col("decoded_height") != F.col("ch"))
+    ).count()
+    assert bad == 0
+    assert decoded.count() == 48

@@ -296,7 +296,10 @@ _SHUFFLE_CEILINGS = {
     # a k x dim literal folded into codegen — no join, no shuffle); the
     # curation queries on top pay only their own composition
     "embedding_kmeans_assign": 0,
-    "embedding_cluster_profile": 2,
+    # r8: +1 SinglePartition exchange for the 1-row grand total the
+    # cluster_share/est_pairs advisory columns attach — it aggregates
+    # the k-row profile, not the corpus
+    "embedding_cluster_profile": 3,
     "cluster_balanced_sample": 1,
     "cluster_outlier_prune": 1,
     # r7 cont.: intra-cluster pair join (2) + dominated distinct (1) +

@@ -291,3 +291,70 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
         )
     )
+
+
+# one int16 sample from the md5-cycled byte stream: little-endian pair
+# (lo = byte[(2(j-1)) % 16], hi = byte[(2(j-1)+1) % 16]), sign-adjusted
+_WAV_LO = (
+    "CAST(('0x' || substr(hx, CAST(((j - 1) * 2) % 16 AS INT) * 2 + 1, 2))"
+    " AS INT)"
+)
+_WAV_HI = (
+    "CAST(('0x' || substr(hx, CAST(((j - 1) * 2 + 1) % 16 AS INT) * 2 + 1,"
+    " 2)) AS INT)"
+)
+_WAV_SAMPLE = f"({_WAV_LO} + 256 * {_WAV_HI})"
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 50 + 10 AS INT) AS frames,
+             CAST(t.asset_id % 2 + 1 AS INT) AS ch,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- PCM sample words cycle the 16 md5 digest bytes (the
+      -- synth_wav_assets convention): the oracle re-derives the mean
+      -- absolute amplitude arithmetically, the Spark side HAS to walk
+      -- RIFF chunks and decode int16 frames to reach the same numbers
+      SELECT asset_id, frames, ch,
+        list_avg(list_transform(range(1, frames * ch + 1), j ->
+          ABS(CASE WHEN {_WAV_SAMPLE} >= 32768
+                   THEN {_WAV_SAMPLE} - 65536
+                   ELSE {_WAV_SAMPLE} END))) AS mean_abs
+      FROM a
+    )
+    SELECT ch AS channels,
+           COUNT(*) AS n_assets,
+           CAST(SUM(frames) AS BIGINT) AS sum_frames,
+           ROUND(AVG(mean_abs), 4) AS avg_abs_amplitude
+    FROM d
+    GROUP BY ch
+    """,
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: valid RIFF/WAVE 16-bit PCM payloads
+    (synth_wav_assets — varying frame/channel counts, md5-cycled sample
+    words) decoded by PixmapCodec._parse_wav through the production
+    Arrow stage with require_codec=True, rolled up per channel count.
+    The mean |sample| amplitude is the signal an audio curation filter
+    thresholds on (silence / clipping detection); the oracle re-derives
+    it from the md5 convention without parsing WAV — green means the
+    chunk walk + int16 frame decode reconstructed the exact samples."""
+    decoded = mm.decode_assets(
+        mm.synth_wav_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumnRenamed("decoded_height", "channels")
+        .groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_frames"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_abs_amplitude"),
+        )
+    )

@@ -437,6 +437,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_resize_stats",
      ["media_type", "n_assets", "total_resized_bytes"],
      ["avg_scale_x", "avg_scale_y"]),
+    ("multimodal_wav_decode_stats",
+     ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
     ("partition_layout_whatif",
      ["candidate_key", "n_partitions", "n_rows", "max_partition_rows"],
      ["skew_ratio", "est_scan_fraction"]),

@@ -190,8 +190,25 @@ def serve_dashboard(
 ) -> ThreadingHTTPServer:
     """Bind the live dashboard on localhost:port (0 = ephemeral) and
     return the server (caller drives serve_forever / shutdown — the CLI
-    runs it in the foreground, tests in a thread)."""
+    runs it in the foreground, tests in a thread). server_close()
+    additionally releases this sf_dir's session-memoized clustering
+    fits and persisted assignment frames (queries/clustering caches) —
+    a long-lived server cycling through many sf_dirs must not
+    accumulate executor memory (r7 advice)."""
     handler = type(
         "BoundHandler", (_Handler,), {"spark": spark, "sf_dir": sf_dir}
     )
-    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        def server_close(self) -> None:  # noqa: D102 - stdlib contract
+            super().server_close()
+            try:
+                from ..queries.clustering import evict_fit_caches
+
+                evict_fit_caches(
+                    app_id=spark.sparkContext.applicationId, sf_dir=sf_dir
+                )
+            except Exception:
+                pass  # eviction is best-effort; closing must not raise
+
+    return _Server(("127.0.0.1", port), handler)
