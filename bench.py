@@ -227,7 +227,13 @@ def main() -> None:
     # the min is the stable estimate of steady-state query cost.
     from trino_adaptive_partitioning_tool_spark.plans import inspect as pi
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # 3 reps = 1 cold + 2 warm: with a single warm rep the recorded
+    # number for ~1s queries is whatever the host was doing in that one
+    # second — four back-to-back r8 runs flagged a DIFFERENT random
+    # subset each time with byte-identical plan manifests. min over two
+    # warm reps is robust to one load spike; the sub-second tier below
+    # additionally medians over >= 3 warm reps.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Per-query regression budget: BENCH_BASELINE.json records the
     # median of >= 3 idle-host runs of this same loop (generated by
     # scripts/gen_bench_baseline.py). Any query exceeding
@@ -300,6 +306,21 @@ def main() -> None:
             plans[name] = {"error": repr(exc)}
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The budget is multiplicative PLUS an additive noise floor: on this
+    # shared host, job scheduling / GC / JIT jitter contributes
+    # ~0.1-0.5s ADDITIVE variance that is independent of query cost, so
+    # a bare 1.5x budget on a 0.2s fixed-cost query flags pure noise
+    # (r7 shipped 3 such flags; r8's first post-baseline run flagged 30
+    # while the host load shifted). threshold = max(x * med, med +
+    # floor): a genuine 10x on a fast query still flags, a genuine 1.5x
+    # on any query costing more than ~2x the floor still flags, and
+    # sub-second jitter does not. Cold (first-call) numbers get a
+    # larger floor — they additionally absorb JIT and plan-compile
+    # variance that depends on session history.
+    noise_warm = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_SEC", "0.25"))
+    noise_cold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_COLD_NOISE_SEC", "0.6")
+    )
     regressions: dict[str, dict] = {}
     missing_baseline: list[str] = []
     for name, t in timings.items():
@@ -311,22 +332,26 @@ def main() -> None:
             print(f"# NO BASELINE {name}: regenerate BENCH_BASELINE.json",
                   file=sys.stderr)
             continue
-        if t > budget_x * med:
+        if t > max(budget_x * med, med + noise_warm):
             regressions[name] = {"sec": t, "median": med,
                                  "x": round(t / med, 2)}
             print(
-                f"# REGRESSION {name}: {t:.3f}s > {budget_x}x median "
-                f"{med:.3f}s ({t / med:.2f}x)",
+                f"# REGRESSION {name}: {t:.3f}s > max({budget_x}x, "
+                f"+{noise_warm}s) over median {med:.3f}s "
+                f"({t / med:.2f}x)",
                 file=sys.stderr,
             )
         med_cold = cold_medians.get(name)
-        if med_cold and cold_timings[name] > budget_x * med_cold:
+        if med_cold and cold_timings[name] > max(
+            budget_x * med_cold, med_cold + noise_cold
+        ):
             regressions.setdefault(name, {})["cold"] = {
                 "sec": cold_timings[name], "median": med_cold,
                 "x": round(cold_timings[name] / med_cold, 2)}
             print(
                 f"# COLD REGRESSION {name}: {cold_timings[name]:.3f}s > "
-                f"{budget_x}x cold median {med_cold:.3f}s",
+                f"max({budget_x}x, +{noise_cold}s) over cold median "
+                f"{med_cold:.3f}s",
                 file=sys.stderr,
             )
 
