@@ -160,17 +160,25 @@ def emit_output_lines(
 
     # Compact line: fixed envelope first, then fill `queries` with the
     # slowest entries while the whole line still fits the tail budget.
-    # Regressions are always kept whole (they are the round's signal);
-    # if a pathological run regresses everything, elide past 20.
-    reg_items = list(compact_reg.items())
+    # Regressions keep the WORST entries (severity-desc, not
+    # alphabetical — a 10x blowup must never be the one elided), capped
+    # at 20 and further shrunk below if even the bare envelope would
+    # overflow the tail (20 long names could alone exceed 2 KB).
+    reg_items = sorted(
+        compact_reg.items(), key=lambda kv: -(kv[1] or 0)
+    )
+    n_elided_reg = 0
     if len(reg_items) > 20:
-        compact_reg = dict(reg_items[:20])
-        compact_reg["_elided"] = len(reg_items) - 20
+        n_elided_reg = len(reg_items) - 20
+        reg_items = reg_items[:20]
+    compact_reg = dict(reg_items)
+    if n_elided_reg:
+        compact_reg["_elided"] = n_elided_reg
     compact = {
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "n_queries": len(timings),
-        "queries_elided": 0,
+        "queries_elided": len(timings),
         "queries_full_in": "BENCH_PLANS.json",
         "queries": {},
         "layout_speedup": layout_speedup,
@@ -180,6 +188,15 @@ def emit_output_lines(
         "regressions": compact_reg,
         "sf": sf,
     }
+    # hard envelope guarantee: drop the LEAST severe regressions until
+    # the queries-free line fits (the greedy query fill below can only
+    # start from a fitting envelope)
+    while len(dumps(compact).encode()) > tail_budget and reg_items:
+        reg_items.pop()  # least severe (list is severity-desc)
+        n_elided_reg += 1
+        compact_reg = dict(reg_items)
+        compact_reg["_elided"] = n_elided_reg
+        compact["regressions"] = compact_reg
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     for name, t in slowest:
         candidate = dict(compact["queries"])
@@ -272,7 +289,12 @@ def main() -> None:
         # take the MEDIAN of >= 3 warm reps instead of the min of one;
         # for the rest, min-over-reps stays the steady-state estimate.
         fast = (baseline_medians.get(name) or 1.0) < 0.5
-        warm_reps = max(reps - 1, 3) if fast else max(reps - 1, 1)
+        if reps == 1:
+            warm_reps = 0  # honor the one-shot contract exactly
+        elif fast:
+            warm_reps = max(reps - 1, 3)
+        else:
+            warm_reps = reps - 1
         warm: list[float] = []
         for i in range(1 + warm_reps):
             start = time.perf_counter()
@@ -290,7 +312,9 @@ def main() -> None:
                 cold = elapsed
             else:
                 warm.append(elapsed)
-        if fast:
+        if not warm:
+            best = cold  # reps=1: the single (cold) run IS the number
+        elif fast:
             best = sorted(warm)[len(warm) // 2]
         else:
             best = min([cold, *warm])

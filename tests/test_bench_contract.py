@@ -57,12 +57,16 @@ def test_final_line_fits_tail_and_parses_at_200_queries():
     assert rec["n_queries"] == 200
     assert rec["sf"] == 0.1
     assert len(rec["regressions"]) == 3
-    # elided queries are declared, and what survives is the slowest
+    # elided queries are declared, and what survives is the slowest:
+    # every elided timing must be <= the slowest kept one
     assert rec["queries_elided"] + len(rec["queries"]) == 200
     if rec["queries_elided"]:
-        kept_min = min(rec["queries"].values())
-        # every elided timing is <= the slowest kept one (slowest-first fill)
-        assert kept_min >= 0.1
+        full = json.loads(lines[0])
+        elided = {
+            n: t for n, t in full["queries"].items()
+            if n not in rec["queries"]
+        }
+        assert max(elided.values()) <= min(rec["queries"].values())
 
 
 def test_value_and_regressions_land_in_last_2000_bytes():
@@ -104,3 +108,48 @@ def test_pathological_regression_count_still_fits():
     assert len(final.encode()) <= TAIL_BUDGET - 100
     rec = json.loads(final)
     assert rec["regressions"]["_elided"] == 180
+
+
+def test_regression_elision_keeps_most_severe():
+    """The worst regressions must survive elision — a 10x blowup can
+    never be the entry dropped from the driver-visible line."""
+    timings = {f"q_{i:03d}": 0.5 for i in range(200)}
+    regressions = {
+        f"q_{i:03d}": {"sec": 1.0, "median": 0.5,
+                       "x": 1.5 + (199 - i) / 100}
+        for i in range(30)
+    }
+    # q_000 has the HIGHEST x (3.49) but sorts first alphabetically;
+    # severity ordering must keep it and drop the 1.5x tail instead
+    final = emit_output_lines(
+        total=100.0, timings=timings, layout_speedup=None,
+        scan_scaling_x=None, regressions=regressions,
+        missing_baseline=[], sf=0.1,
+    )[-1]
+    rec = json.loads(final)
+    kept = {k: v for k, v in rec["regressions"].items() if k != "_elided"}
+    assert "q_000" in kept
+    assert min(kept.values()) >= max(
+        1.5 + (199 - i) / 100 for i in range(20, 30)
+    )
+
+
+def test_huge_regression_names_cannot_bust_envelope():
+    """Even the queries-free envelope must fit the tail: 20 kept
+    regressions with 80-char names would alone exceed 2 KB, so the
+    shrink loop has to elide further."""
+    timings = {f"q_{i:03d}": 0.5 for i in range(100)}
+    regressions = {
+        ("verylongqueryname_" + "x" * 60 + f"_{i:02d}"): {
+            "sec": 1.0, "median": 0.5, "x": 2.0}
+        for i in range(40)
+    }
+    lines = emit_output_lines(
+        total=50.0, timings=timings, layout_speedup=None,
+        scan_scaling_x=None, regressions=regressions,
+        missing_baseline=[], sf=0.1,
+    )
+    final = lines[-1]
+    assert len(final.encode()) <= TAIL_BUDGET
+    rec = json.loads(final)
+    assert rec["regressions"]["_elided"] >= 20

@@ -343,3 +343,58 @@ def test_usage_store_multi_batch_equals_batch_drift(spark, tmp_path):
         for r in partition_recommendation_drift(spark, SMOKE_SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_usage_store_replay_and_corrupt_store(spark, tmp_path):
+    """foreachBatch replay contract: the same batch_id applied twice
+    folds once (crash-replay must not double-count); a corrupt store
+    raises instead of silently resetting history; a missing store
+    still reads as empty on the first batch."""
+    import pytest as _pytest
+
+    from trino_adaptive_partitioning_tool_spark.queries.advisor import (
+        _DRIFT_CUTOFF,
+    )
+    from trino_adaptive_partitioning_tool_spark.streaming import (
+        usage_store,
+    )
+
+    logs = fixtures.query_logs_df(spark)
+    store = str(tmp_path / "store")
+    usage_store.upsert_usage_batch(
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=0
+    )
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(store).collect()
+    )
+    # replay of batch 0: no-op
+    usage_store.upsert_usage_batch(
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=0
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(store).collect()
+    ) == once
+    # a NEW batch id folds (counts double since it's the same frame)
+    usage_store.upsert_usage_batch(
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=1
+    )
+    twice = {
+        r["column_name"]: (r["n_early"], r["n_late"])
+        for r in spark.read.parquet(store).collect()
+    }
+    for name, (e, l) in twice.items():
+        base = dict(
+            (t[0], (t[1], t[2])) for t in once
+        )[name]
+        assert (e, l) == (base[0] * 2, base[1] * 2)
+    # corrupt store: must raise, never silently reset to one batch
+    bad = str(tmp_path / "bad_store")
+    import os
+
+    os.makedirs(bad)
+    with open(f"{bad}/part-00000.parquet", "wb") as fh:
+        fh.write(b"not parquet at all")
+    with _pytest.raises(Exception):
+        usage_store.upsert_usage_batch(
+            spark, logs, bad, _DRIFT_CUTOFF, batch_id=0
+        )

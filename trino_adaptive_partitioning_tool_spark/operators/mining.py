@@ -307,7 +307,18 @@ def _mine_tokens(
         `(VALUES (...), (...)) AS t(x, y)` — a VALUES body contains no
         base-table scans (recurse_if_subquery skips it), and the
         derived column names register as ALIASES so later references
-        to them never count as phantom base-table columns."""
+        to them never count as phantom base-table columns.
+
+        Known trade-off (shared with consume_unnest and the
+        MATCH_RECOGNIZE skip): the alias set is scope-wide and
+        unqualified, so a derived column name that COLLIDES with a real
+        base-table column suppresses that column's mentions in this
+        scope. The alternative — not registering — fabricates phantom
+        columns for every derived-output reference, which corrupts the
+        advisor's candidate list; suppression of a rare same-name
+        collision only slightly under-counts a real signal. sqlglot
+        resolves this with full scope-qualified binding; this miner
+        deliberately stays a tokenizer."""
         i = recurse_if_subquery(i)
         if i < len(low) and low[i] == "as":
             i += 1
@@ -459,10 +470,21 @@ def _mine_tokens(
             # variables and DEFINE predicates reference pattern rows,
             # not base-table columns — mining them would fabricate
             # phantom columns. HARD-SKIP the whole block with a counted
-            # warning (surfaces as a `skipped_construct` mined row) and
-            # register the optional output alias.
+            # warning (surfaces as a `skipped_construct` mined row),
+            # register its AS-bound names (MEASURES output columns and
+            # DEFINE pattern variables — every `AS x` inside the block)
+            # so OUTER references like m.measure_name don't mine as
+            # phantom base columns either, then the optional alias.
             skipped["match_recognize"] += 1
-            i = _skip_parens(toks, i + 1)
+            end = _skip_parens(toks, i + 1)
+            for j in range(i + 2, end - 1):
+                if (
+                    low[j] == "as"
+                    and j + 1 < end - 1
+                    and _is_identifier(toks[j + 1])
+                ):
+                    aliases.add(_base_name(toks[j + 1]))
+            i = end
             if i < len(low) and low[i] == "as":
                 i += 1
             if i < len(toks) and _is_identifier(toks[i]):

@@ -69,10 +69,17 @@ def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
 
 
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # check-then-read under the lock: evict_fit_caches (wired into
+    # live-dashboard server_close) may pop the key between an unlocked
+    # membership test and the read; loop so a concurrent eviction just
+    # triggers a re-fit instead of a KeyError on a live request thread
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ASSIGN_CACHE:
+    while True:
+        with _FIT_LOCK:
+            df = _ASSIGN_CACHE.get(key)
+        if df is not None:
+            return df
         fitted_centroids(spark, sf_dir)
-    return _ASSIGN_CACHE[key]
 
 
 def evict_fit_caches(
