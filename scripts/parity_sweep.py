@@ -14,6 +14,7 @@ any other sf_dir (same carve-out as the r7 in-round sweep).
 """
 import hashlib
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -23,6 +24,11 @@ import duckdb
 args = sys.argv[1:]
 SF = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
 filters = [a for a in args if "/" not in a]
+
+# table_file_metadata (and the digest folding it) resolves parquet
+# footer paths at registration time against PARITY_SF_DIR — pin it to
+# the swept scale BEFORE __spark_entry__ imports the registry
+os.environ.setdefault("PARITY_SF_DIR", SF)
 
 con = duckdb.connect()  # BEFORE any Spark import (memory gotcha)
 for t in (
@@ -37,6 +43,10 @@ from pyspark.sql import SparkSession  # noqa: E402
 spark = (
     SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "32")
+    # the ONLY divergence from the driver's plain session: its default
+    # 1g driver heap dies mid-sweep at sf0.1 (196 queries + persisted
+    # assignment frames in one JVM); correctness semantics unchanged
+    .config("spark.driver.memory", "16g")
     .getOrCreate()
 )
 
@@ -46,15 +56,31 @@ names = [
     for n in qs
     if (not filters or any(f in n for f in filters))
 ]
-if "sf0.01" not in SF:
-    # its oracle resolves parquet footer paths at registration time
-    names = [n for n in names if n != "table_file_metadata"]
+
+
+import datetime as _dt
+
+import pandas as _pd
+
+
+def _canon_val(v):
+    # DATE vs midnight-TIMESTAMP render differently across the Arrow /
+    # non-Arrow toPandas paths and the DuckDB df() path ('1995-01-31'
+    # vs '1995-01-31 00:00:00'); the driver never pandas-compares the
+    # digest-folded queries, so the sweep normalizes temporal values to
+    # ISO instants instead of failing on a stringification artifact.
+    if isinstance(v, (_pd.Timestamp, _dt.datetime)):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat()
+    return str(v)
 
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     rows = sorted(
-        tuple(str(v) for v in row) for row in df.itertuples(index=False)
+        tuple(_canon_val(v) for v in row)
+        for row in df.itertuples(index=False)
     )
     return hashlib.md5(json.dumps(rows).encode()).hexdigest(), len(df)
 
