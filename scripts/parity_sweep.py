@@ -8,9 +8,10 @@ Usage:
     python scripts/parity_sweep.py [sf_dir] [name_substring ...]
 
 Defaults to /root/testdata/sf0.1 and the whole registry; positional
-substrings filter query names (OR-ed). table_file_metadata is pinned to
-the parity scale its oracle resolved at registration and is skipped at
-any other sf_dir (same carve-out as the r7 in-round sweep).
+substrings filter query names (OR-ed). PARITY_SF_DIR is force-pinned
+to the swept dir before the registry import so the footer-metadata
+oracle (table_file_metadata, and the digest folding it) registers
+against the same scale the Spark side runs at — no query is skipped.
 """
 import hashlib
 import json
@@ -27,8 +28,11 @@ filters = [a for a in args if "/" not in a]
 
 # table_file_metadata (and the digest folding it) resolves parquet
 # footer paths at registration time against PARITY_SF_DIR — pin it to
-# the swept scale BEFORE __spark_entry__ imports the registry
-os.environ.setdefault("PARITY_SF_DIR", SF)
+# the swept scale BEFORE __spark_entry__ imports the registry. A plain
+# assignment, not setdefault: an inherited export (e.g. from a prior
+# test run) would register the oracle at one scale while Spark runs at
+# another and false-fail the sweep.
+os.environ["PARITY_SF_DIR"] = SF
 
 con = duckdb.connect()  # BEFORE any Spark import (memory gotcha)
 for t in (

@@ -774,6 +774,30 @@ def test_rows_from_joined_with_base_table():
     assert dict(m["where_columns"]) == {"l_quantity": 1}
 
 
+def test_match_recognize_define_does_not_suppress_real_columns():
+    """r8 second-review regression: DEFINE's `var AS predicate` puts
+    the PREDICATE after AS — harvesting it as an alias suppressed the
+    predicate's base column scope-wide. Only MEASURES `expr AS name`
+    pairs (at the block's top nesting level) may register."""
+    m = mining.mine_statement(
+        "SELECT * FROM orders MATCH_RECOGNIZE("
+        " PARTITION BY custkey ORDER BY orderdate"
+        " MEASURES A.totalprice AS start_price, CAST(B.qty AS BIGINT) AS q"
+        " ONE ROW PER MATCH PATTERN (A B+)"
+        " DEFINE B AS B.totalprice > PREV(B.totalprice)"
+        ") AS m WHERE totalprice > 100 AND custkey = 7"
+    )
+    assert dict(m["where_columns"]) == {"totalprice": 1, "custkey": 1}
+    # ...while the MEASURES outputs stay suppressed outside the block
+    m2 = mining.mine_statement(
+        "SELECT m.start_price FROM orders MATCH_RECOGNIZE("
+        " MEASURES A.totalprice AS start_price ONE ROW PER MATCH"
+        " PATTERN (A) DEFINE A AS A.totalprice > 1"
+        ") AS m WHERE m.start_price > 5 AND o_orderkey = 1"
+    )
+    assert dict(m2["where_columns"]) == {"o_orderkey": 1}
+
+
 def test_match_recognize_hard_skipped_with_counted_warning():
     m = mining.mine_statement(
         "SELECT m.userid FROM orders MATCH_RECOGNIZE ("

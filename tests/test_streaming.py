@@ -362,21 +362,21 @@ def test_usage_store_replay_and_corrupt_store(spark, tmp_path):
     logs = fixtures.query_logs_df(spark)
     store = str(tmp_path / "store")
     usage_store.upsert_usage_batch(
-        spark, logs, store, _DRIFT_CUTOFF, batch_id=0
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=0, run_token="ckptA"
     )
     once = sorted(
         tuple(r) for r in spark.read.parquet(store).collect()
     )
-    # replay of batch 0: no-op
+    # replay of batch 0 under the SAME checkpoint token: no-op
     usage_store.upsert_usage_batch(
-        spark, logs, store, _DRIFT_CUTOFF, batch_id=0
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=0, run_token="ckptA"
     )
     assert sorted(
         tuple(r) for r in spark.read.parquet(store).collect()
     ) == once
     # a NEW batch id folds (counts double since it's the same frame)
     usage_store.upsert_usage_batch(
-        spark, logs, store, _DRIFT_CUTOFF, batch_id=1
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=1, run_token="ckptA"
     )
     twice = {
         r["column_name"]: (r["n_early"], r["n_late"])
@@ -387,6 +387,20 @@ def test_usage_store_replay_and_corrupt_store(spark, tmp_path):
             (t[0], (t[1], t[2])) for t in once
         )[name]
         assert (e, l) == (base[0] * 2, base[1] * 2)
+    # a FRESH checkpoint restarts batch ids at 0 — with a different
+    # token, batch 0 must FOLD (r8 second review: the uncoupled marker
+    # silently dropped every real batch of a reprocessing run)
+    usage_store.upsert_usage_batch(
+        spark, logs, store, _DRIFT_CUTOFF, batch_id=0, run_token="ckptB"
+    )
+    thrice = {
+        r["column_name"]: (r["n_early"], r["n_late"])
+        for r in spark.read.parquet(store).collect()
+    }
+    base = dict((t[0], (t[1], t[2])) for t in once)
+    for name, (e, l) in thrice.items():
+        assert (e, l) == (base[name][0] * 3, base[name][1] * 3)
+
     # corrupt store: must raise, never silently reset to one batch
     bad = str(tmp_path / "bad_store")
     import os

@@ -471,19 +471,37 @@ def _mine_tokens(
             # not base-table columns — mining them would fabricate
             # phantom columns. HARD-SKIP the whole block with a counted
             # warning (surfaces as a `skipped_construct` mined row),
-            # register its AS-bound names (MEASURES output columns and
-            # DEFINE pattern variables — every `AS x` inside the block)
-            # so OUTER references like m.measure_name don't mine as
-            # phantom base columns either, then the optional alias.
+            # register the MEASURES output names so OUTER references
+            # like m.measure_name don't mine as phantom base columns,
+            # then the optional alias. Only `expr AS name` pairs at the
+            # block's top nesting level INSIDE the MEASURES section
+            # register: `DEFINE B AS B.totalprice > ...` has the
+            # PREDICATE after AS (harvesting it would suppress a real
+            # column scope-wide — r8 second-review regression), and
+            # `CAST(x AS type)` hides behind parens (depth > 0).
             skipped["match_recognize"] += 1
             end = _skip_parens(toks, i + 1)
+            _MR_SECTIONS = ("partition", "order", "one", "all", "after",
+                            "pattern", "subset", "define")
+            depth = 0
+            in_measures = False
             for j in range(i + 2, end - 1):
-                if (
-                    low[j] == "as"
-                    and j + 1 < end - 1
-                    and _is_identifier(toks[j + 1])
-                ):
-                    aliases.add(_base_name(toks[j + 1]))
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                elif depth == 0:
+                    if low[j] == "measures":
+                        in_measures = True
+                    elif low[j] in _MR_SECTIONS:
+                        in_measures = False
+                    elif (
+                        in_measures
+                        and low[j] == "as"
+                        and j + 1 < end - 1
+                        and _is_identifier(toks[j + 1])
+                    ):
+                        aliases.add(_base_name(toks[j + 1]))
             i = end
             if i < len(low) and low[i] == "as":
                 i += 1

@@ -25,8 +25,12 @@ equivalence slicing-proof.
 
 Replay safety: Spark re-executes a foreachBatch micro-batch with the
 SAME batch_id after a crash between the sink write and the checkpoint
-commit; upsert_usage_batch records the last applied batch_id next to
-the store and skips replays, so counts are never folded twice.
+commit; upsert_usage_batch records the last applied (run_token,
+batch_id) next to the store and skips replays, so counts are never
+folded twice. The token is the checkpoint location, coupling the
+marker to the checkpoint lifecycle: a FRESH checkpoint (reprocessing a
+corrected feed into the same store) restarts ids at 0 and must fold,
+not skip.
 
 At 100 TB: the log stream is consumed once, per-batch cost is one
 miner pass over just the batch (map-side combined into <= distinct
@@ -88,20 +92,34 @@ def upsert_usage_batch(
     store_path: str,
     cutoff: str,
     batch_id: int | None = None,
+    run_token: str | None = None,
 ) -> None:
     """Fold one micro-batch's usage increments into the persisted store
     (read-merge-overwrite; the store is distinct-column-count-sized, so
     the rewrite is trivially small). When ``batch_id`` is given
     (foreachBatch replay contract), a replayed batch — same id already
-    recorded in the sidecar marker — is a no-op, so crash-replay never
-    double-counts. Only a MISSING store reads as empty; any other read
-    failure (partial overwrite, transient FS error) propagates rather
-    than silently resetting the accumulated history."""
+    recorded in the sidecar marker UNDER THE SAME run_token — is a
+    no-op, so crash-replay never double-counts. The token (the
+    checkpoint location; maintain_usage_store passes it) couples the
+    marker's lifecycle to the checkpoint's: a fresh checkpoint restarts
+    batch ids at 0, and without the token match those real batches
+    would read as replays and be silently dropped (r8 second review).
+    Only a MISSING store reads as empty; any other read failure
+    (partial overwrite, transient FS error) propagates rather than
+    silently resetting the accumulated history."""
+    import json as _json
+
     marker = _marker_path(store_path)
     if batch_id is not None and os.path.exists(marker):
         with open(marker) as fh:
-            last = int(fh.read().strip() or "-1")
-        if batch_id <= last:
+            try:
+                rec = _json.loads(fh.read() or "{}")
+            except ValueError:
+                rec = {}
+        if (
+            rec.get("token") == run_token
+            and batch_id <= rec.get("batch_id", -1)
+        ):
             return  # checkpointed replay of an already-applied batch
     inc = usage_increments(batch_df, cutoff)
     try:
@@ -139,7 +157,9 @@ def upsert_usage_batch(
         # MERGE idempotent for free.
         tmp = f"{marker}.tmp"
         with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(
+                _json.dumps({"token": run_token, "batch_id": batch_id})
+            )
         os.replace(tmp, marker)
 
 
@@ -155,7 +175,8 @@ def maintain_usage_store(
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         upsert_usage_batch(
-            spark, batch_df, store_path, cutoff, batch_id=batch_id
+            spark, batch_df, store_path, cutoff,
+            batch_id=batch_id, run_token=checkpoint_dir,
         )
 
     q = (
