@@ -105,6 +105,7 @@ HEADLINE_QUERIES = [
     "multimodal_decode_stats",
     "multimodal_png_decode_stats",
     "multimodal_wav_decode_stats",
+    "multimodal_channel_stats",
     "train_test_split_counts",
 ]
 

@@ -447,3 +447,60 @@ def test_synth_wav_assets_decode_through_arrow_stage(spark):
     ).count()
     assert bad == 0
     assert decoded.count() == 48
+
+
+def test_channel_stats_catch_interleave_bugs(spark):
+    """The per-channel stage must detect what the overall mean cannot:
+    a channel-swapping decoder yields identical mean_intensity but
+    different per-channel means."""
+    import numpy as np
+    import pytest as _pytest
+
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        multimodal as mm,
+    )
+
+    class SwappedCodec(mm.PixmapCodec):
+        def pixels(self, payload):
+            px = super().pixels(payload)
+            return px[:, :, ::-1]  # RGB -> BGR
+
+    assets = mm.synth_png_assets(spark, n=24)
+    good = {
+        (r["asset_id"], r["channel"]): r["mean_value"]
+        for r in mm.channel_stats(
+            assets, require_codec=True, codec=mm.PixmapCodec()
+        ).collect()
+    }
+    swapped = {
+        (r["asset_id"], r["channel"]): r["mean_value"]
+        for r in mm.channel_stats(
+            assets, require_codec=True, codec=SwappedCodec()
+        ).collect()
+    }
+    assert good != swapped  # the interleave bug IS visible here
+    # ...but invisible to the overall mean (same bytes, same mean)
+    mi_good = {
+        r["asset_id"]: r["mean_intensity"]
+        for r in mm.decode_assets(
+            assets, require_codec=True, codec=mm.PixmapCodec()
+        ).collect()
+    }
+    ch = mm.channel_stats(
+        assets, require_codec=True, codec=mm.PixmapCodec()
+    )
+    # channel means aggregate back to the overall mean
+    from pyspark.sql import functions as F
+
+    back = {
+        r["asset_id"]: r["m"]
+        for r in ch.groupBy("asset_id")
+        .agg(F.avg("mean_value").alias("m"))
+        .collect()
+    }
+    for aid, m in back.items():
+        assert abs(m - mi_good[aid]) < 1e-9
+
+    # the stub has no pixel planes
+    with _pytest.raises(NotImplementedError):
+        mm.channel_stats(assets, codec=mm.StubCodec())

@@ -644,6 +644,18 @@ class PixmapCodec:
             + b"data" + struct.pack("<I", len(data)) + data
         )
 
+    def pixels(self, payload: bytes) -> np.ndarray:
+        """Decoded pixel array [h, w, channels] for raster payloads —
+        the seam the per-channel statistics stage consumes (overall
+        mean hides channel-interleave bugs; this exposes them)."""
+        if payload[:2] in (b"P5", b"P6"):
+            return self._parse_netpbm(payload)[4]
+        if payload[:2] == b"BM":
+            return self._parse_bmp(payload)[2]
+        if payload[:8] == self._PNG_SIG:
+            return self._parse_png(payload)[2]
+        raise ValueError("unsupported raster format for PixmapCodec")
+
     # -- Codec protocol --------------------------------------------------
     def decode(self, payload: bytes, media_type: str) -> tuple[int, int, float]:
         del media_type
@@ -773,6 +785,55 @@ def decode_assets(
 
     return assets.select("asset_id", "media_type", "payload").mapInPandas(
         _decode, schema=DECODED_SCHEMA
+    )
+
+
+CHANNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("channel", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+
+
+def channel_stats(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Per-channel pixel statistics: one row per (asset, channel) with
+    that channel's mean sample value — the signal that catches
+    channel-INTERLEAVE decode bugs an overall mean hides (swap R and B
+    in a decoder and decode_assets' mean_intensity never notices;
+    this stage does). Arrow mapInPandas over the same batch shape as
+    decode_assets; needs a pixels-capable codec (PixmapCodec — the
+    stub has no pixel planes to report)."""
+    codec = _check_codec(codec, require_codec)
+    if not hasattr(codec, "pixels"):
+        raise NotImplementedError(
+            "channel_stats needs a codec exposing pixels(payload); the "
+            "deterministic stub has no pixel planes"
+        )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = codec.pixels(bytes(payload))
+                ch = px.shape[2]
+                for k in range(ch):
+                    rows.append(
+                        (int(aid), k, ch, float(px[:, :, k].mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "channel", "n_channels", "mean_value"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _stats, schema=CHANNEL_SCHEMA
     )
 
 

@@ -293,6 +293,60 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_channel_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             CAST(CASE t.asset_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                  ELSE 4 END AS INT) AS ch,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), k AS (
+      SELECT asset_id, w, h, ch, hx,
+             unnest(range(ch)) AS channel
+      FROM a
+    ), d AS (
+      -- channel c's samples sit at interleaved positions (p-1)*ch + c
+      -- of the md5-cycled byte stream: the oracle re-derives each
+      -- channel plane's mean arithmetically, so green certifies the
+      -- decoder reconstructed the exact INTERLEAVE, not just the
+      -- overall byte mean
+      SELECT ch, channel,
+        list_avg(list_transform(range(1, w * h + 1), p ->
+          CAST(('0x' || substr(hx,
+                CAST(((p - 1) * ch + channel) % 16 AS INT) * 2 + 1, 2))
+               AS INT))) AS mean_value
+      FROM k
+    )
+    SELECT ch AS n_channels,
+           CAST(channel AS INT) AS channel,
+           COUNT(*) AS n_assets,
+           ROUND(AVG(mean_value), 4) AS avg_channel_mean
+    FROM d
+    GROUP BY ch, channel
+    """,
+)
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel decode certification: the channel_stats Arrow stage
+    splits every decoded PNG into its channel planes and reports each
+    plane's mean; rolled up per (n_channels, channel). A decoder that
+    mixed up the interleave (RGB vs BGR, stride off-by-one) would pass
+    the overall-mean check but fail this one — the oracle re-derives
+    every plane mean from the md5 byte convention positionally."""
+    stats = mm.channel_stats(
+        mm.synth_png_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return stats.groupBy("n_channels", "channel").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.round(F.avg("mean_value"), 4).alias("avg_channel_mean"),
+    )
+
+
 # one int16 sample from the md5-cycled byte stream: little-endian pair
 # (lo = byte[(2(j-1)) % 16], hi = byte[(2(j-1)+1) % 16]), sign-adjusted
 _WAV_LO = (
