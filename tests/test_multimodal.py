@@ -504,3 +504,48 @@ def test_channel_stats_catch_interleave_bugs(spark):
     # the stub has no pixel planes
     with _pytest.raises(NotImplementedError):
         mm.channel_stats(assets, codec=mm.StubCodec())
+
+
+def test_y4m_frame_luma_through_arrow_stages(spark):
+    """Real Y4M walk end-to-end: sampled frame count equals the
+    generated frame count, and each frame's luma mean equals the mean
+    of the Y-plane bytes computed directly from the md5 convention."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        multimodal as mm,
+    )
+
+    assets = mm.synth_y4m_assets(spark, n=24)
+    frames = mm.sample_frames(
+        assets, every_ms=100, require_codec=True, codec=mm.PixmapCodec()
+    )
+    dims = assets.select(
+        "asset_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    got = {
+        (r["asset_id"], r["frame_idx"]): (r["frame_ms"], r["luma_mean"])
+        for r in mm.frame_luma_stats(frames, dims).collect()
+    }
+    for aid in range(24):
+        w = (aid % 3 + 1) * 2
+        h = (aid % 2 + 1) * 2
+        nf = aid % 5 + 2
+        fsz = w * h * 3 // 2
+        digest = hashlib.md5(str(aid).encode()).digest()
+        data = (digest * (nf * fsz // 16 + 1))[: nf * fsz]
+        for k in range(nf):
+            ms, luma = got[(aid, k)]
+            assert ms == k * 100
+            want = float(
+                np.frombuffer(
+                    data[k * fsz : k * fsz + w * h], dtype=np.uint8
+                ).mean()
+            )
+            assert abs(luma - want) < 1e-9, (aid, k)
+    assert len(got) == sum(a % 5 + 2 for a in range(24))

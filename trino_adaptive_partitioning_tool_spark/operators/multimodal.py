@@ -257,6 +257,75 @@ def synth_wav_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_y4m_assets(
+    spark: SparkSession, n: int = 128, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-Y4M asset table: each payload is a valid
+    YUV4MPEG2 stream (plain-text header, FRAME-delimited raw 4:2:0
+    planes at 10 fps) whose plane bytes cycle the 16 md5 digest bytes
+    of the asset id CONTINUOUSLY across frames — so a DuckDB oracle can
+    re-derive any frame's luma-plane mean positionally. Even dims (4:2:0
+    requires them) and frame counts vary per asset, exercising the real
+    stream walk, not a fixed offset."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        ((F.col("id") % 3 + 1) * 2).cast("int").alias("w"),
+        ((F.col("id") % 2 + 1) * 2).cast("int").alias("h"),
+        (F.col("id") % 5 + 2).cast("int").alias("nf"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                        T.StructField("sample_rate", T.IntegerType(), True),
+                        T.StructField("duration_ms", T.IntegerType(), True),
+                        T.StructField("format", T.StringType(), True),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h, nf in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["nf"]
+            ):
+                aid, w, h, nf = int(aid), int(w), int(h), int(nf)
+                digest = hashlib.md5(str(aid).encode()).digest()
+                fsz = w * h * 3 // 2
+                data = (digest * (nf * fsz // 16 + 1))[: nf * fsz]
+                payload = bytearray(
+                    f"YUV4MPEG2 W{w} H{h} F10:1 Ip A1:1 C420\n".encode()
+                )
+                for k in range(nf):
+                    payload += b"FRAME\n" + data[k * fsz : (k + 1) * fsz]
+                rows.append(
+                    (
+                        aid,
+                        "video",
+                        bytes(payload),
+                        (w, h, None, nf * 100, "y4m"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 @runtime_checkable
 class Codec(Protocol):
     """Pluggable codec seam: the ONLY piece of this module that is
@@ -914,6 +983,44 @@ def sample_frames(
         assets.where(F.col("media_type") == "video")
         .select("asset_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
         .mapInPandas(_sample, schema=FRAME_SCHEMA)
+    )
+
+
+LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.IntegerType(), False),
+        T.StructField("luma_mean", T.DoubleType(), False),
+    ]
+)
+
+
+def frame_luma_stats(frames: DataFrame, dims: DataFrame) -> DataFrame:
+    """Per-frame luma (Y-plane) mean over sampled raw 4:2:0 frames —
+    the brightness/scene-change signal a video curation filter
+    thresholds on. ``dims`` carries (asset_id, w, h) so the stage can
+    slice the Y plane (first w*h bytes of each frame payload); the join
+    is frame-count-sized and the Arrow stage is map-only after it."""
+
+    def _luma(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, idx, ms, payload, w, h in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["frame_ms"],
+                pdf["frame_payload"], pdf["w"], pdf["h"],
+            ):
+                y = np.frombuffer(
+                    bytes(payload)[: int(w) * int(h)], dtype=np.uint8
+                )
+                rows.append((int(aid), int(idx), int(ms), float(y.mean())))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "frame_idx", "frame_ms", "luma_mean"],
+            )
+
+    return frames.join(dims, "asset_id").mapInPandas(
+        _luma, schema=LUMA_SCHEMA
     )
 
 

@@ -347,6 +347,68 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_y4m_frame_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST((t.asset_id % 3 + 1) * 2 AS INT) AS w,
+             CAST((t.asset_id % 2 + 1) * 2 AS INT) AS h,
+             CAST(t.asset_id % 5 + 2 AS INT) AS nf,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 128) t(asset_id)
+    ), f AS (
+      SELECT asset_id, w, h, nf, hx, unnest(range(nf)) AS k FROM a
+    ), d AS (
+      -- frame k's luma plane occupies global data-stream bytes
+      -- [k * w*h*3/2, k * w*h*3/2 + w*h) of the md5 cycle (the
+      -- synth_y4m_assets convention): the oracle re-derives every
+      -- frame's Y-plane mean positionally, so green certifies the
+      -- real FRAME-delimited 4:2:0 stream walk, not stub slicing
+      SELECT asset_id, k,
+        list_avg(list_transform(range(1, w * h + 1), p ->
+          CAST(('0x' || substr(hx,
+                CAST((k * (w * h * 3 // 2) + (p - 1)) % 16 AS INT)
+                * 2 + 1, 2)) AS INT))) AS luma_mean
+      FROM f
+    )
+    SELECT asset_id,
+           COUNT(*) AS n_frames,
+           CAST(MAX(k) * 100 AS BIGINT) AS last_frame_ms,
+           ROUND(AVG(luma_mean), 4) AS avg_luma
+    FROM d
+    GROUP BY asset_id
+    """,
+)
+def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame path: valid YUV4MPEG2 streams (synth_y4m_assets
+    — varying dims/frame counts, md5-cycled planes, 10 fps) walked by
+    PixmapCodec.frames through the production sample_frames stage with
+    require_codec=True (every frame sampled at every_ms=100), then the
+    frame_luma_stats Arrow stage reports each frame's Y-plane mean.
+    The oracle re-derives frame offsets and plane means positionally —
+    green certifies the real stream parse AND the 4:2:0 plane slicing.
+    Video frame sampling was the last stub-certified modality stage."""
+    assets = mm.synth_y4m_assets(spark, n=128)
+    frames = mm.sample_frames(
+        assets, every_ms=100, require_codec=True, codec=mm.PixmapCodec()
+    )
+    dims = assets.select(
+        "asset_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    return (
+        mm.frame_luma_stats(frames, dims)
+        .groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
+            F.round(F.avg("luma_mean"), 4).alias("avg_luma"),
+        )
+    )
+
+
 # one int16 sample from the md5-cycled byte stream: little-endian pair
 # (lo = byte[(2(j-1)) % 16], hi = byte[(2(j-1)+1) % 16]), sign-adjusted
 _WAV_LO = (

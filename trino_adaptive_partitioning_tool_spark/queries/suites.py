@@ -441,6 +441,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["avg_scale_x", "avg_scale_y"]),
     ("multimodal_wav_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
+    ("multimodal_y4m_frame_stats",
+     ["asset_id", "n_frames", "last_frame_ms"], ["avg_luma"]),
     ("partition_layout_whatif",
      ["candidate_key", "n_partitions", "n_rows", "max_partition_rows"],
      ["skew_ratio", "est_scan_fraction"]),
