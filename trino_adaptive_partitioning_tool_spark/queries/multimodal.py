@@ -409,7 +409,84 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# one int16 sample from the md5-cycled byte stream: little-endian pair
+_SCENE_DELTA = 10.0  # luma-mean jump that counts as a cut
+
+
+@register(
+    "multimodal_scene_changes",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST((t.asset_id % 3 + 1) * 2 AS INT) AS w,
+             CAST((t.asset_id % 2 + 1) * 2 AS INT) AS h,
+             CAST(t.asset_id % 5 + 2 AS INT) AS nf,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 128) t(asset_id)
+    ), f AS (
+      SELECT asset_id, w, h, nf, hx, unnest(range(nf)) AS k FROM a
+    ), d AS (
+      SELECT asset_id, k,
+        list_avg(list_transform(range(1, w * h + 1), p ->
+          CAST(('0x' || substr(hx,
+                CAST((k * (w * h * 3 // 2) + (p - 1)) % 16 AS INT)
+                * 2 + 1, 2)) AS INT))) AS luma_mean
+      FROM f
+    ), deltas AS (
+      SELECT asset_id, k,
+        ABS(luma_mean - LAG(luma_mean) OVER (
+          PARTITION BY asset_id ORDER BY k)) AS delta
+      FROM d
+    )
+    SELECT asset_id,
+           COUNT(*) AS n_frames,
+           CAST(COALESCE(SUM(CASE WHEN delta > {_SCENE_DELTA}
+                          THEN 1 END), 0) AS BIGINT) AS n_scene_changes,
+           -- max_luma_delta stays an UNROUNDED double: both engines
+           -- compute the identical IEEE op sequence (exact integer
+           -- plane sums -> one division -> one subtraction), and
+           -- ROUND(double, n) is the one place Spark and DuckDB
+           -- disagree at ties
+           MAX(delta) AS max_luma_delta
+    FROM deltas
+    GROUP BY asset_id
+    """,
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the real Y4M frame walk: adjacent
+    frames whose luma-mean jump exceeds {_SCENE_DELTA} count as cuts —
+    the scene-segmentation signal a video curation pipeline uses to
+    pick representative frames and drop static clips. Composes the
+    certified frame_luma_stats stage with a per-asset LAG window (tiny
+    partitions — one per asset's sampled frames); the oracle replays
+    frame offsets, plane means, and the window arithmetic positionally
+    from the md5 convention."""
+    from pyspark.sql import Window
+
+    assets = mm.synth_y4m_assets(spark, n=128)
+    frames = mm.sample_frames(
+        assets, every_ms=100, require_codec=True, codec=mm.PixmapCodec()
+    )
+    dims = assets.select(
+        "asset_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    luma = mm.frame_luma_stats(frames, dims)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    delta = F.abs(F.col("luma_mean") - F.lag("luma_mean").over(w))
+    return (
+        luma.withColumn("delta", delta)
+        .groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.coalesce(
+                F.sum(F.when(F.col("delta") > _SCENE_DELTA, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_scene_changes"),
+            F.max("delta").alias("max_luma_delta"),
+        )
+    )
 # (lo = byte[(2(j-1)) % 16], hi = byte[(2(j-1)+1) % 16]), sign-adjusted
 _WAV_LO = (
     "CAST(('0x' || substr(hx, CAST(((j - 1) * 2) % 16 AS INT) * 2 + 1, 2))"

@@ -439,6 +439,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_resize_stats",
      ["media_type", "n_assets", "total_resized_bytes"],
      ["avg_scale_x", "avg_scale_y"]),
+    ("multimodal_scene_changes",
+     ["asset_id", "n_frames", "n_scene_changes"], ["max_luma_delta"]),
     ("multimodal_wav_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
     ("multimodal_y4m_frame_stats",
