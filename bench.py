@@ -106,6 +106,8 @@ HEADLINE_QUERIES = [
     "multimodal_png_decode_stats",
     "multimodal_wav_decode_stats",
     "multimodal_channel_stats",
+    "multimodal_y4m_frame_stats",
+    "multimodal_scene_changes",
     "train_test_split_counts",
 ]
 
