@@ -523,11 +523,19 @@ def test_y4m_frame_luma_through_arrow_stages(spark):
     frames = mm.sample_frames(
         assets, every_ms=100, require_codec=True, codec=mm.PixmapCodec()
     )
-    dims = assets.select(
-        "asset_id",
-        F.col("meta.width").alias("w"),
-        F.col("meta.height").alias("h"),
-    )
+    dims = mm.y4m_dims(spark, n=24)
+    # the arithmetic-derived dims must agree with the generated meta
+    meta_dims = {
+        r["asset_id"]: (r["w"], r["h"])
+        for r in assets.select(
+            "asset_id",
+            F.col("meta.width").alias("w"),
+            F.col("meta.height").alias("h"),
+        ).collect()
+    }
+    assert {
+        r["asset_id"]: (r["w"], r["h"]) for r in dims.collect()
+    } == meta_dims
     got = {
         (r["asset_id"], r["frame_idx"]): (r["frame_ms"], r["luma_mean"])
         for r in mm.frame_luma_stats(frames, dims).collect()

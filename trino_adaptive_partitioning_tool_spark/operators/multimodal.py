@@ -122,6 +122,30 @@ def synth_ppm_assets(
     )
 
 
+# shared by every real-format synth generator (PNG/WAV/Y4M): the asset
+# table contract — (asset_id, media_type, payload, typed meta struct)
+SYNTH_ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
 def synth_png_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -145,26 +169,7 @@ def synth_png_assets(
             (F.col("id") % 3 + 1).cast("int"),
         ).alias("ch"),
     )
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("media_type", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-            T.StructField(
-                "meta",
-                T.StructType(
-                    [
-                        T.StructField("width", T.IntegerType(), True),
-                        T.StructField("height", T.IntegerType(), True),
-                        T.StructField("sample_rate", T.IntegerType(), True),
-                        T.StructField("duration_ms", T.IntegerType(), True),
-                        T.StructField("format", T.StringType(), True),
-                    ]
-                ),
-                False,
-            ),
-        ]
-    )
+    schema = SYNTH_ASSET_SCHEMA
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,26 +215,7 @@ def synth_wav_assets(
         (F.col("id") % 50 + 10).cast("int").alias("frames"),
         (F.col("id") % 2 + 1).cast("int").alias("channels"),
     )
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("media_type", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-            T.StructField(
-                "meta",
-                T.StructType(
-                    [
-                        T.StructField("width", T.IntegerType(), True),
-                        T.StructField("height", T.IntegerType(), True),
-                        T.StructField("sample_rate", T.IntegerType(), True),
-                        T.StructField("duration_ms", T.IntegerType(), True),
-                        T.StructField("format", T.StringType(), True),
-                    ]
-                ),
-                False,
-            ),
-        ]
-    )
+    schema = SYNTH_ASSET_SCHEMA
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,6 +243,28 @@ def synth_wav_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def _y4m_base(spark: SparkSession, n: int, partitions: int) -> DataFrame:
+    """The pre-encode Y4M asset arithmetic (id → even dims, frame
+    count) — shared by the payload generator and y4m_dims so consumers
+    never re-run the encode stage just to read dimensions."""
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        ((F.col("id") % 3 + 1) * 2).cast("int").alias("w"),
+        ((F.col("id") % 2 + 1) * 2).cast("int").alias("h"),
+        (F.col("id") % 5 + 2).cast("int").alias("nf"),
+    )
+
+
+def y4m_dims(
+    spark: SparkSession, n: int = 128, partitions: int = 8
+) -> DataFrame:
+    """(asset_id, w, h) for the synthetic Y4M corpus, derived from the
+    generation arithmetic alone. Column pruning cannot reach through
+    mapInPandas, so selecting meta.width off synth_y4m_assets would
+    re-run the whole encode stage — this projection costs nothing."""
+    return _y4m_base(spark, n, partitions).select("asset_id", "w", "h")
+
+
 def synth_y4m_assets(
     spark: SparkSession, n: int = 128, partitions: int = 8
 ) -> DataFrame:
@@ -269,32 +277,8 @@ def synth_y4m_assets(
     stream walk, not a fixed offset."""
     import hashlib
 
-    base = spark.range(0, n, 1, partitions).select(
-        F.col("id").alias("asset_id"),
-        ((F.col("id") % 3 + 1) * 2).cast("int").alias("w"),
-        ((F.col("id") % 2 + 1) * 2).cast("int").alias("h"),
-        (F.col("id") % 5 + 2).cast("int").alias("nf"),
-    )
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("media_type", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-            T.StructField(
-                "meta",
-                T.StructType(
-                    [
-                        T.StructField("width", T.IntegerType(), True),
-                        T.StructField("height", T.IntegerType(), True),
-                        T.StructField("sample_rate", T.IntegerType(), True),
-                        T.StructField("duration_ms", T.IntegerType(), True),
-                        T.StructField("format", T.StringType(), True),
-                    ]
-                ),
-                False,
-            ),
-        ]
-    )
+    base = _y4m_base(spark, n, partitions)
+    schema = SYNTH_ASSET_SCHEMA
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -393,11 +393,10 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = mm.sample_frames(
         assets, every_ms=100, require_codec=True, codec=mm.PixmapCodec()
     )
-    dims = assets.select(
-        "asset_id",
-        F.col("meta.width").alias("w"),
-        F.col("meta.height").alias("h"),
-    )
+    # y4m_dims derives (w, h) from the generation arithmetic: column
+    # pruning cannot reach through mapInPandas, so reading meta off the
+    # assets frame would re-run the whole encode stage just for dims
+    dims = mm.y4m_dims(spark, n=128)
     return (
         mm.frame_luma_stats(frames, dims)
         .groupBy("asset_id")
@@ -453,7 +452,8 @@ _SCENE_DELTA = 10.0  # luma-mean jump that counts as a cut
 )
 def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection over the real Y4M frame walk: adjacent
-    frames whose luma-mean jump exceeds {_SCENE_DELTA} count as cuts —
+    frames whose luma-mean jump exceeds _SCENE_DELTA (10.0) count as
+    cuts —
     the scene-segmentation signal a video curation pipeline uses to
     pick representative frames and drop static clips. Composes the
     certified frame_luma_stats stage with a per-asset LAG window (tiny
@@ -466,11 +466,10 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = mm.sample_frames(
         assets, every_ms=100, require_codec=True, codec=mm.PixmapCodec()
     )
-    dims = assets.select(
-        "asset_id",
-        F.col("meta.width").alias("w"),
-        F.col("meta.height").alias("h"),
-    )
+    # y4m_dims derives (w, h) from the generation arithmetic: column
+    # pruning cannot reach through mapInPandas, so reading meta off the
+    # assets frame would re-run the whole encode stage just for dims
+    dims = mm.y4m_dims(spark, n=128)
     luma = mm.frame_luma_stats(frames, dims)
     w = Window.partitionBy("asset_id").orderBy("frame_idx")
     delta = F.abs(F.col("luma_mean") - F.lag("luma_mean").over(w))
@@ -487,6 +486,9 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("delta").alias("max_luma_delta"),
         )
     )
+
+
+# one int16 sample from the md5-cycled byte stream: little-endian pair
 # (lo = byte[(2(j-1)) % 16], hi = byte[(2(j-1)+1) % 16]), sign-adjusted
 _WAV_LO = (
     "CAST(('0x' || substr(hx, CAST(((j - 1) * 2) % 16 AS INT) * 2 + 1, 2))"
