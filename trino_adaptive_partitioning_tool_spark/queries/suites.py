@@ -430,6 +430,13 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["query_id", "vec_id", "rank"], ["cosine"]),
     ("multimodal_frame_sample",
      ["asset_id", "n_frames", "last_frame_ms"], []),
+    ("multimodal_jpeg_channel_stats",
+     ["n_channels", "channel", "n_assets"], ["avg_channel_mean"]),
+    ("multimodal_jpeg_decode_stats",
+     ["jpeg_mode", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
+    ("multimodal_mixed_corpus_stats",
+     ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
     ("multimodal_png_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
