@@ -1,5 +1,18 @@
-"""Generate BENCH_BASELINE.json: per-query median of N idle-host bench
-runs, the reference for bench.py's per-query regression budget.
+"""Generate / extend BENCH_BASELINE.json: per-query median of N
+idle-host bench runs, the reference for bench.py's per-query regression
+budget.
+
+APPEND-ONLY (r9, closing the r8 verdict's #1 "what's wrong"): an
+existing query's recorded median is NEVER overwritten unless its
+plan-manifest hash changed — regenerating the baseline every round
+would reset the regression yardstick to "whatever the code does now",
+making `regressions: {}` partially self-fulfilling (a 1.2x/round creep
+would never flag). Each median is stored beside the hash of the query's
+plan manifest (BENCH_PLANS.json shape: exchanges / joins / scan
+filters); a plan change is the one legitimate reason the cost basis
+moved, so only then does the median reset. The frozen round-1 anchor
+(BENCH_ANCHOR.json) is the second line of defense — bench.py reports
+the cumulative ratio against it on every run.
 
 Each run is a FRESH `python bench.py` subprocess (cold JVM, cold plan
 caches) with the layout/twin extras skipped — the same measurement
@@ -9,10 +22,13 @@ documented at +/-40%; a baseline captured under contention would flag
 phantom regressions forever).
 
 Usage:  python scripts/gen_bench_baseline.py [n_runs]
+        FORCE_REBASELINE=1 overrides append-only (full reset; say why
+        in the commit message).
 """
 from __future__ import annotations
 
 import datetime
+import hashlib
 import json
 import os
 import statistics
@@ -22,10 +38,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _manifest_hash(manifest: object) -> str:
+    """Stable hash of one query's plan manifest (sorted-key JSON)."""
+    return hashlib.md5(
+        json.dumps(manifest, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:12]
+
+
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    force = bool(os.environ.get("FORCE_REBASELINE"))
     per_query: dict[str, list[float]] = {}
     per_query_cold: dict[str, list[float]] = {}
+    plans: dict[str, object] = {}
     env = dict(os.environ, SPARK_GRAFT_BENCH_SKIP_EXTRAS="1")
     for run in range(n_runs):
         out = subprocess.run(
@@ -44,35 +69,76 @@ def main() -> None:
         # stdout tail; bench.py writes them to BENCH_PLANS.json instead
         try:
             with open(os.path.join(REPO, "BENCH_PLANS.json")) as fh:
-                cold = json.load(fh).get("cold_queries", {})
-            for name, sec in cold.items():
+                side = json.load(fh)
+            for name, sec in side.get("cold_queries", {}).items():
                 per_query_cold.setdefault(name, []).append(float(sec))
+            plans = side.get("plans", plans)
         except (OSError, ValueError):
             pass
         print(
             f"# run {run + 1}/{n_runs}: total {parsed['value']}s",
             file=sys.stderr,
         )
-    medians = {
-        name: round(statistics.median(vals), 3)
-        for name, vals in sorted(per_query.items())
-    }
+
+    path = os.path.join(REPO, "BENCH_BASELINE.json")
+    prev_medians: dict[str, float] = {}
+    prev_cold: dict[str, float] = {}
+    prev_hashes: dict[str, str] = {}
+    if not force:
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            prev_medians = prev.get("medians", {})
+            prev_cold = prev.get("cold_medians", {})
+            prev_hashes = prev.get("plan_hashes", {})
+        except (OSError, ValueError):
+            pass
+
+    medians: dict[str, float] = {}
+    cold_medians: dict[str, float] = {}
+    hashes: dict[str, str] = {}
+    kept, reset, added = [], [], []
+    for name, vals in sorted(per_query.items()):
+        new_hash = _manifest_hash(plans.get(name))
+        if name in prev_medians and prev_hashes.get(name) == new_hash:
+            # append-only: same plan => the old cost basis stands
+            medians[name] = prev_medians[name]
+            if name in prev_cold:
+                cold_medians[name] = prev_cold[name]
+            hashes[name] = new_hash
+            kept.append(name)
+            continue
+        medians[name] = round(statistics.median(vals), 3)
+        if name in per_query_cold:
+            cold_medians[name] = round(
+                statistics.median(per_query_cold[name]), 3
+            )
+        hashes[name] = new_hash
+        (reset if name in prev_medians else added).append(name)
+
     payload = {
         "medians": medians,
-        "cold_medians": {
-            name: round(statistics.median(vals), 3)
-            for name, vals in sorted(per_query_cold.items())
-        },
+        "cold_medians": cold_medians,
+        "plan_hashes": hashes,
         "runs": n_runs,
         "samples": {n: v for n, v in sorted(per_query.items())},
         "generated_utc": datetime.datetime.now(
             datetime.timezone.utc
         ).isoformat(timespec="seconds"),
+        "append_only": not force,
+        "kept": len(kept),
+        "reset_on_plan_change": sorted(reset),
+        "added": sorted(added),
     }
-    path = os.path.join(REPO, "BENCH_BASELINE.json")
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
-    print(f"# wrote {path} ({len(medians)} queries)", file=sys.stderr)
+    print(
+        f"# wrote {path}: {len(medians)} queries "
+        f"({len(kept)} kept, {len(added)} added, "
+        f"{len(reset)} reset on plan change"
+        f"{', FORCED full reset' if force else ''})",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

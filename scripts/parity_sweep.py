@@ -23,8 +23,16 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 args = sys.argv[1:]
-SF = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
-filters = [a for a in args if "/" not in a]
+# the sf_dir argument is whatever first arg names an actual directory
+# (a bare relative name like "sf0.1" counts); everything else is a
+# query-name filter — the old "/"-in-string heuristic silently routed
+# a relative sf_dir into the filter list and swept the default dir
+if args and (os.path.isdir(args[0]) or "/" in args[0]):
+    SF = os.path.abspath(args[0])
+    filters = args[1:]
+else:
+    SF = "/root/testdata/sf0.1"
+    filters = args
 
 # table_file_metadata (and the digest folding it) resolves parquet
 # footer paths at registration time against PARITY_SF_DIR — pin it to

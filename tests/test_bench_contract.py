@@ -153,3 +153,58 @@ def test_huge_regression_names_cannot_bust_envelope():
     assert len(final.encode()) <= TAIL_BUDGET
     rec = json.loads(final)
     assert rec["regressions"]["_elided"] >= 20
+
+
+def test_watch_and_anchor_keys_present_and_bounded():
+    """r9: the final line carries the report-only drift telemetry —
+    `watch` (over-budget-but-under-floor ratios, worst-first, capped)
+    and `anchor_ratio_r1` (cumulative ratio vs the frozen round-1
+    anchor) — without busting the tail budget at 200+ queries."""
+    timings = {
+        f"some_longish_query_name_{i:03d}": 0.1 + (i % 17) / 10
+        for i in range(220)
+    }
+    watch = {f"some_longish_query_name_{i:03d}": 1.5 + i / 50
+             for i in range(30)}
+    lines = emit_output_lines(
+        total=sum(timings.values()), timings=timings,
+        layout_speedup=1.3, scan_scaling_x=7.0, regressions={},
+        missing_baseline=[], sf=0.1, watch=watch, anchor_ratio_r1=0.41,
+    )
+    full, final = json.loads(lines[0]), json.loads(lines[-1])
+    assert full["watch"] == dict(
+        sorted(watch.items(), key=lambda kv: -kv[1])
+    )
+    assert full["anchor_ratio_r1"] == 0.41
+    assert len(lines[-1].encode()) <= TAIL_BUDGET
+    assert final["anchor_ratio_r1"] == 0.41
+    kept_watch = final["watch"]
+    assert 0 < len(kept_watch) <= 8
+    # worst-first: the kept entries are exactly the highest ratios
+    worst = sorted(watch.values(), reverse=True)[: len(kept_watch)]
+    assert sorted(kept_watch.values(), reverse=True) == worst
+    # value/regressions/sf still the LAST keys (truncation contract)
+    assert list(final)[-3:] == ["value", "regressions", "sf"]
+
+
+def test_watch_yields_envelope_space_before_regressions():
+    """When the envelope is tight, watch entries are dropped before any
+    regression entry — regressions are the gating signal."""
+    timings = {f"q_{i:03d}": 0.5 for i in range(100)}
+    longname = "verylongqueryname_" + "x" * 60
+    regressions = {
+        f"{longname}_r{i:02d}": {"sec": 1.0, "median": 0.5, "x": 2.0}
+        for i in range(15)
+    }
+    watch = {f"{longname}_w{i:02d}": 1.6 for i in range(8)}
+    final = emit_output_lines(
+        total=50.0, timings=timings, layout_speedup=None,
+        scan_scaling_x=None, regressions=regressions,
+        missing_baseline=[], sf=0.1, watch=watch, anchor_ratio_r1=1.0,
+    )[-1]
+    assert len(final.encode()) <= TAIL_BUDGET
+    rec = json.loads(final)
+    # all 15 regressions survive; watch gave way
+    kept_reg = {k for k in rec["regressions"] if k != "_elided"}
+    assert len(kept_reg) == 15
+    assert len(rec["watch"]) < 8

@@ -21,6 +21,10 @@ def server(spark):
     t.start()
     yield srv
     srv.shutdown()
+    # full lifecycle: release the socket AND this server's cache ref
+    # (eviction is refcounted per (app_id, sf_dir) — a shut-down-but-
+    # never-closed server would pin the clustering caches forever)
+    srv.server_close()
 
 
 def _get(server, path: str):
@@ -106,20 +110,31 @@ def test_query_endpoint_ignores_sf_dir_override(server):
     assert len(json.loads(body)["rows"]) == 20  # served from self.sf_dir
 
 
-def test_server_close_evicts_clustering_caches(spark):
+def test_server_close_evicts_clustering_caches_refcounted(spark):
     """A long-lived dashboard server must release this sf_dir's
     session-memoized fits and persisted assignment frames on close
-    (r7 advice: the caches otherwise accumulate per sf_dir forever)."""
+    (r7 advice: the caches otherwise accumulate per sf_dir forever) —
+    but ONLY when it is the LAST server on that (app_id, sf_dir): with
+    two concurrent servers, closing one must not drop fits the other
+    (or a concurrent bench) still uses (r8 advice). Runs on its own
+    sf_dir so the module fixture's server can't interfere."""
+    from conftest import PARITY_SF_DIR
     from trino_adaptive_partitioning_tool_spark.queries import (
         clustering as qc,
     )
 
-    srv = live.serve_dashboard(spark, SMOKE_SF_DIR, port=0)
+    app = spark.sparkContext.applicationId
+    srv_a = live.serve_dashboard(spark, PARITY_SF_DIR, port=0)
+    srv_b = live.serve_dashboard(spark, PARITY_SF_DIR, port=0)
     try:
-        qc._assignments(spark, SMOKE_SF_DIR)
-        app = spark.sparkContext.applicationId
-        assert (app, SMOKE_SF_DIR) in qc._ASSIGN_CACHE
+        qc._assignments(spark, PARITY_SF_DIR)
+        assert (app, PARITY_SF_DIR) in qc._ASSIGN_CACHE
     finally:
-        srv.server_close()
-    assert (app, SMOKE_SF_DIR) not in qc._ASSIGN_CACHE
-    assert (app, SMOKE_SF_DIR) not in qc._FIT_CACHE
+        srv_a.server_close()
+        srv_a.server_close()  # double close must not double-decrement
+        # first close: the sibling server still owns the caches
+        assert (app, PARITY_SF_DIR) in qc._ASSIGN_CACHE
+        srv_b.server_close()
+    # last close: evicted
+    assert (app, PARITY_SF_DIR) not in qc._ASSIGN_CACHE
+    assert (app, PARITY_SF_DIR) not in qc._FIT_CACHE

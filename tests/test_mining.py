@@ -361,6 +361,8 @@ _F_UNNEST_COLS = ["u_c1", "u_c2", "u_c3"]
 # output names come from disjoint pools so suppression stays exact
 _F_VALUES_ALIASES = ["v_t1", "v_t2"]
 _F_VALUES_COLS = ["v_c1", "v_c2", "v_c3"]
+# r9: MATCH_RECOGNIZE MEASURES output names (disjoint, like the rest)
+_F_MR_OUTS = ["mr_o1", "mr_o2"]
 
 
 def _fz_merge(dst, src):
@@ -380,12 +382,38 @@ def _fz_column(draw):
 
 @st.composite
 def _fz_table_source(draw, depth, exp, ctes):
-    kinds = ["base", "base", "sampled", "unnest", "values", "rowsfrom"]
+    kinds = ["base", "base", "sampled", "unnest", "values", "rowsfrom",
+             "mr"]
     if ctes:
         kinds.append("cte")
     if depth > 0:
         kinds.append("derived")
     kind = draw(st.sampled_from(kinds))
+    if kind == "mr":
+        # MATCH_RECOGNIZE over a base table (r9): PARTITION BY mines as
+        # a join (co-location) signal, ORDER BY and DEFINE predicate
+        # refs as where signals; pattern vars / MEASURES outputs /
+        # navigation calls contribute nothing. MEASURES output names
+        # come from a disjoint pool so suppression stays exact.
+        t = draw(st.sampled_from(_F_TABLES))
+        exp["tables"].add(t)
+        pcol = draw(st.sampled_from(_F_COLS))
+        ocol = draw(st.sampled_from(_F_COLS))
+        dcol = draw(st.sampled_from(_F_COLS))
+        exp["join"].update([pcol[1]])
+        exp["where"].update([ocol[1], dcol[1], dcol[1]])
+        mr_out = draw(st.sampled_from(_F_MR_OUTS))
+        alias = draw(st.sampled_from(_F_ALIASES))
+        as_kw = "AS " if draw(st.booleans()) else ""
+        return (
+            f"{t} MATCH_RECOGNIZE("
+            f" PARTITION BY {pcol[0]} ORDER BY {ocol[0]} DESC"
+            f" MEASURES A.{dcol[0]} AS {mr_out}"
+            f" ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+            f" PATTERN (A B+)"
+            f" DEFINE B AS B.{dcol[0]} > PREV(B.{dcol[0]})"
+            f") {as_kw}{alias}"
+        )
     if kind == "values":
         # Trino VALUES derived table: no base-table scan, and the
         # t(cols) output names are derived columns — never phantom
@@ -749,20 +777,44 @@ def test_values_derived_table_no_phantom_columns():
 
 
 def test_values_without_as_keyword():
+    """r9 semantics: derived-output names suppress only QUALIFIED
+    references. A BARE reference to a derived-only name (`x` below)
+    now counts — on realistic logs a bare name colliding with a real
+    column is usually a pass-through of that column, and a derived-only
+    phantom drops out downstream where mined counts join against real
+    table/column metadata. Qualified refs (t.x) stay suppressed."""
     m = mining.mine_statement(
         "SELECT * FROM (VALUES (1), (2)) t(x) WHERE x > 1"
     )
     assert m["tables"] == []
-    assert dict(m["where_columns"]) == {}
+    assert dict(m["where_columns"]) == {"x": 1}
+    # the unambiguous form: a qualified ref to the derived output
+    m2 = mining.mine_statement(
+        "SELECT * FROM (VALUES (1), (2)) t(x) WHERE t.x > 1"
+    )
+    assert dict(m2["where_columns"]) == {}
 
 
 def test_rows_from_not_mined_as_table():
     m = mining.mine_statement(
         "SELECT a FROM ROWS FROM (my_func(1), other_func('x')) "
-        "WITH ORDINALITY AS t(a, b, ord) WHERE a > 0"
+        "WITH ORDINALITY AS t(a, b, ord) WHERE t.a > 0"
     )
     assert m["tables"] == []
     assert dict(m["where_columns"]) == {}
+
+
+def test_derived_passthrough_column_stays_countable():
+    """The r8-advice motivating case: a derived table passes a REAL
+    column through under its own name; the outer bare-name filter is a
+    genuine signal on that column and must count (the old scope-wide
+    suppression starved the advisor of it)."""
+    m = mining.mine_statement(
+        "SELECT * FROM (SELECT o_orderdate FROM orders) t(o_orderdate) "
+        "WHERE o_orderdate > DATE '1995-01-01'"
+    )
+    assert m["tables"] == ["orders"]
+    assert dict(m["where_columns"]) == {"o_orderdate": 1}
 
 
 def test_rows_from_joined_with_base_table():
@@ -774,11 +826,16 @@ def test_rows_from_joined_with_base_table():
     assert dict(m["where_columns"]) == {"l_quantity": 1}
 
 
-def test_match_recognize_define_does_not_suppress_real_columns():
-    """r8 second-review regression: DEFINE's `var AS predicate` puts
-    the PREDICATE after AS — harvesting it as an alias suppressed the
-    predicate's base column scope-wide. Only MEASURES `expr AS name`
-    pairs (at the block's top nesting level) may register."""
+def test_match_recognize_sections_mined_for_partition_worthy_columns():
+    """r9 (verdict #6): the MR block's PARTITION BY / ORDER BY / DEFINE
+    sections reference exactly the partition-worthy base columns the
+    advisor wants from pattern queries — PARTITION BY mines as a join
+    (co-location) signal, ORDER BY and DEFINE predicates as where
+    (range/filter) signals. DEFINE's `var AS predicate` keeps the r8
+    fix: the pattern VARIABLE before AS never registers or counts, and
+    the predicate after AS is mined as columns, not harvested as an
+    alias. Pattern-var qualifiers (B.totalprice) strip like alias
+    qualifiers; navigation funcs (PREV/LAST) skip like any call."""
     m = mining.mine_statement(
         "SELECT * FROM orders MATCH_RECOGNIZE("
         " PARTITION BY custkey ORDER BY orderdate"
@@ -787,18 +844,26 @@ def test_match_recognize_define_does_not_suppress_real_columns():
         " DEFINE B AS B.totalprice > PREV(B.totalprice)"
         ") AS m WHERE totalprice > 100 AND custkey = 7"
     )
-    assert dict(m["where_columns"]) == {"totalprice": 1, "custkey": 1}
+    # join: the MR partition key; where: ORDER BY ts + DEFINE refs
+    # (totalprice twice inside DEFINE) + the outer WHERE pair
+    assert dict(m["join_columns"]) == {"custkey": 1}
+    assert dict(m["where_columns"]) == {
+        "totalprice": 3, "orderdate": 1, "custkey": 1,
+    }
     # ...while the MEASURES outputs stay suppressed outside the block
+    # for QUALIFIED references (m.start_price)
     m2 = mining.mine_statement(
         "SELECT m.start_price FROM orders MATCH_RECOGNIZE("
         " MEASURES A.totalprice AS start_price ONE ROW PER MATCH"
         " PATTERN (A) DEFINE A AS A.totalprice > 1"
         ") AS m WHERE m.start_price > 5 AND o_orderkey = 1"
     )
-    assert dict(m2["where_columns"]) == {"o_orderkey": 1}
+    assert dict(m2["where_columns"]) == {
+        "totalprice": 1, "o_orderkey": 1,
+    }
 
 
-def test_match_recognize_hard_skipped_with_counted_warning():
+def test_match_recognize_pattern_vars_never_counted_and_warned():
     m = mining.mine_statement(
         "SELECT m.userid FROM orders MATCH_RECOGNIZE ("
         " PARTITION BY custkey ORDER BY orderdate"
@@ -810,10 +875,16 @@ def test_match_recognize_hard_skipped_with_counted_warning():
         ") AS m WHERE m.userid > 10"
     )
     assert m["tables"] == ["orders"]
-    # pattern variables and DEFINE predicates never mined as columns
-    assert "totalprice" not in m["where_columns"]
+    # pattern variables themselves never mine as columns; MEASURES
+    # expressions (select-list projections) don't either
+    assert "a" not in m["where_columns"]
     assert "b" not in m["where_columns"] and "c" not in m["where_columns"]
+    assert dict(m["join_columns"]) == {"custkey": 1}
+    assert dict(m["where_columns"]) == {
+        "orderdate": 1, "totalprice": 3, "userid": 1,
+    }
+    # the pattern semantics (quantifiers/exclusions) stay outside what
+    # a tokenizer certifies: the counted warning row remains
     assert dict(m["skipped"]) == {"match_recognize": 1}
-    # the warning surfaces as a mined row
     rows = mining._explode_mined("q9", m)
     assert ("q9", "skipped_construct", "match_recognize", 1) in rows

@@ -138,14 +138,30 @@ def _mine_tokens(
     where_cols: Counter,
     outer_aliases: frozenset[str],
     skipped: Counter | None = None,
+    outer_derived: frozenset[str] = frozenset(),
 ) -> None:
     """Recursive token walk: mines one SELECT/WITH scope, descending into
     derived tables and predicate subqueries (the reference's sqlglot
     walks the whole statement tree the same way — a flat scan would miss
     base tables and filters inside them). Aliases and CTE names are
-    scoped: inherited from enclosing scopes, never leaked back out."""
+    scoped: inherited from enclosing scopes, never leaked back out.
+
+    Two suppression sets with different reach (r8 advice): ``aliases``
+    (table aliases, CTE names) suppress BARE references — a bare `t`
+    in an expression is a table ref, never a column. Derived-OUTPUT
+    column names (`t(x, y)` lists, MEASURES aliases) live in
+    ``derived_cols`` and suppress only QUALIFIED references
+    (`alias.x`): a bare mention of a name that collides with a real
+    base-table column is, on realistic logs, usually a pass-through of
+    that very column (SELECT price ... then WHERE price > 10), so
+    suppressing it scope-wide starves the advisor of a genuine
+    signal; a qualified reference to a derived name is unambiguous.
+    The cost is a phantom count when a derived-ONLY name is referenced
+    bare — harmless downstream, where mined counts join against real
+    table/column metadata and phantoms drop out."""
     low = [t.lower() for t in toks]
     aliases: set[str] = set(outer_aliases)
+    derived_cols: set[str] = set(outer_derived)
     if skipped is None:
         skipped = Counter()
 
@@ -180,7 +196,7 @@ def _mine_tokens(
         if inner and inner[0].lower() in ("select", "with"):
             _mine_tokens(
                 inner, tables, join_cols, where_cols, frozenset(aliases),
-                skipped,
+                skipped, frozenset(derived_cols),
             )
         return end
 
@@ -283,8 +299,14 @@ def _mine_tokens(
                     i += 1
                     continue
                 name = _base_column(toks[i])
-                if name not in aliases and not any(
-                    name in p for _d, p in lambda_stack
+                # derived-output names suppress only QUALIFIED refs
+                # (alias.x is unambiguously the derived column); bare
+                # collisions with real columns stay countable
+                qualified = len(_SEGMENT_RE.findall(toks[i])) > 1
+                if (
+                    name not in aliases
+                    and not (qualified and name in derived_cols)
+                    and not any(name in p for _d, p in lambda_stack)
                 ):
                     sink[name] += 1
             i += 1
@@ -329,7 +351,7 @@ def _mine_tokens(
                 end = _skip_parens(toks, i)
                 for t in toks[i + 1 : end - 1]:
                     if _is_identifier(t):
-                        aliases.add(_base_name(t))
+                        derived_cols.add(_base_name(t))
                 i = end
         return i
 
@@ -358,7 +380,7 @@ def _mine_tokens(
                 end = _skip_parens(toks, i)
                 for t in toks[i + 1 : end - 1]:
                     if _is_identifier(t):
-                        aliases.add(_base_name(t))
+                        derived_cols.add(_base_name(t))
                 i = end
         return i
 
@@ -387,7 +409,7 @@ def _mine_tokens(
                 end = _skip_parens(toks, i)
                 for t in toks[i + 1 : end - 1]:
                     if _is_identifier(t):
-                        aliases.add(_base_name(t))
+                        derived_cols.add(_base_name(t))
                 i = end
         return i
 
@@ -466,42 +488,83 @@ def _mine_tokens(
             and i + 1 < len(toks)
             and toks[i + 1] == "("
         ):
-            # Trino row-pattern recognition: the block's PATTERN
-            # variables and DEFINE predicates reference pattern rows,
-            # not base-table columns — mining them would fabricate
-            # phantom columns. HARD-SKIP the whole block with a counted
-            # warning (surfaces as a `skipped_construct` mined row),
-            # register the MEASURES output names so OUTER references
-            # like m.measure_name don't mine as phantom base columns,
-            # then the optional alias. Only `expr AS name` pairs at the
-            # block's top nesting level INSIDE the MEASURES section
-            # register: `DEFINE B AS B.totalprice > ...` has the
-            # PREDICATE after AS (harvesting it would suppress a real
-            # column scope-wide — r8 second-review regression), and
-            # `CAST(x AS type)` hides behind parens (depth > 0).
+            # Trino row-pattern recognition, mined section by section
+            # (r8 verdict "next round" #6 — these are exactly the
+            # partition-worthy columns a pattern query exposes):
+            #   PARTITION BY cols -> join_cols (the co-location key the
+            #     advisor prices like a join/bucket key);
+            #   ORDER BY cols -> where_cols (the time axis — the range
+            #     signal day()/month() transforms feed on);
+            #   DEFINE predicates -> where_cols (row filters; pattern-
+            #     variable names before AS are skipped — `DEFINE B AS
+            #     B.totalprice > ...` puts the PREDICATE after AS,
+            #     harvesting it as an alias was the r8 second-review
+            #     regression — and navigation funcs PREV()/NEXT()/...
+            #     skip under the usual ident-followed-by-( rule, while
+            #     B.totalprice strips its pattern-var qualifier the
+            #     same way alias.col does);
+            #   MEASURES `expr AS name` output names -> derived_cols
+            #     (outer references like m.name are not base columns);
+            #     measure EXPRESSION refs are select-list projections,
+            #     which this miner never counts anywhere;
+            #   PATTERN / SUBSET / AFTER MATCH -> skipped (pattern
+            #     variables, not columns).
+            # The counted `skipped_construct` row stays: the block's
+            # pattern semantics (quantifiers, exclusions) are still
+            # outside what a tokenizer certifies.
             skipped["match_recognize"] += 1
             end = _skip_parens(toks, i + 1)
-            _MR_SECTIONS = ("partition", "order", "one", "all", "after",
-                            "pattern", "subset", "define")
+            _MR_SECTIONS = {"partition", "order", "measures", "one",
+                            "all", "after", "pattern", "subset", "define"}
+            _MR_NOISE = {"by", "asc", "desc", "nulls", "first", "last",
+                         "match", "row", "rows", "per", "skip", "to",
+                         "next", "past", "initial", "seek", "and", "or",
+                         "not", "between", "in", "is", "null", "true",
+                         "false", "prev", "cast", "as"}
             depth = 0
-            in_measures = False
+            section = ""
+            expect_var = False  # in DEFINE: next identifier is a
+            # pattern variable, not a column
             for j in range(i + 2, end - 1):
                 if toks[j] == "(":
                     depth += 1
-                elif toks[j] == ")":
+                    continue
+                if toks[j] == ")":
                     depth -= 1
-                elif depth == 0:
-                    if low[j] == "measures":
-                        in_measures = True
-                    elif low[j] in _MR_SECTIONS:
-                        in_measures = False
-                    elif (
-                        in_measures
+                    continue
+                if depth == 0 and low[j] in _MR_SECTIONS:
+                    section = low[j]
+                    expect_var = section == "define"
+                    continue
+                if section == "measures":
+                    if (
+                        depth == 0
                         and low[j] == "as"
                         and j + 1 < end - 1
                         and _is_identifier(toks[j + 1])
                     ):
-                        aliases.add(_base_name(toks[j + 1]))
+                        derived_cols.add(_base_name(toks[j + 1]))
+                    continue
+                if section not in ("partition", "order", "define"):
+                    continue
+                if section == "define" and depth == 0 and toks[j] == ",":
+                    expect_var = True
+                    continue
+                if not _is_identifier(toks[j]) or low[j] in _MR_NOISE:
+                    continue
+                if j + 1 < end and toks[j + 1] == "(":
+                    continue  # function call (PREV/LAST/aggregates)
+                if section == "define" and expect_var:
+                    expect_var = False
+                    continue  # the pattern variable being defined
+                name = _base_column(toks[j])
+                qualified = len(_SEGMENT_RE.findall(toks[j])) > 1
+                if name in aliases or (
+                    qualified and name in derived_cols
+                ):
+                    continue
+                (join_cols if section == "partition"
+                 else where_cols)[name] += 1
             i = end
             if i < len(low) and low[i] == "as":
                 i += 1

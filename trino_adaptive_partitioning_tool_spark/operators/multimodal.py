@@ -781,6 +781,11 @@ class PixmapCodec:
         while pos + 8 <= len(payload):
             cid, size = struct.unpack_from("<4sI", payload, pos)
             body = payload[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                # a truncated data chunk that stays frame-aligned would
+                # otherwise decode to wrong-but-plausible stats — this
+                # codec never fakes a result
+                raise ValueError(f"truncated WAV chunk ({cid!r})")
             if cid == b"fmt ":
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
             elif cid == b"data":

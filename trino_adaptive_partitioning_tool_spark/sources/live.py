@@ -185,6 +185,14 @@ class _Handler(BaseHTTPRequestHandler):
         return html.replace("<body>", "<body>" + toolbar, 1)
 
 
+# live servers per (applicationId, sf_dir): the clustering fit caches
+# are keyed the same way, so eviction on close must wait for the LAST
+# server sharing the key — closing one of two concurrent dashboards
+# (or one racing a bench on the same sf_dir) used to drop fits still
+# in use and trigger silent re-fits (r8 advice)
+_SERVER_REFS: dict[tuple[str, str], int] = {}
+
+
 def serve_dashboard(
     spark: SparkSession, sf_dir: str, port: int = 0
 ) -> ThreadingHTTPServer:
@@ -194,20 +202,32 @@ def serve_dashboard(
     additionally releases this sf_dir's session-memoized clustering
     fits and persisted assignment frames (queries/clustering caches) —
     a long-lived server cycling through many sf_dirs must not
-    accumulate executor memory (r7 advice)."""
+    accumulate executor memory (r7 advice). Eviction is
+    reference-counted per (applicationId, sf_dir): with several servers
+    (or repeated open/close cycles) on the same key, only the last
+    close evicts."""
     handler = type(
         "BoundHandler", (_Handler,), {"spark": spark, "sf_dir": sf_dir}
     )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _SERVER_REFS[key] = _SERVER_REFS.get(key, 0) + 1
 
     class _Server(ThreadingHTTPServer):
+        _closed = False
+
         def server_close(self) -> None:  # noqa: D102 - stdlib contract
             super().server_close()
+            if self._closed:
+                return  # stdlib allows repeated close; decrement once
+            self._closed = True
+            _SERVER_REFS[key] = _SERVER_REFS.get(key, 1) - 1
+            if _SERVER_REFS[key] > 0:
+                return  # other servers still share this key's caches
+            _SERVER_REFS.pop(key, None)
             try:
                 from ..queries.clustering import evict_fit_caches
 
-                evict_fit_caches(
-                    app_id=spark.sparkContext.applicationId, sf_dir=sf_dir
-                )
+                evict_fit_caches(app_id=key[0], sf_dir=sf_dir)
             except Exception:
                 pass  # eviction is best-effort; closing must not raise
 
