@@ -285,3 +285,105 @@ def test_kmeans_fit_rejects_unknown_init(spark):
         C.kmeans_fit(emb, k=2, iters=1, init="farthest")
     with _pytest.raises(ValueError, match="unknown init"):
         C.kmeans_oracle_cte(2, 1, init="Greedy")
+
+
+def test_split_oversized_refines_giant_cluster_bounded_pairs(spark):
+    """r9 (verdict #3): the opt-in remediation path. One giant cluster
+    (60 vectors, ceiling 20) is sub-clustered instead of aborting:
+    pair volume drops from quadratic (1770) to the bounded sum over
+    sub-clusters; the split is a pure REFINEMENT (members preserved,
+    fresh ids past the parent range, healthy clusters untouched); and
+    the sub-fit replays bit-for-bit in DuckDB via the same unrolled
+    Lloyd CTE that certifies the parent fit."""
+    import duckdb
+    import pandas as pd
+
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    # 4 interleaved well-separated blobs: seeds (lowest 8 ids) cover
+    # every blob, so no sub-cluster can capture more than one blob
+    vecs = [
+        (i, [1000.0 * (i % 4) + float(i // 4), 0.0]) for i in range(60)
+    ]
+    vectors = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(60)] + [(100 + i, 7) for i in range(5)],
+        "vec_id long, cluster int",
+    )
+    healthy = {100 + i for i in range(5)}
+    all_vectors = vectors.unionByName(
+        spark.createDataFrame(
+            [(100 + i, [9.9e6 + i, 0.0]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    out = qc.split_oversized_assignments(
+        assigned, all_vectors, ceiling=20, sub_k=8
+    ).collect()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    # refinement: every member kept exactly once
+    assert set(got) == set(range(60)) | healthy
+    # healthy cluster untouched
+    assert all(got[v] == 7 for v in healthy)
+    # fresh ids past the parent range (max parent id 7 -> base 8)
+    split_ids = {got[v] for v in range(60)}
+    assert min(split_ids) >= 8
+    # bounded: every sub-cluster under the ceiling, and total pair
+    # volume collapses from the quadratic 60*59/2 = 1770
+    from collections import Counter
+
+    sizes = Counter(got[v] for v in range(60))
+    assert max(sizes.values()) <= 20
+    pairs = sum(n * (n - 1) // 2 for n in sizes.values())
+    assert pairs < 1770 / 4
+    # determinism: a second run splits identically (no RNG anywhere)
+    out2 = qc.split_oversized_assignments(
+        assigned, all_vectors, ceiling=20, sub_k=8
+    ).collect()
+    assert {r["vec_id"]: r["cluster"] for r in out2} == got
+
+    # cross-engine: the sub-fit is the SAME certified integer-lattice
+    # Lloyd's — replay it in DuckDB over the giant cluster's members
+    # and demand the identical (vec_id, sub_cluster) map
+    con = duckdb.connect()
+    con.register(
+        "split_fixture",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in vecs],
+             "embedding": [e for _, e in vecs]}
+        ),
+    )
+    cte, final = C.kmeans_oracle_cte(
+        k=8, iters=3, dim=2, table="split_fixture"
+    )
+    oracle = {
+        int(v): int(c)
+        for v, c in con.execute(
+            f"WITH {cte} SELECT vec_id, cluster FROM {final}"
+        ).fetchall()
+    }
+    assert {v: got[v] - 8 for v in range(60)} == oracle
+
+
+def test_semdedup_split_mode_matches_registered_result(spark):
+    """Both modes green: at a healthy operating point (no cluster over
+    the ceiling) the auto-split path is a no-op and must reproduce the
+    registered guard-mode result row-for-row — the property that keeps
+    split mode hash-green against the registered oracle."""
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    base = sorted(
+        (r["vec_id"], r["label"])
+        for r in qc.semdedup_keep_canonical(spark, SMOKE_SF_DIR).collect()
+    )
+    split = sorted(
+        (r["vec_id"], r["label"])
+        for r in qc._semdedup(
+            spark, SMOKE_SF_DIR, split_oversized=True
+        ).collect()
+    )
+    assert base == split and len(base) > 0

