@@ -182,3 +182,26 @@ def test_extras_sections_render(spark, results):
     assert "Workload drift" in out
     # the advice rows actually rendered (a known join column appears)
     assert "l_orderkey" in out
+
+
+def test_bench_health_section_renders_watch_and_anchor(tmp_path):
+    """r9: the perf-drift telemetry (anchor ratio, regressions, watch
+    list) renders from the bench artifacts; absent artifacts render
+    nothing (fresh clone)."""
+    import json
+
+    assert dashboard.bench_health_section(str(tmp_path)) == ""
+    (tmp_path / "BENCH_PLANS.json").write_text(json.dumps({
+        "warm_queries": {"q_a": 0.5, "q_b": 0.3},
+        "anchor_ratio_r1": 0.41,
+        "regressions": {"q_a": {"sec": 0.5, "median": 0.2, "x": 2.5}},
+        "watch": {"q_b": 1.73},
+    }))
+    html = dashboard.bench_health_section(str(tmp_path))
+    assert "Benchmark health" in html
+    assert "0.41" in html
+    assert "q_a" in html and "2.5" in html      # regression row
+    assert "Watch list" in html and "1.73" in html
+    # malformed artifact: still no crash, no section
+    (tmp_path / "BENCH_PLANS.json").write_text("{not json")
+    assert dashboard.bench_health_section(str(tmp_path)) == ""

@@ -262,9 +262,68 @@ def _tiles(metrics: list[tuple[str, Any]]) -> str:
     return f"<div class='tiles'>{tiles}</div>"
 
 
+def bench_health_section(bench_dir: str | None = None) -> str:
+    """Perf-drift evidence rendered from the bench artifacts (r8 verdict
+    #2's visibility ask): the frozen round-1 anchor ratio, the flagged
+    regressions, and the report-only watch list (queries over their
+    multiplicative budget but absorbed by the additive noise floor) —
+    readable without opening BENCH_PLANS.json. Best-effort: absent or
+    unparsable artifacts render nothing (a fresh clone has no bench
+    run yet)."""
+    import json as _json
+    import os as _os
+
+    base = bench_dir or _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "..", ".."
+    )
+    try:
+        with open(_os.path.join(base, "BENCH_PLANS.json")) as fh:
+            side = _json.load(fh)
+    except (OSError, ValueError):
+        return ""
+    watch = side.get("watch") or {}
+    regressions = side.get("regressions") or {}
+    anchor = side.get("anchor_ratio_r1")
+    n_queries = len(side.get("warm_queries") or {})
+    tiles = _tiles(
+        [
+            ("benched queries", n_queries),
+            ("anchor ratio vs r1", anchor if anchor is not None else "n/a"),
+            ("regressions flagged", len(regressions)),
+            ("watch (under noise floor)", len(watch)),
+        ]
+    )
+    parts = [
+        "<h2>Benchmark health</h2>",
+        "<p class='note'>anchor ratio = this run's total over the FROZEN"
+        " round-1 medians on the shared query set (cannot be reset by"
+        " baseline regeneration); watch = queries &ge; budget over their"
+        " median that the additive noise floor absorbed — report-only"
+        " drift telemetry.</p>",
+        tiles,
+    ]
+    if regressions:
+        rows = [
+            {"query": n, "x over median": v.get("x"),
+             "sec": v.get("sec"), "median": v.get("median")}
+            for n, v in sorted(regressions.items())
+        ]
+        parts.append("<h3>Regressions</h3>")
+        parts.append(_table(rows, ["query", "x over median", "sec", "median"]))
+    if watch:
+        rows = [
+            {"query": n, "x over median": x}
+            for n, x in sorted(watch.items(), key=lambda kv: -kv[1])
+        ]
+        parts.append("<h3>Watch list</h3>")
+        parts.append(_table(rows, ["query", "x over median"]))
+    return "".join(parts)
+
+
 def render_dashboard(
     results: dict[str, DataFrame],
     extras: dict[str, DataFrame] | None = None,
+    bench_dir: str | None = None,
 ) -> str:
     """One self-contained HTML page over run_analysis() results, section
     for section against the reference dashboard:
@@ -515,6 +574,9 @@ def render_dashboard(
         "<h3>Per-query drill-down</h3>",
         "".join(q_details) or "<p class='note'>(no queries)</p>",
     ]
+    bench_html = bench_health_section(bench_dir)
+    if bench_html:
+        sections.append(bench_html)
     if extras:
         sections.append("<h2>Layout advisor extensions</h2>")
         sections.append(
