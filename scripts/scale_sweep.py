@@ -174,13 +174,54 @@ def main() -> None:
             f"rows {r1} -> {rf}",
             file=sys.stderr,
         )
+    # remediation demo: the r9 split_oversized path bounds semdedup's
+    # per-cluster candidate volume at ANY corpus size — measure it on
+    # the inflated corpus next to the fixed-k number it remediates
+    if "semdedup_keep_canonical" in results:
+        from trino_adaptive_partitioning_tool_spark.queries import (
+            clustering as qc,
+        )
+
+        ceiling = int(os.environ.get("SCALE_SWEEP_SPLIT_CEILING", "1000"))
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            n = qc._semdedup(
+                spark, inflated, split_oversized=True, ceiling=ceiling
+            ).count()
+            t = time.perf_counter() - start
+            best = t if best is None else min(best, t)
+        fixed_k = results["semdedup_keep_canonical"][f"t_{factor}x"]
+        results["semdedup_keep_canonical"]["split_remediation"] = {
+            "ceiling": ceiling,
+            f"t_{factor}x_split": round(best, 3),
+            "rows": n,
+            "speedup_vs_fixed_k": round(fixed_k / best, 2),
+        }
+        print(
+            f"# semdedup split remediation: {best:.3f}s vs fixed-k "
+            f"{fixed_k}s ({fixed_k / best:.2f}x)",
+            file=sys.stderr,
+        )
+
+    path = os.path.join(REPO, "SCALE_SWEEP.json")
+    # a filtered run refreshes only its queries — merge over the
+    # existing artifact (same base + factor) instead of dropping the rest
+    merged = results
+    if filters:
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            if prev.get("base") == BASE and prev.get("factor") == factor:
+                merged = {**prev.get("results", {}), **results}
+        except (OSError, ValueError):
+            pass
     artifact = {
         "base": BASE,
         "factor": factor,
         "host_noise_caveat": "+/-40% shared-host load; exponents +/-0.15",
-        "results": results,
+        "results": merged,
     }
-    path = os.path.join(REPO, "SCALE_SWEEP.json")
     with open(path, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(f"# wrote {path}", file=sys.stderr)

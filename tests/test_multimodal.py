@@ -732,3 +732,79 @@ def test_synth_jpeg_assets_decode_through_arrow_stage(spark):
                 )
             want = float(np.mean(vals))
         assert row["mean_intensity"] == pytest.approx(want, abs=1e-9), aid
+
+
+def test_jpeg_resize_total_roundtrip():
+    """resize() is total over JPEG too: decode -> true nearest-neighbor
+    -> fixed-point RGB->YCbCr -> re-encode 4:4:4. The lossy chain
+    (color transform round trip + unit-quant DCT) stays within a few
+    levels of the pure NN resample of the decoded pixels."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    rng = np.random.default_rng(3)
+    # grayscale path
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    rs = pc.resize(mm.PixmapCodec._encode_jpeg(g), 8, 8)
+    w, h, px = pc._parse_jpeg(rs)
+    assert (w, h) == (8, 8) and px.shape[2] == 1
+    # color path: compare against NN of the decoded source
+    y = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    src = mm.PixmapCodec._encode_jpeg(y, cb, cr, "444")
+    _, _, src_px = pc._parse_jpeg(src)
+    rs = pc.resize(src, 8, 8)
+    w, h, out = pc._parse_jpeg(rs)
+    assert (w, h) == (8, 8) and out.shape == (8, 8, 3)
+    ri = (np.arange(8) * 16) // 8
+    want = src_px[ri][:, ri]
+    err = np.abs(out.astype(int) - want.astype(int)).max()
+    assert err <= 6, err
+
+
+def test_jpeg_restart_markers_round_trip_exact():
+    """DRI + RSTn every N MCUs: byte-aligned markers, DC predictor
+    resets, stuffed-pad-byte handling — decode stays bit-exact vs the
+    same image without restarts (gray, 4:4:4 and 4:2:0)."""
+    import hashlib
+
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    up = lambda b: np.repeat(np.repeat(b, 8, 0), 8, 1)  # noqa: E731
+    d = hashlib.md5(b"13").digest()
+    mw, mh = 3, 2
+    n = mw * mh
+    yb = np.array([d[m % 16] for m in range(n)], np.uint8).reshape(mh, mw)
+    cb = np.array(
+        [d[(3 * m + 5) % 16] for m in range(n)], np.uint8
+    ).reshape(mh, mw)
+    cr = np.array(
+        [d[(3 * m + 11) % 16] for m in range(n)], np.uint8
+    ).reshape(mh, mw)
+    for interval in (1, 2, 5):
+        plain = pc._parse_jpeg(mm.PixmapCodec._encode_jpeg(up(yb)))
+        rst = pc._parse_jpeg(
+            mm.PixmapCodec._encode_jpeg(
+                up(yb), restart_interval=interval
+            )
+        )
+        assert np.array_equal(plain[2], rst[2]), interval
+        c_plain = pc._parse_jpeg(
+            mm.PixmapCodec._encode_jpeg(up(yb), up(cb), up(cr), "444")
+        )
+        c_rst = pc._parse_jpeg(
+            mm.PixmapCodec._encode_jpeg(
+                up(yb), up(cb), up(cr), "444", restart_interval=interval
+            )
+        )
+        assert np.array_equal(c_plain[2], c_rst[2]), interval
+    # lossy general image with restarts: same pixels as without
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    a = pc._parse_jpeg(mm.PixmapCodec._encode_jpeg(img))
+    b = pc._parse_jpeg(
+        mm.PixmapCodec._encode_jpeg(img, restart_interval=1)
+    )
+    assert np.array_equal(a[2], b[2])

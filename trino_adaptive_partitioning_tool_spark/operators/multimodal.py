@@ -350,6 +350,11 @@ def synth_jpeg_assets(
                 aid, mode, mw, mh = int(aid), int(mode), int(mw), int(mh)
                 d = hashlib.md5(str(aid).encode()).digest()
                 n_mcus = mw * mh
+                # every 4th asset carries restart markers (DRI + RSTn
+                # every 2 MCUs): the decoder's restart path is certified
+                # by the same oracle rows — decoded stats are identical
+                # with or without restarts
+                dri = 2 if aid % 4 == 3 else 0
                 cb_b = np.array(
                     [d[(3 * m + 5) % 16] for m in range(n_mcus)], np.uint8
                 ).reshape(mh, mw)
@@ -368,6 +373,7 @@ def synth_jpeg_assets(
                         np.repeat(np.repeat(cb_b, 8, 0), 8, 1),
                         np.repeat(np.repeat(cr_b, 8, 0), 8, 1),
                         subsampling="420",
+                        restart_interval=dri,
                     )
                     w, h = 16 * mw, 16 * mh
                 else:
@@ -376,13 +382,16 @@ def synth_jpeg_assets(
                     ).reshape(mh, mw)
                     yp = np.repeat(np.repeat(yb, 8, 0), 8, 1)
                     if mode == 0:  # grayscale
-                        payload = PixmapCodec._encode_jpeg(yp)
+                        payload = PixmapCodec._encode_jpeg(
+                            yp, restart_interval=dri
+                        )
                     else:  # 4:4:4
                         payload = PixmapCodec._encode_jpeg(
                             yp,
                             np.repeat(np.repeat(cb_b, 8, 0), 8, 1),
                             np.repeat(np.repeat(cr_b, 8, 0), 8, 1),
                             subsampling="444",
+                            restart_interval=dri,
                         )
                     w, h = 8 * mw, 8 * mh
                 rows.append(
@@ -905,6 +914,20 @@ class PixmapCodec:
         b = (yy + 116130 * cb1 + half) >> 16
         return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
+    # BT.601 full-range forward transform, same 16.16 fixed-point style
+    # as _ycbcr_to_rgb (luma weights sum to exactly 65536)
+    @staticmethod
+    def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        r = px[:, :, 0].astype(np.int64)
+        g = px[:, :, 1].astype(np.int64)
+        b = px[:, :, 2].astype(np.int64)
+        half = 32768
+        y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+        cb = ((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128
+        cr = ((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128
+        clip = lambda p: np.clip(p, 0, 255).astype(np.uint8)  # noqa: E731
+        return clip(y), clip(cb), clip(cr)
+
     @classmethod
     def _encode_jpeg(
         cls,
@@ -912,13 +935,18 @@ class PixmapCodec:
         cb_plane: np.ndarray | None = None,
         cr_plane: np.ndarray | None = None,
         subsampling: str = "444",
+        restart_interval: int = 0,
     ) -> bytes:
         """Baseline sequential JPEG encoder (quant tables all ones ==
         max quality). Takes YCbCr planes directly — gray when cb/cr are
         None; for '420' the chroma planes arrive at half resolution —
         so a generator can pin the exact coefficients the decoder must
         recover (RGB<->YCbCr never enters the certified path). Planes
-        are edge-padded to MCU multiples like any real encoder."""
+        are edge-padded to MCU multiples like any real encoder.
+        ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+        every that many MCUs (byte-aligned, DC predictors reset) — the
+        form real encoders emit for error resilience, exercising the
+        decoder's restart path."""
         import struct
 
         zz = cls._zigzag_order()
@@ -975,12 +1003,29 @@ class PixmapCodec:
             q = np.round(f).astype(np.int64)  # quant table all ones
             return [int(q.flat[zz[k]]) for k in range(64)]
 
+        def byte_align() -> None:
+            nonlocal acc, nbits
+            if nbits:
+                pad = 8 - nbits
+                put((1 << pad) - 1, pad)  # pad with 1s per the spec
+
         pred = [0] * len(comps)
         mcus_y = yp.shape[0] // (8 * sub)
         mcus_x = yp.shape[1] // (8 * sub)
         run = 0
+        mcu_idx = 0
+        rst = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and mcu_idx and (
+                    mcu_idx % restart_interval == 0
+                ):
+                    byte_align()
+                    # markers are raw bytes, never byte-stuffed
+                    out.extend((0xFF, 0xD0 + rst % 8))
+                    rst += 1
+                    pred = [0] * len(comps)
+                mcu_idx += 1
                 for ci, (plane, fac) in enumerate(comps):
                     for by in range(fac):
                         for bx in range(fac):
@@ -1017,6 +1062,11 @@ class PixmapCodec:
             return struct.pack(">HH", marker, len(body) + 2) + body
 
         dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        dri = (
+            seg(0xFFDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
         ncomp = 1 if gray else 3
         sof_comps = b""
         for i in range(ncomp):
@@ -1037,7 +1087,8 @@ class PixmapCodec:
             + b"\x00\x3f\x00",
         )
         return (
-            b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+            b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(out)
+            + b"\xff\xd9"
         )
 
     @classmethod
@@ -1191,13 +1242,21 @@ class PixmapCodec:
                 if restart_interval and mcu_count and (
                     mcu_count % restart_interval == 0
                 ):
-                    # byte-align and consume RSTn, reset DC predictors
+                    # byte-align and consume RSTn, reset DC predictors.
+                    # Residual bytes may precede the marker: the
+                    # encoder's 1-padded final byte (possibly 0xFF, in
+                    # which case a stuffed 0x00 follows) and optional
+                    # 0xFF fill — scan the few bytes to the marker.
                     acc, nbits = 0, 0
-                    while payload[pos] == 0xFF and payload[pos + 1] == 0xFF:
-                        pos += 1  # fill bytes
-                    if payload[pos] != 0xFF or not (
-                        0xD0 <= payload[pos + 1] <= 0xD7
+                    scan_start = pos
+                    while pos + 1 < len(payload) and not (
+                        payload[pos] == 0xFF
+                        and 0xD0 <= payload[pos + 1] <= 0xD7
                     ):
+                        pos += 1
+                        if pos - scan_start > 4:
+                            raise ValueError("missing JPEG restart marker")
+                    if pos + 1 >= len(payload):
                         raise ValueError("missing JPEG restart marker")
                     pos += 2
                     pred = {cid: 0 for cid, *_ in comps}
@@ -1323,6 +1382,16 @@ class PixmapCodec:
         if payload[:8] == self._PNG_SIG:
             _, _, px = self._parse_png(payload)
             return self._encode_png(_nn(px))
+        if payload[:2] == b"\xff\xd8":
+            _, _, px = self._parse_jpeg(payload)
+            rs = _nn(px)
+            if rs.shape[2] == 1:
+                return self._encode_jpeg(rs[:, :, 0])
+            # decoded JPEG is RGB — forward-transform (fixed-point
+            # BT.601) and re-encode 4:4:4 at max quality
+            return self._encode_jpeg(
+                *self._rgb_to_ycbcr(rs), subsampling="444"
+            )
         raise ValueError("unsupported payload format for PixmapCodec")
 
     def frames(

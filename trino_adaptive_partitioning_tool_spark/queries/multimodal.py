@@ -782,6 +782,72 @@ def multimodal_mixed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_resize_real_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- true nearest-neighbor arithmetic: resized pixel (r, c) samples
+      -- source (r*h // 4, c*w // 4); source byte (row, col, ch) is
+      -- digest[(row*w*3 + col*3 + ch) % 16] (the synth_ppm convention).
+      -- i enumerates the 4*4*3 output samples: r = i//12,
+      -- c = (i%12)//3, ch = i%3
+      SELECT asset_id,
+        list_avg(list_transform(range(0, 48), i ->
+          CAST(('0x' || substr(hx,
+            CAST(((((i // 12) * h) // 4) * (w * 3)
+                  + ((((i % 12) // 3) * w) // 4) * 3
+                  + i % 3) % 16 AS INT) * 2 + 1, 2)) AS INT)))
+          AS mean_intensity
+      FROM a
+    )
+    SELECT COUNT(*) AS n_assets,
+           CAST(COUNT(*) * 4 AS BIGINT) AS sum_width,
+           CAST(COUNT(*) * 4 AS BIGINT) AS sum_height,
+           -- re-encoded P6 header 'P6\\n4 4\\n255\\n' (11 B) + 48 samples
+           CAST(COUNT(*) * 59 AS BIGINT) AS total_bytes,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM d
+    """,
+)
+def multimodal_resize_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize certification (the resize stage was tests-only until
+    r9): PPM assets -> resize_assets (PixmapCodec true nearest-neighbor,
+    require_codec=True) -> the resized payloads decoded AGAIN through
+    the production decode stage. The oracle replays the NN index
+    arithmetic positionally over the md5 pixel convention — green means
+    the resample picked exactly the right source pixels and re-encoded
+    them byte-for-byte (a off-by-one in the index map or a stride bug
+    in the re-encode flips the intensity sums)."""
+    resized = mm.resize_assets(
+        mm.synth_ppm_assets(spark, n=256),
+        target_width=4,
+        target_height=4,
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    re_decoded = mm.decode_assets(
+        resized.select(
+            "asset_id", "media_type",
+            F.col("resized_payload").alias("payload"),
+        ),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return re_decoded.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("decoded_width").cast("bigint").alias("sum_width"),
+        F.sum("decoded_height").cast("bigint").alias("sum_height"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+    )
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle=f"""
     WITH a AS (

@@ -443,6 +443,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_real_decode_stats",
      ["n_assets", "sum_width", "sum_height", "total_bytes"],
      ["avg_intensity"]),
+    ("multimodal_resize_real_stats",
+     ["n_assets", "sum_width", "sum_height", "total_bytes"],
+     ["avg_intensity"]),
     ("multimodal_resize_stats",
      ["media_type", "n_assets", "total_resized_bytes"],
      ["avg_scale_x", "avg_scale_y"]),
