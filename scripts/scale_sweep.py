@@ -182,7 +182,24 @@ def main() -> None:
             clustering as qc,
         )
 
+        from pyspark.sql import functions as F
+        from trino_adaptive_partitioning_tool_spark.sources import tables
+
         ceiling = int(os.environ.get("SCALE_SWEEP_SPLIT_CEILING", "1000"))
+        # the refinement build cost (per-oversized-cluster re-fits +
+        # persist + probe) is a fixed number of model-sized jobs — at
+        # toy scale it can mask the pair-volume win, so price it
+        # separately from the end-to-end split run
+        emb = tables.load_table(spark, inflated, "embeddings")
+        assigned = qc._assignments(spark, inflated).select(
+            "vec_id", "cluster"
+        )
+        start = time.perf_counter()
+        refined = qc.split_oversized_assignments(
+            assigned, emb, ceiling=ceiling
+        )
+        t_build = time.perf_counter() - start
+        refined.unpersist()
         best = None
         for _ in range(2):
             start = time.perf_counter()
@@ -195,12 +212,23 @@ def main() -> None:
         results["semdedup_keep_canonical"]["split_remediation"] = {
             "ceiling": ceiling,
             f"t_{factor}x_split": round(best, 3),
+            "t_refinement_build": round(t_build, 3),
+            "pair_stage_sec_est": round(best - t_build, 3),
             "rows": n,
             "speedup_vs_fixed_k": round(fixed_k / best, 2),
+            "pair_stage_speedup_est": round(
+                fixed_k / max(best - t_build, 1e-9), 2
+            ),
+            "note": (
+                "refinement build is a fixed count of model-sized "
+                "jobs (amortizes at corpus scale); the pair stage is "
+                "where the quadratic term lives"
+            ),
         }
         print(
-            f"# semdedup split remediation: {best:.3f}s vs fixed-k "
-            f"{fixed_k}s ({fixed_k / best:.2f}x)",
+            f"# semdedup split remediation: {best:.3f}s total "
+            f"(build {t_build:.3f}s, pair ~{best - t_build:.3f}s) vs "
+            f"fixed-k {fixed_k}s ({fixed_k / best:.2f}x end-to-end)",
             file=sys.stderr,
         )
 

@@ -188,6 +188,143 @@ def kmeans_fit(
     return centroids, quantized
 
 
+def grouped_kmeans_refit(
+    members: DataFrame,
+    sub_k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    group_col: str = "cluster",
+    vec_col: str = "embedding",
+    quantize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group Lloyd's over MANY groups in lock-step: mathematically
+    identical to running kmeans_fit(k=sub_k) independently inside each
+    group (same lowest-id init, same half-away-from-zero integer
+    centroid update, same (d2, sub) tie-break, same empty-cluster
+    carry), but each iteration is ONE Spark job covering every group —
+    a driver loop of per-group fits costs jobs proportional to the
+    group COUNT (hundreds of sequential fits when many clusters breach
+    a ceiling), while this costs a fixed ~2 jobs per iteration at any
+    group count. Model state is (n_groups x sub_k x dim) integers —
+    collected per update, bounded by model size, never by corpus size;
+    the assignment expression is a per-group WHEN chain of
+    centroid-literal array_min probes (codegen-sized: n_groups x sub_k
+    structs).
+
+    ``members``: (id_col, group_col, vec_col) — every group must have
+    at least sub_k rows (callers split clusters larger than a ceiling
+    >= sub_k, so this holds by construction and is asserted).
+
+    Returns (assignment, scratch): assignment = (id_col, group_col,
+    sub) lazy over the persisted quantized scratch frame — the caller
+    materializes its consumer, then unpersists the scratch."""
+    from pyspark.sql import Window
+
+    vec = (
+        quantize_expr(F.col(vec_col))
+        if quantize
+        else F.transform(F.col(vec_col), lambda x: x.cast("long"))
+    )
+    q = members.select(
+        F.col(id_col), F.col(group_col), vec.alias("v")
+    ).persist()
+
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    init_rows = (
+        q.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= sub_k)
+        .select(group_col, (F.col("rn") - 1).alias("sub"), "v")
+        .collect()  # bounded: n_groups * sub_k rows (model-sized)
+    )
+    cents: dict[tuple[int, int], list[int]] = {
+        (r[group_col], r["sub"]): [int(x) for x in r["v"]]
+        for r in init_rows
+    }
+    groups = sorted({g for g, _ in cents})
+    for g in groups:
+        if (g, sub_k - 1) not in cents:
+            raise ValueError(
+                f"grouped refit needs >= sub_k={sub_k} rows per group; "
+                f"group {g} has fewer"
+            )
+    dim = len(next(iter(cents.values())))
+
+    def best_expr() -> F.Column:
+        # Rendered as ONE SQL string (a single Py4J call): composing
+        # n_groups x sub_k x dim centroid literals through the Column
+        # API costs thousands of driver round trips PER PLAN BUILD —
+        # at 8 groups x 8 subs x 64 dims that alone dominated the whole
+        # refinement (~10s/plan). Plan-construction cost is real; the
+        # expression below is the identical integer arithmetic.
+        #
+        # (d2, sub) packs into ONE long: key = d2*sub_k + sub, so
+        # min(key) == argmin by (d2, then sub) — the exact tie-break
+        # assign_clusters' struct array_min uses. (Structs are avoided
+        # on purpose: the analyzer drops CreateStruct field aliases
+        # when a coercion wraps a child, degrading names to col1/col2.)
+        # The common <v,v> term shifts every key equally, so it is
+        # dropped: key_j = (cc_j*sub_k + j) - 2*sub_k*<v,c_j>. Keys can
+        # then go negative — pmod (not %) recovers j, since the dropped
+        # qq*sub_k term is ≡ 0 (mod sub_k). Overflow headroom: |key| <
+        # 2^63 needs |cc + 2<v,c>|*sub_k < 2^63 — the lattice bound
+        # dim*(2*scale*max)^2*sub_k, satisfied with orders to spare.
+        branches = []
+        for g in groups:
+            keys = []
+            for j in range(sub_k):
+                c = cents[(g, j)]
+                cc = int(sum(x * x for x in c))
+                arr = ", ".join(f"{int(x)}L" for x in c)
+                dot = (
+                    f"aggregate(zip_with(v, array({arr}), "
+                    "(x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+                )
+                keys.append(f"({cc * sub_k + j}L - {2 * sub_k}L * {dot})")
+            branches.append(
+                f"WHEN {group_col} = {int(g)} THEN CAST(pmod("
+                f"array_min(array({', '.join(keys)})), {sub_k}) AS INT)"
+            )
+        # unreachable ELSE: every row's group is in `groups` by construction
+        return F.expr(
+            "CASE " + " ".join(branches) + " ELSE CAST(NULL AS INT) END"
+        )
+
+    for _ in range(iters - 1):
+        sums = (
+            q.select(
+                group_col,
+                best_expr().alias("sub"),
+                F.posexplode("v").alias("pos", "val"),
+            )
+            .groupBy(group_col, "sub", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: n_groups * sub_k * dim (model-sized)
+        )
+        acc: dict[tuple[int, int], list[int]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in sums:
+            key = (r[group_col], r["sub"])
+            acc.setdefault(key, [0] * dim)[r["pos"]] = int(r["s"])
+            counts[key] = int(r["n"])
+        cents = {
+            (g, j): (
+                [
+                    _round_centroid(acc[(g, j)][d], counts[(g, j)])
+                    for d in range(dim)
+                ]
+                if (g, j) in acc
+                else cents[(g, j)]  # empty sub-cluster: carry previous
+            )
+            for g in groups
+            for j in range(sub_k)
+        }
+
+    assignment = q.select(
+        F.col(id_col), F.col(group_col), best_expr().alias("sub")
+    )
+    return assignment, q
+
+
 def kmeans_assignments(
     df: DataFrame,
     k: int = 8,

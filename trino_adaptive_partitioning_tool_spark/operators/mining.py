@@ -413,6 +413,75 @@ def _mine_tokens(
                 i = end
         return i
 
+    def consume_match_recognize(i: int) -> int:
+        """toks[i] is MATCH_RECOGNIZE followed by '(': mine the
+        block section by section (r8 verdict #6) and consume the
+        optional [AS] alias; returns the next index. Shared by the
+        FROM-list loop (a pattern relation inside a comma join must
+        not end the list — r9 fuzz finding) and the main walk (the
+        JOIN-context form). Section semantics documented inline.
+        """
+        skipped["match_recognize"] += 1
+        end = _skip_parens(toks, i + 1)
+        _MR_SECTIONS = {"partition", "order", "measures", "one",
+                        "all", "after", "pattern", "subset", "define"}
+        _MR_NOISE = {"by", "asc", "desc", "nulls", "first", "last",
+                     "match", "row", "rows", "per", "skip", "to",
+                     "next", "past", "initial", "seek", "and", "or",
+                     "not", "between", "in", "is", "null", "true",
+                     "false", "prev", "cast", "as"}
+        depth = 0
+        section = ""
+        expect_var = False  # in DEFINE: next identifier is a
+        # pattern variable, not a column
+        for j in range(i + 2, end - 1):
+            if toks[j] == "(":
+                depth += 1
+                continue
+            if toks[j] == ")":
+                depth -= 1
+                continue
+            if depth == 0 and low[j] in _MR_SECTIONS:
+                section = low[j]
+                expect_var = section == "define"
+                continue
+            if section == "measures":
+                if (
+                    depth == 0
+                    and low[j] == "as"
+                    and j + 1 < end - 1
+                    and _is_identifier(toks[j + 1])
+                ):
+                    derived_cols.add(_base_name(toks[j + 1]))
+                continue
+            if section not in ("partition", "order", "define"):
+                continue
+            if section == "define" and depth == 0 and toks[j] == ",":
+                expect_var = True
+                continue
+            if not _is_identifier(toks[j]) or low[j] in _MR_NOISE:
+                continue
+            if j + 1 < end and toks[j + 1] == "(":
+                continue  # function call (PREV/LAST/aggregates)
+            if section == "define" and expect_var:
+                expect_var = False
+                continue  # the pattern variable being defined
+            name = _base_column(toks[j])
+            qualified = len(_SEGMENT_RE.findall(toks[j])) > 1
+            if name in aliases or (
+                qualified and name in derived_cols
+            ):
+                continue
+            (join_cols if section == "partition"
+             else where_cols)[name] += 1
+        i = end
+        if i < len(low) and low[i] == "as":
+            i += 1
+        if i < len(toks) and _is_identifier(toks[i]):
+            aliases.add(_base_name(toks[i]))
+            i += 1
+        return i
+
     i = 0
     while i < len(toks):
         tl = low[i]
@@ -425,6 +494,12 @@ def _mine_tokens(
                     continue
                 if toks[i] == "(":
                     i = consume_derived(i)
+                    if (
+                        i + 1 < len(toks)
+                        and low[i] == "match_recognize"
+                        and toks[i + 1] == "("
+                    ):
+                        i = consume_match_recognize(i)
                     if i < len(toks) and toks[i] == ",":
                         i += 1
                     continue
@@ -449,6 +524,15 @@ def _mine_tokens(
                     continue
                 else:
                     break
+                # a pattern relation inside a comma-joined FROM list:
+                # consume the MR block here so the list keeps scanning
+                # (r9 fuzz finding — breaking out dropped later tables)
+                if (
+                    i + 1 < len(toks)
+                    and low[i] == "match_recognize"
+                    and toks[i + 1] == "("
+                ):
+                    i = consume_match_recognize(i)
                 if i < len(toks) and toks[i] == ",":
                     i += 1
                     continue
@@ -488,89 +572,7 @@ def _mine_tokens(
             and i + 1 < len(toks)
             and toks[i + 1] == "("
         ):
-            # Trino row-pattern recognition, mined section by section
-            # (r8 verdict "next round" #6 — these are exactly the
-            # partition-worthy columns a pattern query exposes):
-            #   PARTITION BY cols -> join_cols (the co-location key the
-            #     advisor prices like a join/bucket key);
-            #   ORDER BY cols -> where_cols (the time axis — the range
-            #     signal day()/month() transforms feed on);
-            #   DEFINE predicates -> where_cols (row filters; pattern-
-            #     variable names before AS are skipped — `DEFINE B AS
-            #     B.totalprice > ...` puts the PREDICATE after AS,
-            #     harvesting it as an alias was the r8 second-review
-            #     regression — and navigation funcs PREV()/NEXT()/...
-            #     skip under the usual ident-followed-by-( rule, while
-            #     B.totalprice strips its pattern-var qualifier the
-            #     same way alias.col does);
-            #   MEASURES `expr AS name` output names -> derived_cols
-            #     (outer references like m.name are not base columns);
-            #     measure EXPRESSION refs are select-list projections,
-            #     which this miner never counts anywhere;
-            #   PATTERN / SUBSET / AFTER MATCH -> skipped (pattern
-            #     variables, not columns).
-            # The counted `skipped_construct` row stays: the block's
-            # pattern semantics (quantifiers, exclusions) are still
-            # outside what a tokenizer certifies.
-            skipped["match_recognize"] += 1
-            end = _skip_parens(toks, i + 1)
-            _MR_SECTIONS = {"partition", "order", "measures", "one",
-                            "all", "after", "pattern", "subset", "define"}
-            _MR_NOISE = {"by", "asc", "desc", "nulls", "first", "last",
-                         "match", "row", "rows", "per", "skip", "to",
-                         "next", "past", "initial", "seek", "and", "or",
-                         "not", "between", "in", "is", "null", "true",
-                         "false", "prev", "cast", "as"}
-            depth = 0
-            section = ""
-            expect_var = False  # in DEFINE: next identifier is a
-            # pattern variable, not a column
-            for j in range(i + 2, end - 1):
-                if toks[j] == "(":
-                    depth += 1
-                    continue
-                if toks[j] == ")":
-                    depth -= 1
-                    continue
-                if depth == 0 and low[j] in _MR_SECTIONS:
-                    section = low[j]
-                    expect_var = section == "define"
-                    continue
-                if section == "measures":
-                    if (
-                        depth == 0
-                        and low[j] == "as"
-                        and j + 1 < end - 1
-                        and _is_identifier(toks[j + 1])
-                    ):
-                        derived_cols.add(_base_name(toks[j + 1]))
-                    continue
-                if section not in ("partition", "order", "define"):
-                    continue
-                if section == "define" and depth == 0 and toks[j] == ",":
-                    expect_var = True
-                    continue
-                if not _is_identifier(toks[j]) or low[j] in _MR_NOISE:
-                    continue
-                if j + 1 < end and toks[j + 1] == "(":
-                    continue  # function call (PREV/LAST/aggregates)
-                if section == "define" and expect_var:
-                    expect_var = False
-                    continue  # the pattern variable being defined
-                name = _base_column(toks[j])
-                qualified = len(_SEGMENT_RE.findall(toks[j])) > 1
-                if name in aliases or (
-                    qualified and name in derived_cols
-                ):
-                    continue
-                (join_cols if section == "partition"
-                 else where_cols)[name] += 1
-            i = end
-            if i < len(low) and low[i] == "as":
-                i += 1
-            if i < len(toks) and _is_identifier(toks[i]):
-                aliases.add(_base_name(toks[i]))
-                i += 1
+            i = consume_match_recognize(i)
         elif (
             tl == "filter"
             and i + 2 < len(toks)

@@ -357,23 +357,51 @@ def split_oversized_assignments(
     base = int(
         sizes.agg(F.max("cluster").alias("m")).first()["m"]
     ) + 1
-    out = assigned.where(~F.col("cluster").isin(oversized))
-    for idx, c in enumerate(oversized):
-        members = vectors.select(id_col, vec_col).join(
-            assigned.where(F.col("cluster") == c).select(id_col), id_col
+    # ALL oversized clusters re-fit in lock-step (grouped_kmeans_refit):
+    # the per-iteration cost is a fixed ~2 jobs no matter how many
+    # clusters breached the ceiling — a per-cluster fit loop would run
+    # hundreds of sequential driver-blocking fits in a bad (k far too
+    # small) parent fit. Mathematically identical to independent
+    # per-cluster kmeans_fit(k=sub_k) runs (same init/update/ties), so
+    # the per-cluster DuckDB Lloyd replay still certifies it.
+    members = vectors.select(id_col, vec_col).join(
+        assigned.where(F.col("cluster").isin(oversized)), id_col
+    )
+    refit, scratch = ops.grouped_kmeans_refit(
+        members, sub_k=sub_k, iters=_ITERS,
+        id_col=id_col, group_col="cluster", vec_col=vec_col,
+        quantize=quantize,
+    )
+    # fresh id = base + (rank of parent among oversized) * sub_k + sub
+    idx_expr = None
+    for i, c in enumerate(oversized):
+        cond = F.col("cluster") == c
+        idx_expr = F.when(cond, i) if idx_expr is None else idx_expr.when(
+            cond, i
         )
-        centroids, quant = ops.kmeans_fit(
-            members, k=sub_k, iters=_ITERS,
-            id_col=id_col, vec_col=vec_col, quantize=quantize,
-        )
-        sub = ops.assign_clusters(quant, centroids, id_col=id_col).select(
-            F.col(id_col),
-            (F.col("cluster") + F.lit(base + idx * sub_k)).alias("cluster"),
-        )
-        out = out.unionByName(sub)
+    sub_assign = refit.select(
+        F.col(id_col),
+        (F.lit(base) + idx_expr * sub_k + F.col("sub")).cast(
+            assigned.schema["cluster"].dataType
+        ).alias("cluster"),
+    )
+    out = assigned.where(~F.col("cluster").isin(oversized)).unionByName(
+        sub_assign
+    )
+    # Persist BEFORE the guard probe: consumers (SemDeDup joins the
+    # refined assignment twice; the guard probes it once) would
+    # otherwise re-execute the refit per reference. Ownership: the
+    # caller may .unpersist() when done — the frame is assignment-sized
+    # (one row per vector).
+    out = out.persist()
     # one refinement level must suffice; a still-oversized sub-cluster
     # raises with the same evidence message as the unsplit guard
-    guard_cluster_sizes(out, ceiling)
+    # (this probe also materializes the persisted frame, after which
+    # the refit scratch cache can be released)
+    try:
+        guard_cluster_sizes(out, ceiling)
+    finally:
+        scratch.unpersist()
     return out
 
 

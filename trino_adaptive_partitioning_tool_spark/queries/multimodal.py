@@ -671,9 +671,10 @@ def multimodal_jpeg_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "multimodal_mixed_corpus_stats",
-    oracle=f"""
+# shared by the batch mixed-corpus query and its streaming-ingest twin
+# (queries/streaming_q.py): both decode the identical synth_mixed_assets
+# corpus, so one positional re-derivation certifies both paths
+MIXED_CORPUS_ORACLE = f"""
     WITH png AS (
       SELECT 'png' AS fmt, t.asset_id,
         CAST(t.asset_id % 6 + 2 AS INT) AS w,
@@ -748,8 +749,31 @@ def multimodal_jpeg_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
            ROUND(AVG(mean_intensity), 4) AS avg_intensity
     FROM all_d
     GROUP BY fmt
-    """,
-)
+    """
+
+
+def mixed_corpus_rollup(decoded: DataFrame) -> DataFrame:
+    """fmt-grouped decode rollup over a (batch or streaming) decoded
+    mixed-asset frame — the shared tail of the batch query and its
+    streaming twin. fmt derives from the id-offset convention of
+    synth_mixed_assets (asset_id // 1000)."""
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("wav"), F.lit("y4m")),
+        (F.floor(F.col("asset_id") / 1000) + 1).cast("int"),
+    )
+    return (
+        decoded.withColumn("fmt", fmt)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
+@register("multimodal_mixed_corpus_stats", oracle=MIXED_CORPUS_ORACLE)
 def multimodal_mixed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality corpus through ONE decode stage: a single asset
     table carrying real PNG, JPEG, WAV and Y4M payloads (the shape a

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import fixtures
 from ..streaming import query_log_stream as qls
+from .multimodal import MIXED_CORPUS_ORACLE
 from .registry import register
 
 
@@ -1025,3 +1026,38 @@ def streaming_drift_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_triggers_from_usage(
         spark, sf_dir, spark.read.parquet(store)
     )
+
+
+@register("streaming_multimodal_ingest", oracle=MIXED_CORPUS_ORACLE)
+def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality decode as a Structured Streaming pipeline: the
+    PNG+JPEG+WAV+Y4M corpus (synth_mixed_assets — binary payloads, so
+    the feed is parquet, not JSON) streams from files, the production
+    Arrow decode stage applies UNCHANGED on the streaming frame
+    (mapInPandas is stateless), and the per-format rollup drains in
+    complete mode with availableNow — the ingest shape of a crawl
+    pipeline decoding media as it lands.
+
+    Same full DuckDB oracle as the batch twin
+    (multimodal_mixed_corpus_stats): the decode arithmetic is
+    positional in the md5 conventions, so hash-green here proves
+    stream == SQL across all four real decoders, not just
+    stream == batch."""
+    from ..operators import multimodal as mm
+    from .multimodal import mixed_corpus_rollup
+
+    def _write(d: str) -> None:
+        mm.synth_mixed_assets(spark).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/assets")
+
+    tmp = _memo_feed(spark, "mixed_assets", "synth", _write)
+    stream = spark.readStream.schema(mm.SYNTH_ASSET_SCHEMA).parquet(
+        f"{tmp}/assets"
+    )
+    decoded = mm.decode_assets(
+        stream, require_codec=True, codec=mm.PixmapCodec()
+    )
+    rollup = mixed_corpus_rollup(decoded)
+    name = f"stream_mm_{uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy("fmt")

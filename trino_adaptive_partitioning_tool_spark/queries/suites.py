@@ -558,6 +558,8 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
      []),
     ("streaming_interactive_share",
      ["window_start", "is_interactive", "query_count"], []),
+    ("streaming_multimodal_ingest",
+     ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
     ("streaming_pii_scrub",
      ["lang", "n_docs", "total_emails", "total_urls", "total_phones"], []),
     ("streaming_sessionize",
