@@ -808,3 +808,75 @@ def test_jpeg_restart_markers_round_trip_exact():
         mm.PixmapCodec._encode_jpeg(img, restart_interval=1)
     )
     assert np.array_equal(a[2], b[2])
+
+
+def test_gif_codec_round_trip_lzw_interlace_and_rejects():
+    """Real LZW dictionary compression (width growth through 9-12 bits,
+    4096 reset) round-trips bit-exactly; the 4-pass interlace reorders
+    rows on disk but decodes to the identical raster; malformed
+    payloads raise instead of decoding to garbage."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    rng = np.random.default_rng(17)
+    pal = np.array(
+        [[(7 * i) % 256, (11 * i) % 256, (13 * i) % 256]
+         for i in range(256)], np.uint8,
+    )
+    big = rng.integers(0, 256, (80, 90)).astype(np.uint8)  # 7200 px:
+    # forces LZW width growth and at least one 4096 dictionary reset
+    for idx, inter in [(big, False), (big, True),
+                       (np.arange(20, dtype=np.uint8).reshape(5, 4), True)]:
+        payload = mm.PixmapCodec._encode_gif(idx, pal, interlace=inter)
+        w, h, got, gpal = pc._parse_gif(payload)
+        assert (w, h) == (idx.shape[1], idx.shape[0])
+        assert np.array_equal(got, idx), inter
+        assert np.array_equal(gpal[: len(pal)], pal)
+    # decode()/pixels() dispatch + palette lookup
+    payload = mm.PixmapCodec._encode_gif(big, pal)
+    w, h, mi = pc.decode(payload, "image")
+    assert (w, h) == (90, 80)
+    assert mi == pytest.approx(float(pal[big].mean()))
+    assert pc.pixels(payload).shape == (80, 90, 3)
+    # resize: NN on the index grid, original palette kept (exact)
+    rs = pc.resize(payload, 9, 8)
+    w, h, ridx, rpal = pc._parse_gif(rs)
+    ri = (np.arange(8) * 80) // 8
+    ci = (np.arange(9) * 90) // 9
+    assert np.array_equal(ridx, big[ri][:, ci])
+    # rejects
+    with pytest.raises(ValueError, match="not a GIF"):
+        pc._parse_gif(b"NOPE" + payload[4:])
+    with pytest.raises(ValueError):
+        pc._parse_gif(payload[:40])  # truncated mid-stream
+
+
+def test_gif_mean_blind_interlace_bug_caught_by_weighted_sum():
+    """The design argument for position_weighted_stats, demonstrated: a
+    buggy decode that skips the 4-pass reassembly (rows land in file
+    order) reproduces the MEAN exactly but fails the position-weighted
+    checksum."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    pal = np.array(
+        [[(7 * i) % 256, (11 * i) % 256, (13 * i) % 256]
+         for i in range(256)], np.uint8,
+    )
+    idx = np.arange(20, dtype=np.uint8).reshape(5, 4)
+    payload = mm.PixmapCodec._encode_gif(idx, pal, interlace=True)
+    _, _, good, _ = pc._parse_gif(payload)
+    # simulate the bug: rows in file (interlace) order, no reassembly
+    order = [r for s, st in mm.PixmapCodec._GIF_INTERLACE_PASSES
+             for r in range(s, 5, st)]
+    buggy = good[np.argsort(np.argsort(order))]  # inverse permutation
+    buggy = good.copy()
+    buggy[np.arange(5)] = good[order]  # naive: file row k -> raster k
+    assert not np.array_equal(buggy, good)
+    s_good = pal[good].astype(np.int64)
+    s_bug = pal[buggy].astype(np.int64)
+    assert s_good.mean() == s_bug.mean()  # means are blind
+    wgt = np.arange(1, 21, dtype=np.int64)
+    pw_good = (wgt * s_good.reshape(20, 3).sum(1)).sum()
+    pw_bug = (wgt * s_bug.reshape(20, 3).sum(1)).sum()
+    assert pw_good != pw_bug  # the weighted checksum is not

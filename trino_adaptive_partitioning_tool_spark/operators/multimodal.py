@@ -404,6 +404,57 @@ def synth_jpeg_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_gif_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-GIF asset table: each payload is a valid
+    single-frame GIF89a (global color table, real LZW-compressed index
+    stream, every third asset INTERLACED) whose pixel index at raster
+    position j is digest byte d[j % 16] and whose palette entry i is
+    ((7i) % 256, (11i) % 256, (13i) % 256) — pure arithmetic, so a
+    DuckDB oracle re-derives every decoded RGB value positionally
+    without parsing GIF. Interlacing permutes the rows ON DISK but the
+    decoded raster is identical, so a decoder that skipped the 4-pass
+    reassembly produces the same MEAN yet fails any position-weighted
+    statistic — the query checks one."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 6 + 2).cast("int").alias("w"),
+        (F.col("id") % 4 + 2).cast("int").alias("h"),
+        (F.col("id") % 3 == 2).alias("interlaced"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+    palette = np.array(
+        [[(7 * i) % 256, (11 * i) % 256, (13 * i) % 256] for i in range(256)],
+        np.uint8,
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h, inter in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["interlaced"]
+            ):
+                aid, w, h = int(aid), int(w), int(h)
+                d = hashlib.md5(str(aid).encode()).digest()
+                idx = np.array(
+                    [d[j % 16] for j in range(w * h)], np.uint8
+                ).reshape(h, w)
+                payload = PixmapCodec._encode_gif(
+                    idx, palette, interlace=bool(inter)
+                )
+                rows.append(
+                    (aid, "image", payload, (w, h, None, None, "gif"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_mixed_assets(spark: SparkSession) -> DataFrame:
     """Mixed-modality corpus: one asset table carrying REAL PNG, JPEG,
     WAV and Y4M payloads side by side — the shape a real crawl table
@@ -772,6 +823,246 @@ class PixmapCodec:
             "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
         )
         return header + body
+
+    # -- GIF helpers (LZW, GIF87a/89a) -------------------------------------
+    _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+    @staticmethod
+    def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+        """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes,
+        variable width growing at dictionary size 2^width (cap 12),
+        KwKwK case handled. Returns exactly n_pixels indices."""
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out: list[int] = []
+        # bit reader, LSB-first
+        acc = 0
+        nbits = 0
+        pos = 0
+
+        def read_code(width: int) -> int:
+            nonlocal acc, nbits, pos
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[pos] << nbits
+                nbits += 8
+                pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return code
+
+        table: list[list[int]] = []
+        width = min_code_size + 1
+        prev: list[int] | None = None
+
+        def reset() -> None:
+            nonlocal table, width, prev
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+
+        reset()
+        while len(out) < n_pixels:
+            code = read_code(width)
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                break
+            if code < len(table) and code != clear:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # KwKwK
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+                # the decoder's table lags the encoder's assignment
+                # counter by exactly one (no entry for the first code
+                # after CLEAR), so it widens one entry EARLIER — the
+                # classic GIF LZW off-by-one
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+        if len(out) < n_pixels:
+            raise ValueError("GIF LZW stream ended early")
+        return out[:n_pixels]
+
+    @staticmethod
+    def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+        """GIF-variant LZW encoder: real dictionary compression with
+        width growth and a CLEAR+reset at 4096 — the inverse state
+        machine of _lzw_decode (round trips exercise the decoder's
+        growth and KwKwK paths on repetitive inputs)."""
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table: dict[tuple[int, ...], int] = {}
+        next_code = eoi + 1
+        width = min_code_size + 1
+
+        def reset() -> None:
+            nonlocal table, next_code, width
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+
+        reset()
+        emit(clear, width)
+        w: tuple[int, ...] = ()
+        for k in indices:
+            wk = w + (int(k),)
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear, width)
+                reset()
+            w = (int(k),)
+        if w:
+            emit(table[w], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    @classmethod
+    def _parse_gif(cls, payload: bytes):
+        """(width, height, indices[h, w], palette[n, 3]) for the first
+        image of a GIF87a/GIF89a file: logical screen descriptor,
+        global/local color tables, extension-block skip (sub-block
+        chains), LZW-decoded index stream, 4-pass de-interlace."""
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        if len(payload) < 14:
+            raise ValueError("truncated GIF header")
+        import struct
+
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        palette = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            palette = np.frombuffer(
+                payload, np.uint8, n * 3, pos
+            ).reshape(n, 3)
+            pos += n * 3
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-block chain
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if left or top or w > sw or h > sh:
+                raise ValueError("GIF sub-rectangle frames unsupported")
+            pal = palette
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                if len(lzw) - len(payload[pos + 1 : pos + 1 + ln]) + ln > len(payload):
+                    raise ValueError("truncated GIF data sub-block")
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                cls._lzw_decode(bytes(lzw), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: file rows -> 4-pass order
+                rows = [
+                    r
+                    for start, step in cls._GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)
+                ]
+                out = np.zeros_like(idx)
+                out[rows] = idx
+                idx = out
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            return w, h, idx, pal
+        raise ValueError("GIF contains no image block")
+
+    @classmethod
+    def _encode_gif(
+        cls,
+        indices: np.ndarray,
+        palette: np.ndarray,
+        interlace: bool = False,
+    ) -> bytes:
+        """Single-frame GIF89a from an [h, w] index array + [n, 3]
+        palette (padded to a power of two): real LZW compression,
+        optional 4-pass interlaced row order."""
+        import struct
+
+        h, w = indices.shape
+        n = len(palette)
+        bits = max(2, (n - 1).bit_length())
+        full = 1 << bits
+        pal = np.zeros((full, 3), np.uint8)
+        pal[:n] = palette
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        out += pal.tobytes()
+        iflags = 0x40 if interlace else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        rows = (
+            [
+                r
+                for start, step in cls._GIF_INTERLACE_PASSES
+                for r in range(start, h, step)
+            ]
+            if interlace
+            else range(h)
+        )
+        stream = [int(v) for r in rows for v in indices[r]]
+        min_code = max(2, bits)
+        out.append(min_code)
+        lzw = cls._lzw_encode(stream, min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00\x3b"
+        return bytes(out)
 
     # -- WAV helpers -----------------------------------------------------
     @staticmethod
@@ -1324,6 +1615,9 @@ class PixmapCodec:
             return self._parse_png(payload)[2]
         if payload[:2] == b"\xff\xd8":
             return self._parse_jpeg(payload)[2]
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            _, _, idx, pal = self._parse_gif(payload)
+            return pal[idx]  # palette lookup -> [h, w, 3]
         raise ValueError("unsupported raster format for PixmapCodec")
 
     # -- Codec protocol --------------------------------------------------
@@ -1346,6 +1640,9 @@ class PixmapCodec:
         if payload[:2] == b"\xff\xd8":
             w, h, px = self._parse_jpeg(payload)
             return w, h, float(px.mean())
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, idx, pal = self._parse_gif(payload)
+            return w, h, float(pal[idx].mean())
         if payload[:9] == b"YUV4MPEG2":
             # video decode: walk every frame, report (w, h, mean over
             # ALL plane bytes across frames) — the per-frame stages use
@@ -1392,6 +1689,11 @@ class PixmapCodec:
             return self._encode_jpeg(
                 *self._rgb_to_ycbcr(rs), subsampling="444"
             )
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # resample on the INDEX grid and keep the original palette:
+            # exact (no re-quantization), interlace not re-applied
+            _, _, idx, pal = self._parse_gif(payload)
+            return self._encode_gif(_nn(idx[:, :, None])[:, :, 0], pal)
         raise ValueError("unsupported payload format for PixmapCodec")
 
     def frames(
@@ -1533,6 +1835,59 @@ def channel_stats(
 
     return assets.select("asset_id", "payload").mapInPandas(
         _stats, schema=CHANNEL_SCHEMA
+    )
+
+
+PW_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("pw_sum", T.LongType(), False),
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+
+
+def position_weighted_stats(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Position-weighted decode statistics: per asset,
+    pw_sum = sum over raster positions j of (j+1) * (sum of channel
+    values at j) — an exact-integer checksum that is sensitive to WHERE
+    every pixel landed, unlike a mean (any row/pixel permutation leaves
+    the mean untouched). This is the check that catches de-interlacing
+    and row-ordering bugs (GIF 4-pass interlace, BMP bottom-up rows)
+    that every average-based statistic is provably blind to. Same Arrow
+    batch shape as channel_stats; needs a pixels-capable codec."""
+    codec = _check_codec(codec, require_codec)
+    if not hasattr(codec, "pixels"):
+        raise NotImplementedError(
+            "position_weighted_stats needs a codec exposing "
+            "pixels(payload); the deterministic stub has no pixel planes"
+        )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = codec.pixels(bytes(payload))
+                flat = px.reshape(-1, px.shape[2]).astype(np.int64).sum(1)
+                pw = int(
+                    ((np.arange(len(flat), dtype=np.int64) + 1) * flat)
+                    .sum()
+                )
+                rows.append(
+                    (int(aid), len(flat), pw, float(px.mean()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_pixels", "pw_sum", "mean_value"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _stats, schema=PW_SCHEMA
     )
 
 

@@ -872,6 +872,88 @@ def multimodal_resize_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             t.asset_id % 3 = 2 AS interlaced,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- pixel j's palette index is digest byte d[j % 16]; palette
+      -- entry i is ((7i)%256, (11i)%256, (13i)%256) — the channel sum
+      -- s_j and the POSITION-WEIGHTED checksum sum((j+1)*s_j) re-derive
+      -- arithmetically. The weighted sum is the interlace certificate:
+      -- a decoder that skipped the 4-pass row reassembly reproduces
+      -- every mean but not this.
+      SELECT asset_id, interlaced, w, h,
+        CAST(list_sum(list_transform(range(0, w * h), j ->
+          (j + 1) * (
+            (7 * CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                      AS BIGINT)) % 256
+          + (11 * CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                       AS BIGINT)) % 256
+          + (13 * CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                       AS BIGINT)) % 256))) AS BIGINT) AS pw_sum,
+        list_sum(list_transform(range(0, w * h), j ->
+            (7 * CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                      AS BIGINT)) % 256
+          + (11 * CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                       AS BIGINT)) % 256
+          + (13 * CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+                       AS BIGINT)) % 256))
+          / (3.0 * w * h) AS mean_value
+      FROM a
+    )
+    SELECT interlaced,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(pw_sum) AS BIGINT) AS total_pw_sum,
+           ROUND(AVG(mean_value), 4) AS avg_intensity
+    FROM d
+    GROUP BY interlaced
+    """,
+)
+def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode path: valid single-frame GIF89a payloads
+    (synth_gif_assets — real LZW compression, 256-entry arithmetic
+    palette, every third asset interlaced) decoded by
+    PixmapCodec._parse_gif through the position_weighted_stats Arrow
+    stage with require_codec=True, grouped by interlace flag so the
+    plain and 4-pass-reassembly paths certify separately. The
+    position-weighted checksum is the point: interlacing permutes rows
+    on disk while leaving the decoded raster identical, so any
+    mean-based check is provably blind to a decoder that skipped the
+    reassembly — the weighted sum is not. The oracle re-derives index
+    stream, palette arithmetic, and weights positionally; green means
+    the LZW decompression reconstructed every index at its exact
+    position."""
+    assets = mm.synth_gif_assets(spark, n=256)
+    stats = mm.position_weighted_stats(
+        assets, require_codec=True, codec=mm.PixmapCodec()
+    )
+    dims = F.struct(
+        (F.col("asset_id") % 6 + 2).cast("int").alias("w"),
+        (F.col("asset_id") % 4 + 2).cast("int").alias("h"),
+    )
+    return (
+        stats.withColumn("interlaced", F.col("asset_id") % 3 == 2)
+        .withColumn("dims", dims)
+        .groupBy("interlaced")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("dims.w").cast("bigint").alias("sum_width"),
+            F.sum("dims.h").cast("bigint").alias("sum_height"),
+            F.sum("pw_sum").cast("bigint").alias("total_pw_sum"),
+            F.round(F.avg("mean_value"), 4).alias("avg_intensity"),
+        )
+    )
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle=f"""
     WITH a AS (

@@ -430,6 +430,10 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["query_id", "vec_id", "rank"], ["cosine"]),
     ("multimodal_frame_sample",
      ["asset_id", "n_frames", "last_frame_ms"], []),
+    ("multimodal_gif_decode_stats",
+     ["interlaced", "n_assets", "sum_width", "sum_height",
+      "total_pw_sum"],
+     ["avg_intensity"]),
     ("multimodal_jpeg_channel_stats",
      ["n_channels", "channel", "n_assets"], ["avg_channel_mean"]),
     ("multimodal_jpeg_decode_stats",
