@@ -380,9 +380,12 @@ def main() -> None:
     missing_baseline: list[str] = []
     for name, t in timings.items():
         med = baseline_medians.get(name)
-        if med is None:
+        if not med:
             # a silent budget gap would mean the query can never flag a
-            # regression — surface it so the baseline gets regenerated
+            # regression — surface it so the baseline gets regenerated.
+            # A zero/absent median both land here: a 0.0 entry (3-decimal
+            # rounding of a sub-ms timing, or a corrupt file) would
+            # otherwise divide-by-zero in the ratio math below.
             missing_baseline.append(name)
             print(f"# NO BASELINE {name}: regenerate BENCH_BASELINE.json",
                   file=sys.stderr)

@@ -387,3 +387,26 @@ def test_semdedup_split_mode_matches_registered_result(spark):
         ).collect()
     )
     assert base == split and len(base) > 0
+
+
+def test_semdedup_split_frame_cached_and_evictable(spark):
+    """r9 review finding #3: split mode must not pin a fresh persisted
+    assignment frame per invocation — repeat calls share the
+    session-memoized refined frame, and evict_fit_caches releases it
+    with the other per-(app, sf_dir) caches."""
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+
+    app = spark.sparkContext.applicationId
+    qc._semdedup(spark, SMOKE_SF_DIR, split_oversized=True).count()
+    keys = [k for k in qc._SPLIT_CACHE if k[0] == app and k[1] == SMOKE_SF_DIR]
+    assert len(keys) == 1
+    frame = qc._SPLIT_CACHE[keys[0]]
+    qc._semdedup(spark, SMOKE_SF_DIR, split_oversized=True).count()
+    assert qc._SPLIT_CACHE[keys[0]] is frame  # reused, not re-pinned
+    dropped = qc.evict_fit_caches(app_id=app, sf_dir=SMOKE_SF_DIR)
+    assert dropped >= 1
+    assert not [
+        k for k in qc._SPLIT_CACHE if k[0] == app and k[1] == SMOKE_SF_DIR
+    ]

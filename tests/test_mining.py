@@ -888,3 +888,31 @@ def test_match_recognize_pattern_vars_never_counted_and_warned():
     assert dict(m["skipped"]) == {"match_recognize": 1}
     rows = mining._explode_mined("q9", m)
     assert ("q9", "skipped_construct", "match_recognize", 1) in rows
+
+
+def test_match_recognize_over_derived_table_keeps_from_list():
+    """r9 review finding: consume_derived must not swallow
+    MATCH_RECOGNIZE as the derived table's alias (the MR parens would
+    parse as a derived-column list, poisoning derived_cols with every
+    identifier in the block, and the comma-joined FROM list after the
+    pattern relation was dropped)."""
+    m = mining.mine_statement(
+        "SELECT * FROM (SELECT * FROM orders) MATCH_RECOGNIZE("
+        " PARTITION BY custkey ORDER BY orderdate"
+        " MEASURES A.totalprice AS sp ONE ROW PER MATCH PATTERN (A B+)"
+        " DEFINE B AS B.totalprice > PREV(B.totalprice)"
+        ") AS m, lineitem WHERE l_quantity > 1"
+    )
+    assert m["tables"] == ["orders", "lineitem"]
+    assert dict(m["join_columns"]) == {"custkey": 1}
+    assert dict(m["where_columns"]) == {
+        "orderdate": 1, "totalprice": 2, "l_quantity": 1,
+    }
+    assert dict(m["skipped"]) == {"match_recognize": 1}
+    # without AS: the bare alias form must not mine a phantom table
+    m2 = mining.mine_statement(
+        "SELECT * FROM (SELECT * FROM orders) MATCH_RECOGNIZE("
+        " PARTITION BY custkey ONE ROW PER MATCH PATTERN (A)"
+        " DEFINE A AS A.x > 1) m, lineitem"
+    )
+    assert m2["tables"] == ["orders", "lineitem"]

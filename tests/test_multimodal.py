@@ -869,9 +869,7 @@ def test_gif_mean_blind_interlace_bug_caught_by_weighted_sum():
     # simulate the bug: rows in file (interlace) order, no reassembly
     order = [r for s, st in mm.PixmapCodec._GIF_INTERLACE_PASSES
              for r in range(s, 5, st)]
-    buggy = good[np.argsort(np.argsort(order))]  # inverse permutation
-    buggy = good.copy()
-    buggy[np.arange(5)] = good[order]  # naive: file row k -> raster k
+    buggy = good[order]  # naive: file row k lands at raster row k
     assert not np.array_equal(buggy, good)
     s_good = pal[good].astype(np.int64)
     s_bug = pal[buggy].astype(np.int64)

@@ -344,7 +344,16 @@ def _mine_tokens(
         i = recurse_if_subquery(i)
         if i < len(low) and low[i] == "as":
             i += 1
-        if i < len(toks) and _is_identifier(toks[i]):
+        if (
+            i < len(toks)
+            and _is_identifier(toks[i])
+            # MATCH_RECOGNIZE after a derived table is a row-pattern
+            # block, not the table's alias (same guard as
+            # read_table_ref) — swallowing it here parsed the MR parens
+            # as a derived-column list and poisoned derived_cols with
+            # every identifier in the block (r9 review finding #1)
+            and low[i] != "match_recognize"
+        ):
             aliases.add(_base_name(toks[i]))
             i += 1
             if i < len(toks) and toks[i] == "(":

@@ -975,12 +975,16 @@ class PixmapCodec:
                 break
             if block == 0x21:  # extension: label + sub-block chain
                 pos += 1
-                while payload[pos]:
+                while pos < len(payload) and payload[pos]:
                     pos += 1 + payload[pos]
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension block")
                 pos += 1
                 continue
             if block != 0x2C:
                 raise ValueError(f"unknown GIF block 0x{block:02x}")
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             if left or top or w > sw or h > sh:
@@ -994,15 +998,19 @@ class PixmapCodec:
                 pos += n * 3
             if pal is None:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
             min_code = payload[pos]
             pos += 1
             lzw = bytearray()
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 ln = payload[pos]
-                lzw += payload[pos + 1 : pos + 1 + ln]
-                if len(lzw) - len(payload[pos + 1 : pos + 1 + ln]) + ln > len(payload):
+                if pos + 1 + ln > len(payload):
                     raise ValueError("truncated GIF data sub-block")
+                lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
             pos += 1
             idx = np.array(
                 cls._lzw_decode(bytes(lzw), min_code, w * h), np.uint8

@@ -47,6 +47,12 @@ _BALANCE_SALT = "cluster-balance"
 # pattern as operators/recommend.run_analysis's session memo).
 _FIT_CACHE: dict[tuple[str, str], list[list[int]]] = {}
 _ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+# split-mode refined assignments, keyed (app_id, sf_dir, ceiling,
+# sub_k): split_oversized_assignments persists its output (multiple
+# consumers), so un-cached repeat calls would each pin a fresh
+# assignment-sized frame for the app's lifetime (r9 review finding #3).
+# Evicted by evict_fit_caches like every other per-(app, sf_dir) cache.
+_SPLIT_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
 # the live dashboard serves queries from ThreadingHTTPServer threads;
 # an unsynchronized check-then-set would run duplicate Lloyd fits and
 # leak the loser's persisted assignment frame
@@ -98,6 +104,7 @@ def evict_fit_caches(
         for cache in (
             _FIT_CACHE,
             _ASSIGN_CACHE,
+            _SPLIT_CACHE,
             _DOC_ASSIGN_CACHE,
             _GREEDY_ASSIGN_CACHE,
             _DRIFT_REPORT_CACHE,
@@ -397,9 +404,14 @@ def split_oversized_assignments(
     # one refinement level must suffice; a still-oversized sub-cluster
     # raises with the same evidence message as the unsplit guard
     # (this probe also materializes the persisted frame, after which
-    # the refit scratch cache can be released)
+    # the refit scratch cache can be released). On the failure path the
+    # refined frame itself is released too — nothing should stay pinned
+    # for a job that is aborting.
     try:
         guard_cluster_sizes(out, ceiling)
+    except Exception:
+        out.unpersist()
+        raise
     finally:
         scratch.unpersist()
     return out
@@ -428,9 +440,24 @@ def _semdedup(
     ).withColumn("nrm", _norm(F.col("vec")))
     assigned = _assignments(spark, sf_dir).select("vec_id", "cluster")
     if split_oversized:
-        assigned = split_oversized_assignments(
-            assigned, emb, ceiling=ceiling, sub_k=sub_k
+        # session-memoized like the parent fit: the refined frame is
+        # persisted (multiple consumers), so repeat calls must reuse
+        # one frame, not pin a new one each time; evict_fit_caches
+        # releases it with the rest of the per-(app, sf_dir) caches
+        key = (
+            spark.sparkContext.applicationId, sf_dir, ceiling, sub_k,
         )
+        with _FIT_LOCK:
+            cached = _SPLIT_CACHE.get(key)
+        if cached is None:
+            refined = split_oversized_assignments(
+                assigned, emb, ceiling=ceiling, sub_k=sub_k
+            )
+            with _FIT_LOCK:
+                cached = _SPLIT_CACHE.setdefault(key, refined)
+            if cached is not refined:  # lost a concurrent race
+                refined.unpersist()
+        assigned = cached
     else:
         guard_cluster_sizes(assigned, ceiling)
     a = assigned.join(v, "vec_id").select(

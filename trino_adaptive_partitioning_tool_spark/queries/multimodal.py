@@ -784,23 +784,11 @@ def multimodal_mixed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     format's decoded statistics positionally (PNG pixel cycle, JPEG
     block convention + integer color transform, WAV int16 amplitude,
     Y4M full-stream plane walk)."""
-    fmt = F.element_at(
-        F.array(F.lit("png"), F.lit("jpeg"), F.lit("wav"), F.lit("y4m")),
-        (F.floor(F.col("asset_id") / 1000) + 1).cast("int"),
-    )
-    decoded = mm.decode_assets(
-        mm.synth_mixed_assets(spark),
-        require_codec=True,
-        codec=mm.PixmapCodec(),
-    )
-    return (
-        decoded.withColumn("fmt", fmt)
-        .groupBy("fmt")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("decoded_width").cast("bigint").alias("sum_width"),
-            F.sum("decoded_height").cast("bigint").alias("sum_height"),
-            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+    return mixed_corpus_rollup(
+        mm.decode_assets(
+            mm.synth_mixed_assets(spark),
+            require_codec=True,
+            codec=mm.PixmapCodec(),
         )
     )
 

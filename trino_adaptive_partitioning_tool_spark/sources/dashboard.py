@@ -303,11 +303,18 @@ def bench_health_section(bench_dir: str | None = None) -> str:
         tiles,
     ]
     if regressions:
-        rows = [
-            {"query": n, "x over median": v.get("x"),
-             "sec": v.get("sec"), "median": v.get("median")}
-            for n, v in sorted(regressions.items())
-        ]
+        rows = []
+        for n, v in sorted(regressions.items()):
+            # cold-ONLY regressions carry their numbers one level down
+            # ({"cold": {...}} with no top-level keys) — fall through so
+            # the flagging ratio always renders
+            cold = v.get("cold") or {}
+            rows.append({
+                "query": n + (" (cold)" if "x" not in v and cold else ""),
+                "x over median": v.get("x", cold.get("x")),
+                "sec": v.get("sec", cold.get("sec")),
+                "median": v.get("median", cold.get("median")),
+            })
         parts.append("<h3>Regressions</h3>")
         parts.append(_table(rows, ["query", "x over median", "sec", "median"]))
     if watch:
