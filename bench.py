@@ -110,6 +110,7 @@ HEADLINE_QUERIES = [
     "multimodal_scene_changes",
     "multimodal_jpeg_decode_stats",
     "multimodal_mixed_corpus_stats",
+    "multimodal_gif_decode_stats",
     "train_test_split_counts",
 ]
 

@@ -200,35 +200,42 @@ def main() -> None:
         )
         t_build = time.perf_counter() - start
         refined.unpersist()
-        best = None
-        for _ in range(2):
-            start = time.perf_counter()
-            n = qc._semdedup(
-                spark, inflated, split_oversized=True, ceiling=ceiling
-            ).count()
-            t = time.perf_counter() - start
-            best = t if best is None else min(best, t)
+        # run 1 is END-TO-END (builds + caches the refined frame via
+        # the session memo); run 2 reuses the cache and prices the
+        # pair stage alone — both are reported as what they are, no
+        # subtraction (the memo made min-over-reps a lie: r9 review)
+        start = time.perf_counter()
+        n = qc._semdedup(
+            spark, inflated, split_oversized=True, ceiling=ceiling
+        ).count()
+        t_end_to_end = time.perf_counter() - start
+        start = time.perf_counter()
+        n = qc._semdedup(
+            spark, inflated, split_oversized=True, ceiling=ceiling
+        ).count()
+        t_cached = time.perf_counter() - start
         fixed_k = results["semdedup_keep_canonical"][f"t_{factor}x"]
         results["semdedup_keep_canonical"]["split_remediation"] = {
             "ceiling": ceiling,
-            f"t_{factor}x_split": round(best, 3),
+            f"t_{factor}x_split_end_to_end": round(t_end_to_end, 3),
+            f"t_{factor}x_split_cached": round(t_cached, 3),
             "t_refinement_build": round(t_build, 3),
-            "pair_stage_sec_est": round(best - t_build, 3),
             "rows": n,
-            "speedup_vs_fixed_k": round(fixed_k / best, 2),
-            "pair_stage_speedup_est": round(
-                fixed_k / max(best - t_build, 1e-9), 2
-            ),
+            "speedup_vs_fixed_k": round(fixed_k / t_end_to_end, 2),
+            "pair_stage_speedup": round(fixed_k / t_cached, 2),
             "note": (
                 "refinement build is a fixed count of model-sized "
-                "jobs (amortizes at corpus scale); the pair stage is "
-                "where the quadratic term lives"
+                "jobs (amortizes at corpus scale; session-memoized "
+                "within an app); the pair stage is where the "
+                "quadratic term lives"
             ),
         }
         print(
-            f"# semdedup split remediation: {best:.3f}s total "
-            f"(build {t_build:.3f}s, pair ~{best - t_build:.3f}s) vs "
-            f"fixed-k {fixed_k}s ({fixed_k / best:.2f}x end-to-end)",
+            f"# semdedup split remediation: {t_end_to_end:.3f}s "
+            f"end-to-end (build {t_build:.3f}s), {t_cached:.3f}s "
+            f"cached vs fixed-k {fixed_k}s "
+            f"({fixed_k / t_end_to_end:.2f}x / "
+            f"{fixed_k / t_cached:.2f}x)",
             file=sys.stderr,
         )
 

@@ -205,3 +205,26 @@ def test_bench_health_section_renders_watch_and_anchor(tmp_path):
     # malformed artifact: still no crash, no section
     (tmp_path / "BENCH_PLANS.json").write_text("{not json")
     assert dashboard.bench_health_section(str(tmp_path)) == ""
+
+
+def test_bench_health_renders_warm_and_cold_regressions(tmp_path):
+    """r9 second review pass: a query flagged for BOTH warm and cold
+    regressions renders two rows (warm + '(cold)'); cold-only entries
+    render their nested numbers, never None cells."""
+    import json
+
+    (tmp_path / "BENCH_PLANS.json").write_text(json.dumps({
+        "warm_queries": {"q_both": 0.5, "q_coldonly": 0.3},
+        "anchor_ratio_r1": 1.0,
+        "regressions": {
+            "q_both": {"sec": 0.5, "median": 0.2, "x": 2.5,
+                       "cold": {"sec": 2.0, "median": 0.8, "x": 2.5}},
+            "q_coldonly": {"cold": {"sec": 1.9, "median": 0.6, "x": 3.17}},
+        },
+        "watch": {},
+    }))
+    html = dashboard.bench_health_section(str(tmp_path))
+    assert "q_both (cold)" in html and "q_coldonly (cold)" in html
+    assert html.count("q_both") == 2  # warm row + cold row
+    assert "3.17" in html and "2.0" in html
+    assert "None" not in html

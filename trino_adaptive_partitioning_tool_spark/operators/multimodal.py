@@ -1001,6 +1001,15 @@ class PixmapCodec:
             if pos >= len(payload):
                 raise ValueError("truncated GIF image data")
             min_code = payload[pos]
+            # spec range is 2..8 (<= 256 palette entries). An
+            # unvalidated corrupt byte would size the LZW table at
+            # 1 << min_code (OOM/hang at 0xFF) or emit entries > 255
+            # that wrap silently in the uint8 index array — garbage
+            # pixels instead of the contract ValueError.
+            if not 2 <= min_code <= 8:
+                raise ValueError(
+                    f"GIF LZW min code size {min_code} outside 2..8"
+                )
             pos += 1
             lzw = bytearray()
             while pos < len(payload) and payload[pos]:

@@ -447,16 +447,17 @@ def _semdedup(
         key = (
             spark.sparkContext.applicationId, sf_dir, ceiling, sub_k,
         )
+        # the fill holds the lock across the refit, like
+        # fitted_centroids: a check-compute-setdefault race would run
+        # duplicate grouped refits (minutes of driver-blocking Lloyd
+        # jobs) and throw one away — the exact scenario _FIT_LOCK
+        # exists to prevent
         with _FIT_LOCK:
             cached = _SPLIT_CACHE.get(key)
-        if cached is None:
-            refined = split_oversized_assignments(
-                assigned, emb, ceiling=ceiling, sub_k=sub_k
-            )
-            with _FIT_LOCK:
-                cached = _SPLIT_CACHE.setdefault(key, refined)
-            if cached is not refined:  # lost a concurrent race
-                refined.unpersist()
+            if cached is None:
+                cached = _SPLIT_CACHE[key] = split_oversized_assignments(
+                    assigned, emb, ceiling=ceiling, sub_k=sub_k
+                )
         assigned = cached
     else:
         guard_cluster_sizes(assigned, ceiling)

@@ -303,18 +303,24 @@ def bench_health_section(bench_dir: str | None = None) -> str:
         tiles,
     ]
     if regressions:
+        # warm numbers live at the top level, cold numbers one level
+        # down under "cold" (bench.py's shape); a query may carry
+        # either or both — render one row per flagged timing so neither
+        # ratio is ever invisible
         rows = []
         for n, v in sorted(regressions.items()):
-            # cold-ONLY regressions carry their numbers one level down
-            # ({"cold": {...}} with no top-level keys) — fall through so
-            # the flagging ratio always renders
+            if "x" in v:
+                rows.append({
+                    "query": n, "x over median": v.get("x"),
+                    "sec": v.get("sec"), "median": v.get("median"),
+                })
             cold = v.get("cold") or {}
-            rows.append({
-                "query": n + (" (cold)" if "x" not in v and cold else ""),
-                "x over median": v.get("x", cold.get("x")),
-                "sec": v.get("sec", cold.get("sec")),
-                "median": v.get("median", cold.get("median")),
-            })
+            if cold:
+                rows.append({
+                    "query": f"{n} (cold)",
+                    "x over median": cold.get("x"),
+                    "sec": cold.get("sec"), "median": cold.get("median"),
+                })
         parts.append("<h3>Regressions</h3>")
         parts.append(_table(rows, ["query", "x over median", "sec", "median"]))
     if watch:
