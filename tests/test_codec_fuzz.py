@@ -1,0 +1,185 @@
+"""Property-based round-trip fuzz for the real codecs (hypothesis).
+
+The fixed-seed unit tests pin known shapes; these generate arbitrary
+dims/channels/content per run so encoder/decoder state machines (PNG
+filter cycling, JPEG Huffman + subsampling + restart markers, GIF LZW
+width growth + interlace, WAV block alignment) are exercised across the
+whole parameter lattice, not just the synth generators' corner.
+
+CODEC_FUZZ_EXAMPLES=2000 python -m pytest tests/test_codec_fuzz.py
+for the certification sweep; default keeps CI fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+    PixmapCodec,
+)
+
+_EXAMPLES = int(os.environ.get("CODEC_FUZZ_EXAMPLES", "25"))
+_pc = PixmapCodec()
+
+
+def _img(draw, h, w, ch):
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    return a[:, :, 0] if ch == 1 else a
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_png_round_trip_exact(data):
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+    px = _img(data.draw, h, w, ch)
+    arr = px if px.ndim == 3 else px[:, :, None]
+    got = _pc._parse_png(PixmapCodec._encode_png(arr))[2]
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_jpeg_round_trip_bounded_error(data):
+    """Unit quant tables: the only loss is FDCT/IDCT rounding, so every
+    sample returns within a few levels; dims include non-MCU multiples
+    (edge padding + crop) and optional restart markers."""
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    dri = data.draw(st.sampled_from([0, 1, 3]))
+    gray = _img(data.draw, h, w, 1)
+    dw, dh, px = _pc._parse_jpeg(
+        PixmapCodec._encode_jpeg(gray, restart_interval=dri)
+    )
+    assert (dw, dh) == (w, h)
+    assert np.abs(px[:, :, 0].astype(int) - gray.astype(int)).max() <= 4
+    # color 4:2:0 (even-ish chroma grid derived from luma dims)
+    cw, chh = (w + 1) // 2, (h + 1) // 2
+    cb = _img(data.draw, chh, cw, 1)
+    cr = _img(data.draw, chh, cw, 1)
+    dw, dh, px = _pc._parse_jpeg(
+        PixmapCodec._encode_jpeg(gray, cb, cr, "420", restart_interval=dri)
+    )
+    assert (dw, dh, px.shape[2]) == (w, h, 3)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_jpeg_constant_blocks_exact(data):
+    """The certified-oracle property itself, fuzzed: ANY constant-block
+    YCbCr image round-trips bit-exactly through the lossy pipeline."""
+    mw = data.draw(st.integers(1, 3))
+    mh = data.draw(st.integers(1, 2))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    up = lambda b: np.repeat(np.repeat(b, 8, 0), 8, 1)  # noqa: E731
+    yb = rng.integers(0, 256, (2 * mh, 2 * mw), dtype=np.uint8)
+    cb = rng.integers(0, 256, (mh, mw), dtype=np.uint8)
+    cr = rng.integers(0, 256, (mh, mw), dtype=np.uint8)
+    _, _, px = _pc._parse_jpeg(
+        PixmapCodec._encode_jpeg(up(yb), up(cb), up(cr), "420")
+    )
+    exp = PixmapCodec._ycbcr_to_rgb(
+        up(yb).astype(np.int64),
+        np.repeat(np.repeat(up(cb), 2, 0), 2, 1).astype(np.int64),
+        np.repeat(np.repeat(up(cr), 2, 0), 2, 1).astype(np.int64),
+    )
+    assert np.array_equal(px, exp)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_gif_round_trip_exact(data):
+    h = data.draw(st.integers(1, 40))
+    w = data.draw(st.integers(1, 40))
+    n_colors = data.draw(st.sampled_from([4, 16, 64, 256]))
+    interlace = data.draw(st.booleans())
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    dw, dh, got, gpal = _pc._parse_gif(
+        PixmapCodec._encode_gif(idx, pal, interlace=interlace)
+    )
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(got, idx)
+    assert np.array_equal(gpal[:n_colors], pal)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_lzw_arbitrary_streams_round_trip(data):
+    min_code = data.draw(st.integers(2, 8))
+    n = data.draw(st.integers(0, 4000))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    # mixed profile: random spans interleaved with runs (KwKwK bait)
+    vals = []
+    while len(vals) < n:
+        if rng.integers(0, 2):
+            vals.extend(
+                int(v) for v in rng.integers(0, 1 << min_code, 17)
+            )
+        else:
+            vals.extend([int(rng.integers(0, 1 << min_code))] * 23)
+    vals = vals[:n]
+    if not vals:
+        return
+    enc = PixmapCodec._lzw_encode(vals, min_code)
+    assert PixmapCodec._lzw_decode(enc, min_code, len(vals)) == vals
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_wav_round_trip_exact(data):
+    frames = data.draw(st.integers(1, 500))
+    channels = data.draw(st.integers(1, 4))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, frames * channels).astype("<i2")
+    fr, ch, got = _pc._parse_wav(PixmapCodec._encode_wav(samples, channels))
+    assert (fr, ch) == (frames, channels)
+    assert np.array_equal(got, samples)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_truncation_always_raises_valueerror(data):
+    """The 'never fakes a result' contract, fuzzed: any prefix of a
+    valid payload either raises ValueError or (for formats whose tail
+    is pure padding) decodes identically — never a different result,
+    never a foreign exception type."""
+    kind = data.draw(st.sampled_from(["png", "jpeg", "gif", "wav"]))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "png":
+        payload = PixmapCodec._encode_png(
+            rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        )
+    elif kind == "jpeg":
+        payload = PixmapCodec._encode_jpeg(
+            rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        )
+    elif kind == "gif":
+        payload = PixmapCodec._encode_gif(
+            rng.integers(0, 16, (5, 7), dtype=np.uint8),
+            rng.integers(0, 256, (16, 3), dtype=np.uint8),
+        )
+    else:
+        payload = PixmapCodec._encode_wav(
+            rng.integers(-100, 100, 40).astype("<i2"), 2
+        )
+    full = _pc.decode(payload, "image")
+    cut = data.draw(st.integers(1, len(payload) - 1))
+    try:
+        got = _pc.decode(payload[:cut], "image")
+    except ValueError:
+        return
+    assert got == full  # only acceptable non-raise: pure-padding tail

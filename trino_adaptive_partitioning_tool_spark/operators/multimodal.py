@@ -614,7 +614,9 @@ class PixmapCodec:
         while pos + 8 <= len(payload):
             length, ctype = struct.unpack_from(">I4s", payload, pos)
             data = payload[pos + 8 : pos + 8 + length]
-            if len(data) != length:
+            # the +4 covers the CRC word: a payload cut inside it must
+            # raise the contract ValueError, not struct.error (r9 fuzz)
+            if len(data) != length or pos + 12 + length > len(payload):
                 raise ValueError("truncated PNG chunk")
             if struct.unpack_from(">I", payload, pos + 8 + length)[0] != (
                 zlib.crc32(ctype + data) & 0xFFFFFFFF
