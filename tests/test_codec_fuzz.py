@@ -183,3 +183,32 @@ def test_truncation_always_raises_valueerror(data):
     except ValueError:
         return
     assert got == full  # only acceptable non-raise: pure-padding tail
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
+def test_tiff_round_trip_exact(data):
+    h = data.draw(st.integers(1, 20))
+    w = data.draw(st.integers(1, 20))
+    ch = data.draw(st.sampled_from([1, 3]))
+    bo = data.draw(st.sampled_from(["II", "MM"]))
+    pb = data.draw(st.booleans())
+    rps = data.draw(st.integers(1, 5))
+    px = _img(data.draw, h, w, ch)
+    arr = px if px.ndim == 3 else px[:, :, None]
+    got = _pc._parse_tiff(
+        PixmapCodec._encode_tiff(px, byte_order=bo, packbits=pb,
+                                 rows_per_strip=rps)
+    )[2]
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_packbits_arbitrary_bytes_round_trip(data):
+    from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+        PixmapCodec as P,
+    )
+
+    enc = P._packbits_encode(data)
+    assert P._packbits_decode(enc, len(data)) == data

@@ -878,3 +878,56 @@ def test_gif_mean_blind_interlace_bug_caught_by_weighted_sum():
     pw_good = (wgt * s_good.reshape(20, 3).sum(1)).sum()
     pw_bug = (wgt * s_bug.reshape(20, 3).sum(1)).sum()
     assert pw_good != pw_bug  # the weighted checksum is not
+
+
+def test_tiff_round_trip_structural_matrix():
+    """Gray/RGB x II/MM byte orders x uncompressed/PackBits x 1..3-row
+    strips: all decode to the identical raster; truncations raise
+    ValueError at every cut point."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    rng = np.random.default_rng(23)
+    for ch in (1, 3):
+        px = rng.integers(0, 256, (5, 7, ch), dtype=np.uint8)
+        for bo in ("II", "MM"):
+            for pb in (False, True):
+                for rps in (None, 1, 2):
+                    payload = mm.PixmapCodec._encode_tiff(
+                        px if ch == 3 else px[:, :, 0],
+                        byte_order=bo, packbits=pb, rows_per_strip=rps,
+                    )
+                    w, h, got = pc._parse_tiff(payload)
+                    assert (w, h) == (7, 5)
+                    assert np.array_equal(got, px), (ch, bo, pb, rps)
+    payload = mm.PixmapCodec._encode_tiff(
+        rng.integers(0, 256, (4, 6, 3), dtype=np.uint8),
+        packbits=True, rows_per_strip=2,
+    )
+    for cut in range(4, len(payload)):
+        with pytest.raises(ValueError):
+            pc._parse_tiff(payload[:cut])
+    with pytest.raises(ValueError, match="not a TIFF"):
+        pc._parse_tiff(b"XXXX" + payload[4:])
+    # decode()/pixels()/resize() dispatch
+    w, h, mi = pc.decode(payload, "image")
+    assert (w, h) == (6, 4)
+    assert pc.pixels(payload).shape == (4, 6, 3)
+    rw, rh, rpx = pc._parse_tiff(pc.resize(payload, 3, 2))
+    assert (rw, rh) == (3, 2)
+
+
+def test_packbits_run_detection_and_edge_cases():
+    from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+        PixmapCodec as P,
+    )
+
+    for data in (
+        b"", b"a", b"ab", b"aaa", b"a" * 500,
+        bytes(range(200)), b"ab" * 100, b"aaab" * 60,
+        bytes([0]) * 128 + bytes([1]),
+    ):
+        enc = P._packbits_encode(data)
+        assert P._packbits_decode(enc, len(data)) == data, data[:12]
+    # runs actually compress
+    assert len(P._packbits_encode(b"z" * 300)) <= 6

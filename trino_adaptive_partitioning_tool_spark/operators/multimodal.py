@@ -455,16 +455,65 @@ def synth_gif_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_tiff_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-TIFF asset table: each payload is a valid
+    baseline TIFF whose chunky raster bytes cycle the 16 md5 digest
+    bytes of the asset id. STRUCTURE varies per asset so the decoder
+    walks real variety — gray vs RGB (id % 2), uncompressed vs real
+    PackBits (id % 3 == 0), little- vs big-endian (id % 5 == 0 is MM),
+    and 1..3 rows per strip (multi-strip assembly) — while the DECODED
+    raster stays the same pure positional function of the digest, so
+    one DuckDB oracle covers every structural combination. Strip
+    misordering is a row permutation a mean can't see; the query
+    checks the position-weighted checksum."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 6 + 2).cast("int").alias("w"),
+        (F.col("id") % 4 + 2).cast("int").alias("h"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h in zip(pdf["asset_id"], pdf["w"], pdf["h"]):
+                aid, w, h = int(aid), int(w), int(h)
+                ch = 3 if aid % 2 == 0 else 1
+                d = hashlib.md5(str(aid).encode()).digest()
+                need = w * h * ch
+                px = np.frombuffer(
+                    (d * (need // 16 + 1))[:need], np.uint8
+                ).reshape(h, w, ch)
+                payload = PixmapCodec._encode_tiff(
+                    px,
+                    byte_order="MM" if aid % 5 == 0 else "II",
+                    packbits=aid % 3 == 0,
+                    rows_per_strip=aid % 3 + 1,
+                )
+                rows.append(
+                    (aid, "image", payload, (w, h, None, None, "tiff"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_mixed_assets(spark: SparkSession) -> DataFrame:
     """Mixed-modality corpus: one asset table carrying REAL PNG, JPEG,
-    WAV and Y4M payloads side by side — the shape a real crawl table
-    arrives in. Asset ids are offset per modality (PNG +0, JPEG +1000,
-    WAV +2000, Y4M +3000 — each generator's id space is its own, so
-    every payload equals the single-modality generator's output for
-    id % 1000 and the oracles' positional re-derivations carry over
-    unchanged). Consumed by ONE decode stage whose codec dispatches on
-    payload magic bytes per row — per-type dispatch inside a single
-    Arrow mapInPandas pass, not a per-type job."""
+    WAV, Y4M and TIFF payloads side by side — the shape a real crawl
+    table arrives in. Asset ids are offset per modality (PNG +0, JPEG
+    +1000, WAV +2000, Y4M +3000, TIFF +4000 — each generator's id space
+    is its own, so every payload equals the single-modality generator's
+    output for id % 1000 and the oracles' positional re-derivations
+    carry over unchanged). Consumed by ONE decode stage whose codec
+    dispatches on payload magic bytes per row — per-type dispatch
+    inside a single Arrow mapInPandas pass, not a per-type job."""
     parts = [
         synth_png_assets(spark, n=64, partitions=4),
         synth_jpeg_assets(spark, n=64, partitions=4).withColumn(
@@ -475,6 +524,9 @@ def synth_mixed_assets(spark: SparkSession) -> DataFrame:
         ),
         synth_y4m_assets(spark, n=64, partitions=4).withColumn(
             "asset_id", F.col("asset_id") + 3000
+        ),
+        synth_tiff_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 4000
         ),
     ]
     out = parts[0]
@@ -1083,6 +1135,209 @@ class PixmapCodec:
         out += b"\x00\x3b"
         return bytes(out)
 
+    # -- TIFF helpers (baseline: uncompressed / PackBits, II and MM) ------
+    @staticmethod
+    def _packbits_decode(data: bytes, expected: int) -> bytes:
+        """Apple PackBits RLE (TIFF compression 32773)."""
+        out = bytearray()
+        i = 0
+        while i < len(data) and len(out) < expected:
+            n = data[i]
+            i += 1
+            if n < 128:  # literal run of n+1 bytes
+                if i + n + 1 > len(data):
+                    raise ValueError("truncated PackBits literal run")
+                out += data[i : i + n + 1]
+                i += n + 1
+            elif n > 128:  # repeat next byte 257-n times
+                if i >= len(data):
+                    raise ValueError("truncated PackBits repeat run")
+                out += bytes([data[i]]) * (257 - n)
+                i += 1
+            # n == 128: noop per spec
+        if len(out) != expected:
+            raise ValueError("PackBits output length mismatch")
+        return bytes(out)
+
+    @staticmethod
+    def _packbits_encode(data: bytes) -> bytes:
+        """Real run-detecting PackBits encoder (runs >= 3 become repeat
+        packets; literals chunked at 128)."""
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, data[i]])
+                i += run
+                continue
+            lit_start = i
+            i += run
+            while i < n and i - lit_start < 128:
+                run = 1
+                while i + run < n and run < 3 and data[i + run] == data[i]:
+                    run += 1
+                if run >= 3:
+                    break
+                i += 1
+            out += bytes([i - lit_start - 1]) + data[lit_start:i]
+        return bytes(out)
+
+    @classmethod
+    def _parse_tiff(cls, payload: bytes):
+        """(width, height, pixel_array[h, w, ch]) for baseline TIFF:
+        both byte orders (II/MM), 8-bit gray (photometric 1) and RGB
+        (photometric 2), chunky planar config, multi-strip assembly,
+        compression none (1) or PackBits (32773). Everything else —
+        tiles, predictors, LZW/Deflate, palette — is rejected loudly."""
+        import struct
+
+        if payload[:4] == b"II*\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            raise ValueError("not a TIFF payload")
+        if len(payload) < 8:
+            raise ValueError("truncated TIFF header")
+        ifd_off = struct.unpack_from(f"{e}I", payload, 4)[0]
+        if ifd_off + 2 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        n_entries = struct.unpack_from(f"{e}H", payload, ifd_off)[0]
+        if ifd_off + 2 + 12 * n_entries > len(payload):
+            raise ValueError("truncated TIFF IFD entries")
+        tags: dict[int, list[int]] = {}
+        for k in range(n_entries):
+            off = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(f"{e}HHI", payload, off)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # RATIONAL etc. — not needed for baseline
+            total = size * cnt
+            if total <= 4:
+                voff = off + 8
+            else:
+                voff = struct.unpack_from(f"{e}I", payload, off + 8)[0]
+            if voff + total > len(payload):
+                raise ValueError("truncated TIFF tag values")
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(
+                struct.unpack_from(f"{e}{cnt}{fmt}", payload, voff)
+            )
+
+        def one(tag: int, default: int | None = None) -> int:
+            if tag in tags:
+                return tags[tag][0]
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+
+        w, h = one(256), one(257)
+        comp = one(259, 1)
+        photo = one(262)
+        spp = one(277, 1)
+        bits = tags.get(258, [8] * spp)
+        if any(b != 8 for b in bits) or len(bits) != spp:
+            raise ValueError("only 8-bit TIFF samples supported")
+        if photo not in (1, 2) or spp not in (1, 3):
+            raise ValueError("only gray/RGB chunky TIFF supported")
+        if one(284, 1) != 1:
+            raise ValueError("planar TIFF unsupported")
+        if comp not in (1, 32773):
+            raise ValueError("only uncompressed/PackBits TIFF supported")
+        rows_per_strip = one(278, h)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        raster = bytearray()
+        row = 0
+        for soff, scnt in zip(offsets, counts):
+            if soff + scnt > len(payload):
+                raise ValueError("truncated TIFF strip")
+            strip = payload[soff : soff + scnt]
+            n_rows = min(rows_per_strip, h - row)
+            expected = n_rows * w * spp
+            if comp == 32773:
+                strip = cls._packbits_decode(strip, expected)
+            if len(strip) != expected:
+                raise ValueError("TIFF strip size mismatch")
+            raster += strip
+            row += n_rows
+        if row != h:
+            raise ValueError("TIFF strips do not cover the image")
+        return w, h, np.frombuffer(bytes(raster), np.uint8).reshape(
+            h, w, spp
+        )
+
+    @staticmethod
+    def _encode_tiff(
+        px: np.ndarray,
+        byte_order: str = "II",
+        packbits: bool = False,
+        rows_per_strip: int | None = None,
+    ) -> bytes:
+        """Baseline TIFF writer: gray [h, w] / [h, w, 1] or RGB
+        [h, w, 3], chunky, multi-strip, optional PackBits, either byte
+        order — the structural variety the decoder must walk."""
+        import struct
+
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, spp = px.shape
+        e = "<" if byte_order == "II" else ">"
+        rows_per_strip = rows_per_strip or h
+        strips = []
+        for r0 in range(0, h, rows_per_strip):
+            raw = px[r0 : r0 + rows_per_strip].tobytes()
+            strips.append(
+                PixmapCodec._packbits_encode(raw) if packbits else raw
+            )
+        # layout: header(8) | strip data | IFD | out-of-line tag values
+        data_start = 8
+        offsets = []
+        pos = data_start
+        for s in strips:
+            offsets.append(pos)
+            pos += len(s)
+        ifd_off = pos
+        entries = [
+            (256, 4, [w]),
+            (257, 4, [h]),
+            (258, 3, [8] * spp),
+            (259, 3, [32773 if packbits else 1]),
+            (262, 3, [2 if spp == 3 else 1]),
+            (273, 4, offsets),
+            (277, 3, [spp]),
+            (278, 4, [rows_per_strip]),
+            (279, 4, [len(s) for s in strips]),
+            (284, 3, [1]),
+        ]
+        ifd_size = 2 + 12 * len(entries) + 4
+        extra_off = ifd_off + ifd_size
+        extra = bytearray()
+        ifd = struct.pack(f"{e}H", len(entries))
+        for tag, typ, vals in entries:
+            size = {3: 2, 4: 4}[typ]
+            fmt = {3: "H", 4: "I"}[typ]
+            packed = struct.pack(f"{e}{len(vals)}{fmt}", *vals)
+            ent = struct.pack(f"{e}HHI", tag, typ, len(vals))
+            if len(packed) <= 4:
+                ent += packed + b"\x00" * (4 - len(packed))
+            else:
+                ent += struct.pack(f"{e}I", extra_off + len(extra))
+                extra += packed
+            ifd += ent
+        ifd += struct.pack(f"{e}I", 0)  # no next IFD
+        header = (
+            (b"II*\x00" if e == "<" else b"MM\x00*")
+            + struct.pack(f"{e}I", ifd_off)
+        )
+        return header + b"".join(strips) + ifd + bytes(extra)
+
     # -- WAV helpers -----------------------------------------------------
     @staticmethod
     def _parse_wav(payload: bytes):
@@ -1637,6 +1892,8 @@ class PixmapCodec:
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             _, _, idx, pal = self._parse_gif(payload)
             return pal[idx]  # palette lookup -> [h, w, 3]
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return self._parse_tiff(payload)[2]
         raise ValueError("unsupported raster format for PixmapCodec")
 
     # -- Codec protocol --------------------------------------------------
@@ -1662,6 +1919,9 @@ class PixmapCodec:
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h, idx, pal = self._parse_gif(payload)
             return w, h, float(pal[idx].mean())
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            w, h, px = self._parse_tiff(payload)
+            return w, h, float(px.mean())
         if payload[:9] == b"YUV4MPEG2":
             # video decode: walk every frame, report (w, h, mean over
             # ALL plane bytes across frames) — the per-frame stages use
@@ -1713,6 +1973,9 @@ class PixmapCodec:
             # exact (no re-quantization), interlace not re-applied
             _, _, idx, pal = self._parse_gif(payload)
             return self._encode_gif(_nn(idx[:, :, None])[:, :, 0], pal)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            _, _, px = self._parse_tiff(payload)
+            return self._encode_tiff(_nn(px))
         raise ValueError("unsupported payload format for PixmapCodec")
 
     def frames(

@@ -739,9 +739,24 @@ MIXED_CORPUS_ORACLE = f"""
           j -> CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
                     AS INT))) AS mean_intensity
       FROM y4m
+    ), tif AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             CAST(CASE WHEN t.asset_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+               AS ch,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 64) t(asset_id)
+    ), tif_d AS (
+      SELECT 'tiff' AS fmt, w, h,
+        list_avg(list_transform(range(0, w * h * ch), j ->
+          CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+               AS BIGINT))) AS mean_intensity
+      FROM tif
     ), all_d AS (
       SELECT * FROM png_d UNION ALL SELECT * FROM jpg_d
       UNION ALL SELECT * FROM wav_d UNION ALL SELECT * FROM y4m_d
+      UNION ALL SELECT * FROM tif_d
     )
     SELECT fmt, COUNT(*) AS n_assets,
            CAST(SUM(w) AS BIGINT) AS sum_width,
@@ -758,7 +773,10 @@ def mixed_corpus_rollup(decoded: DataFrame) -> DataFrame:
     streaming twin. fmt derives from the id-offset convention of
     synth_mixed_assets (asset_id // 1000)."""
     fmt = F.element_at(
-        F.array(F.lit("png"), F.lit("jpeg"), F.lit("wav"), F.lit("y4m")),
+        F.array(
+            F.lit("png"), F.lit("jpeg"), F.lit("wav"), F.lit("y4m"),
+            F.lit("tiff"),
+        ),
         (F.floor(F.col("asset_id") / 1000) + 1).cast("int"),
     )
     return (
@@ -935,6 +953,74 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("dims.w").cast("bigint").alias("sum_width"),
             F.sum("dims.h").cast("bigint").alias("sum_height"),
+            F.sum("pw_sum").cast("bigint").alias("total_pw_sum"),
+            F.round(F.avg("mean_value"), 4).alias("avg_intensity"),
+        )
+    )
+
+
+@register(
+    "multimodal_tiff_decode_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             CAST(CASE WHEN t.asset_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+               AS ch,
+             t.asset_id % 3 = 0 AS packbits,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- chunky raster byte j is digest byte d[j % 16]; pixel p's
+      -- channel sum and the position-weighted checksum re-derive
+      -- positionally. The weighted sum is the STRIP-ASSEMBLY
+      -- certificate: strips concatenated out of order permute rows,
+      -- which every mean is blind to.
+      SELECT asset_id, packbits, w, h,
+        CAST(list_sum(list_transform(range(0, w * h), p ->
+          (p + 1) * list_sum(list_transform(range(0, ch), c ->
+            CAST(('0x' || substr(hx,
+              CAST((p * ch + c) % 16 AS INT) * 2 + 1, 2)) AS BIGINT)))))
+          AS BIGINT) AS pw_sum,
+        list_avg(list_transform(range(0, w * h * ch), j ->
+          CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+               AS BIGINT))) AS mean_value
+      FROM a
+    )
+    SELECT packbits,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(pw_sum) AS BIGINT) AS total_pw_sum,
+           ROUND(AVG(mean_value), 4) AS avg_intensity
+    FROM d
+    GROUP BY packbits
+    """,
+)
+def multimodal_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode path: baseline TIFFs with per-asset structural
+    variety — gray/RGB, uncompressed/real-PackBits, II/MM byte orders,
+    1..3-row strips — decoded by PixmapCodec._parse_tiff through the
+    position_weighted_stats Arrow stage with require_codec=True,
+    grouped by compression so both data paths certify separately. The
+    decoded raster is the same positional digest function regardless
+    of structure, so one oracle covers every combination; the
+    position-weighted checksum certifies multi-strip assembly ORDER
+    (a permuted strip concatenation reproduces every mean)."""
+    assets = mm.synth_tiff_assets(spark, n=256)
+    stats = mm.position_weighted_stats(
+        assets, require_codec=True, codec=mm.PixmapCodec()
+    )
+    return (
+        stats.withColumn("packbits", F.col("asset_id") % 3 == 0)
+        .withColumn("w", (F.col("asset_id") % 6 + 2).cast("int"))
+        .withColumn("h", (F.col("asset_id") % 4 + 2).cast("int"))
+        .groupBy("packbits")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("w").cast("bigint").alias("sum_width"),
+            F.sum("h").cast("bigint").alias("sum_height"),
             F.sum("pw_sum").cast("bigint").alias("total_pw_sum"),
             F.round(F.avg("mean_value"), 4).alias("avg_intensity"),
         )

@@ -455,6 +455,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["avg_scale_x", "avg_scale_y"]),
     ("multimodal_scene_changes",
      ["asset_id", "n_frames", "n_scene_changes"], ["max_luma_delta"]),
+    ("multimodal_tiff_decode_stats",
+     ["packbits", "n_assets", "sum_width", "sum_height", "total_pw_sum"],
+     ["avg_intensity"]),
     ("multimodal_wav_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
     ("multimodal_y4m_frame_stats",
