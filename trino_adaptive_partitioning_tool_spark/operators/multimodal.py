@@ -455,6 +455,50 @@ def synth_gif_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_bmp_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-BMP asset table: each payload is a valid
+    24-bit uncompressed BMP (BITMAPINFOHEADER) whose DECODED raster
+    byte at position j is digest byte d[j % 16]. BMP stores rows
+    BOTTOM-UP with 4-byte padding, so the on-disk layout is a row
+    reversal + re-stride of the decoded raster — a decoder that forgot
+    the flip reproduces every mean (row permutation) but fails the
+    position-weighted checksum the query carries."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 6 + 2).cast("int").alias("w"),
+        (F.col("id") % 4 + 2).cast("int").alias("h"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h in zip(pdf["asset_id"], pdf["w"], pdf["h"]):
+                aid, w, h = int(aid), int(w), int(h)
+                d = hashlib.md5(str(aid).encode()).digest()
+                need = w * h * 3
+                px = np.frombuffer(
+                    (d * (need // 16 + 1))[:need], np.uint8
+                ).reshape(h, w, 3)
+                rows.append(
+                    (
+                        aid,
+                        "image",
+                        PixmapCodec._encode_bmp(px),
+                        (w, h, None, None, "bmp"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_tiff_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:

@@ -960,6 +960,64 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_decode_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- decoded raster byte j is digest byte d[j % 16]; BMP stores the
+      -- rows BOTTOM-UP with 4-byte padding, so the position-weighted
+      -- checksum certifies the decoder's row flip + de-pad (a forgotten
+      -- flip is a row permutation every mean is blind to)
+      SELECT asset_id, w, h,
+        CAST(list_sum(list_transform(range(0, w * h), p ->
+          (p + 1) * list_sum(list_transform(range(0, 3), c ->
+            CAST(('0x' || substr(hx,
+              CAST((p * 3 + c) % 16 AS INT) * 2 + 1, 2)) AS BIGINT)))))
+          AS BIGINT) AS pw_sum,
+        list_avg(list_transform(range(0, w * h * 3), j ->
+          CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
+               AS BIGINT))) AS mean_value
+      FROM a
+    )
+    SELECT COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(pw_sum) AS BIGINT) AS total_pw_sum,
+           ROUND(AVG(mean_value), 4) AS avg_intensity
+    FROM d
+    """,
+)
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode path (BMP was the one raster decoder with no
+    oracled driver row): 24-bit uncompressed payloads decoded through
+    position_weighted_stats with require_codec=True. BMP's bottom-up
+    row storage + 4-byte row padding is exactly the row-order bug class
+    a mean cannot see — the position-weighted checksum certifies the
+    flip and the de-pad positionally."""
+    stats = mm.position_weighted_stats(
+        mm.synth_bmp_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        stats.withColumn("w", (F.col("asset_id") % 6 + 2).cast("int"))
+        .withColumn("h", (F.col("asset_id") % 4 + 2).cast("int"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("w").cast("bigint").alias("sum_width"),
+            F.sum("h").cast("bigint").alias("sum_height"),
+            F.sum("pw_sum").cast("bigint").alias("total_pw_sum"),
+            F.round(F.avg("mean_value"), 4).alias("avg_intensity"),
+        )
+    )
+
+
+@register(
     "multimodal_tiff_decode_stats",
     oracle="""
     WITH a AS (
