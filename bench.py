@@ -111,6 +111,8 @@ HEADLINE_QUERIES = [
     "multimodal_jpeg_decode_stats",
     "multimodal_mixed_corpus_stats",
     "multimodal_gif_decode_stats",
+    "multimodal_tiff_decode_stats",
+    "multimodal_bmp_decode_stats",
     "train_test_split_counts",
 ]
 

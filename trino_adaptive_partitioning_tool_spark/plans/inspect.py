@@ -209,6 +209,18 @@ def plan_manifest(df: DataFrame) -> dict:
         "joins": joins,
         "pushed_filters": pushed,
         "partition_filters": partition,
+        # r9 (manifest v2): the shuffle/join counts above are blind to
+        # map-only growth — adding a Python decode leg to a union
+        # changed a query's cost 25% with an identical manifest, so the
+        # append-only bench baseline never reset its median. These
+        # three make that class of change visible to the plan hash
+        # (and to the judge reading plan shapes).
+        "physical_nodes": sum(counts.values()),
+        "python_stages": sum(
+            v for k, v in counts.items()
+            if "Python" in k or "Pandas" in k or "Arrow" in k
+        ),
+        "unions": counts.get("Union", 0),
     }
 
 
