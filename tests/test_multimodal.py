@@ -931,3 +931,37 @@ def test_packbits_run_detection_and_edge_cases():
         assert P._packbits_decode(enc, len(data)) == data, data[:12]
     # runs actually compress
     assert len(P._packbits_encode(b"z" * 300)) <= 6
+
+
+def test_mulaw_wav_decode_canonical_table_values():
+    """G.711 mu-law expansion pinned to the canonical ulaw2linear
+    extremes (0x00 -> -32124, 0x80 -> +32124, 0x7F/0xFF -> 0) plus the
+    RIFF format-7 container walk, odd-length even-pad handling, and
+    the mixed-format rejects."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    codes = bytes([0x00, 0x80, 0x7F, 0xFF, 0x10, 0x90])
+    payload = mm.PixmapCodec._encode_wav_mulaw(codes, 1)
+    frames, ch, samples = pc._parse_wav(payload)
+    assert (frames, ch) == (6, 1)
+    assert list(samples[:4]) == [-32124, 32124, 0, 0]
+    # sign symmetry across the complementary code pair
+    assert samples[4] == -samples[5]
+    # odd byte count: RIFF even pad must not break the walk
+    odd = mm.PixmapCodec._encode_wav_mulaw(bytes([0x00, 0x80, 0xFF]), 1)
+    assert len(odd) % 2 == 0
+    f2, c2, s2 = pc._parse_wav(odd)
+    assert (f2, c2) == (3, 1) and list(s2) == [-32124, 32124, 0]
+    # decode() surface: mean |sample| intensity
+    w, h, mi = pc.decode(payload, "audio")
+    assert (w, h) == (6, 1)
+    assert mi == pytest.approx(float(np.abs(samples.astype(np.int64)).mean()))
+    # malformed: mu-law with a wrong block align rejects
+    import struct
+
+    bad = bytearray(payload)
+    fmt_off = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off + 12, 5)  # block_align != channels
+    with pytest.raises(ValueError):
+        pc._parse_wav(bytes(bad))

@@ -243,6 +243,49 @@ def synth_wav_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_mulaw_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL mu-law WAV asset table (G.711, audio format
+    7): the raw 8-bit mu-law stream cycles the 16 md5 digest bytes, so
+    the decoded PCM is the canonical ulaw2linear table applied to the
+    digest — pure integer arithmetic a DuckDB oracle replays. Frame and
+    channel counts vary per asset (odd frame counts exercise the RIFF
+    even-pad path)."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 49 + 10).cast("int").alias("frames"),
+        (F.col("id") % 2 + 1).cast("int").alias("channels"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, frames, ch in zip(
+                pdf["asset_id"], pdf["frames"], pdf["channels"]
+            ):
+                aid, frames, ch = int(aid), int(frames), int(ch)
+                d = hashlib.md5(str(aid).encode()).digest()
+                need = frames * ch
+                raw = (d * (need // 16 + 1))[:need]
+                rows.append(
+                    (
+                        aid,
+                        "audio",
+                        PixmapCodec._encode_wav_mulaw(raw, ch),
+                        (frames, ch, 8000, frames * 1000 // 8000, "wav"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def _y4m_base(spark: SparkSession, n: int, partitions: int) -> DataFrame:
     """The pre-encode Y4M asset arithmetic (id → even dims, frame
     count) — shared by the payload generator and y4m_dims so consumers
@@ -1412,14 +1455,52 @@ class PixmapCodec:
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt or data chunk")
         audio_format, channels, _rate, _brate, block_align, bits = fmt
+        if audio_format == 7 and bits == 8:  # G.711 mu-law telephony
+            if channels < 1 or block_align != channels:
+                raise ValueError("malformed mu-law WAV fmt chunk")
+            if len(data) % block_align:
+                raise ValueError("WAV data size not a frame multiple")
+            # canonical CCITT ulaw2linear, vectorized: complement, bias
+            # the mantissa, shift by the segment, re-sign — exact
+            # integer arithmetic a SQL oracle replays
+            u = (~np.frombuffer(data, np.uint8)).astype(np.int64) & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            samples = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(
+                np.int16
+            )
+            return len(data) // block_align, channels, samples
         if audio_format != 1 or bits != 16:
-            raise ValueError("only 16-bit PCM WAV supported")
+            raise ValueError("only 16-bit PCM or 8-bit mu-law WAV supported")
         if channels < 1 or block_align != channels * 2:
             raise ValueError("malformed WAV fmt chunk")
         if len(data) % block_align:
             raise ValueError("WAV data size not a frame multiple")
         samples = np.frombuffer(data, dtype="<i2")
         return len(data) // block_align, channels, samples
+
+    @staticmethod
+    def _encode_wav_mulaw(
+        ulaw_bytes: bytes, channels: int, sample_rate: int = 8000
+    ) -> bytes:
+        """RIFF/WAVE container around raw G.711 mu-law bytes (audio
+        format 7, 8 bits/sample) — the telephony corpus shape."""
+        import struct
+
+        fmt = struct.pack(
+            "<HHIIHH", 7, channels, sample_rate,
+            sample_rate * channels, channels, 8,
+        )
+        pad = b"\x00" if len(ulaw_bytes) & 1 else b""  # RIFF even pad
+        return (
+            b"RIFF"
+            + struct.pack(
+                "<I", 4 + 8 + len(fmt) + 8 + len(ulaw_bytes) + len(pad)
+            )
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(ulaw_bytes)) + ulaw_bytes
+            + pad
+        )
 
     @staticmethod
     def _encode_wav(

@@ -959,6 +959,71 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# canonical CCITT ulaw2linear over a digest byte b: complement, bias
+# the mantissa, shift by the segment, re-sign — all integer ops
+_ULAW_U = (
+    "(255 - CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2)) "
+    "AS BIGINT))"
+)
+_ULAW_T = f"((({_ULAW_U} % 16) * 8 + 132) * (1 << (({_ULAW_U} // 16) % 8)))"
+_ULAW_SAMPLE = (
+    f"(CASE WHEN {_ULAW_U} >= 128 THEN 132 - {_ULAW_T} "
+    f"ELSE {_ULAW_T} - 132 END)"
+)
+
+
+@register(
+    "multimodal_mulaw_decode_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 49 + 10 AS INT) AS frames,
+             CAST(t.asset_id % 2 + 1 AS INT) AS ch,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- the mu-law stream cycles the digest bytes; the oracle applies
+      -- the SAME canonical G.711 expansion arithmetic the decoder
+      -- vectorizes — green means the chunk walk + table expansion
+      -- reconstructed the exact PCM samples
+      SELECT asset_id, frames, ch,
+        list_avg(list_transform(range(0, frames * ch), j ->
+          ABS({_ULAW_SAMPLE}))) AS mean_abs
+      FROM a
+    )
+    SELECT ch AS channels,
+           COUNT(*) AS n_assets,
+           CAST(SUM(frames) AS BIGINT) AS sum_frames,
+           ROUND(AVG(mean_abs), 4) AS avg_abs_amplitude
+    FROM d
+    GROUP BY ch
+    """,
+)
+def multimodal_mulaw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-audio decode path: G.711 mu-law WAV payloads
+    (audio format 7 — the second WAV data path after 16-bit PCM)
+    decoded through the production Arrow stage with require_codec=True.
+    The decoder's vectorized ulaw2linear expansion (complement, biased
+    mantissa, segment shift, re-sign) is exact integer arithmetic, so
+    the oracle replays the full companding table positionally from the
+    md5 stream — a wrong segment shift or sign convention flips the
+    amplitude sums immediately."""
+    decoded = mm.decode_assets(
+        mm.synth_mulaw_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumnRenamed("decoded_height", "channels")
+        .groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_frames"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_abs_amplitude"),
+        )
+    )
+
+
 @register(
     "multimodal_bmp_decode_stats",
     oracle="""

@@ -444,6 +444,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["avg_intensity"]),
     ("multimodal_mixed_corpus_stats",
      ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
+    ("multimodal_mulaw_decode_stats",
+     ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
     ("multimodal_png_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
