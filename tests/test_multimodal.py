@@ -965,3 +965,33 @@ def test_mulaw_wav_decode_canonical_table_values():
     struct.pack_into("<H", bad, fmt_off + 12, 5)  # block_align != channels
     with pytest.raises(ValueError):
         pc._parse_wav(bytes(bad))
+
+
+def test_aiff_round_trip_and_extended_rate():
+    """Big-endian PCM round trip; the 80-bit extended sample-rate field
+    parses back to the exact integer rate for the common rates; chunk
+    truncations raise ValueError."""
+    import numpy as np
+
+    pc = mm.PixmapCodec()
+    rng = np.random.default_rng(31)
+    for ch in (1, 2):
+        for rate in (8000, 16000, 44100, 48000, 96000):
+            samples = rng.integers(-32768, 32768, 30 * ch).astype(">i2")
+            payload = mm.PixmapCodec._encode_aiff(samples, ch, rate)
+            frames, c2, got, r2 = pc._parse_aiff(payload)
+            assert (frames, c2, r2) == (30, ch, rate)
+            assert np.array_equal(got, samples)
+    payload = mm.PixmapCodec._encode_aiff(
+        rng.integers(-100, 100, 20).astype(">i2"), 2
+    )
+    w, h, mi = pc.decode(payload, "audio")
+    assert (w, h) == (10, 2)
+    with pytest.raises(ValueError, match="not an AIFF"):
+        pc._parse_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    for cut in range(12, len(payload)):
+        try:
+            pc._parse_aiff(payload[:cut])
+        except ValueError:
+            continue
+        raise AssertionError(f"cut {cut} did not raise")

@@ -243,6 +243,50 @@ def synth_wav_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_aiff_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-AIFF asset table: big-endian 16-bit PCM whose
+    sample WORDS cycle the md5 digest bytes as (hi, lo) pairs — the
+    byte-order mirror of synth_wav_assets, so a decoder that read the
+    samples little-endian produces different amplitudes and fails the
+    oracle. Exercises the FORM/COMM/SSND chunk walk and the 80-bit
+    extended sample-rate parse."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 50 + 10).cast("int").alias("frames"),
+        (F.col("id") % 2 + 1).cast("int").alias("channels"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, frames, ch in zip(
+                pdf["asset_id"], pdf["frames"], pdf["channels"]
+            ):
+                aid, frames, ch = int(aid), int(frames), int(ch)
+                d = hashlib.md5(str(aid).encode()).digest()
+                need = frames * ch * 2
+                raw = (d * (need // 16 + 1))[:need]
+                samples = np.frombuffer(raw, dtype=">i2")
+                rows.append(
+                    (
+                        aid,
+                        "audio",
+                        PixmapCodec._encode_aiff(samples, ch),
+                        (frames, ch, 16000, frames * 1000 // 16000, "aiff"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_mulaw_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -1478,6 +1522,82 @@ class PixmapCodec:
         samples = np.frombuffer(data, dtype="<i2")
         return len(data) // block_align, channels, samples
 
+    # -- AIFF helpers (big-endian PCM, 80-bit extended sample rate) --------
+    @staticmethod
+    def _parse_aiff(payload: bytes):
+        """(frames_per_channel, channels, samples[int16], sample_rate)
+        for an AIFF 16-bit PCM file: FORM/AIFF container, COMM chunk
+        (channels, frame count, sample size, 80-bit IEEE extended
+        sample rate), SSND chunk (offset/blockSize header then
+        big-endian samples). Chunks pad to even offsets like RIFF."""
+        import struct
+
+        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+            raise ValueError("not an AIFF payload")
+        pos = 12
+        comm = None
+        sound = None
+        while pos + 8 <= len(payload):
+            cid, size = struct.unpack_from(">4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated AIFF chunk ({cid!r})")
+            if cid == b"COMM":
+                if size < 18:
+                    raise ValueError("short AIFF COMM chunk")
+                channels, n_frames, bits = struct.unpack_from(
+                    ">HIH", body, 0
+                )
+                # 80-bit IEEE extended: 15-bit exponent, explicit-
+                # integer-bit 64-bit mantissa
+                exp = struct.unpack_from(">H", body, 8)[0]
+                mant = struct.unpack_from(">Q", body, 10)[0]
+                if mant == 0:
+                    rate = 0
+                else:
+                    rate = int(
+                        round(mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63))
+                    )
+                comm = (channels, n_frames, bits, rate)
+            elif cid == b"SSND":
+                off, _blk = struct.unpack_from(">II", body, 0)
+                sound = body[8 + off :]
+            pos += 8 + size + (size & 1)
+        if comm is None or sound is None:
+            raise ValueError("AIFF missing COMM or SSND chunk")
+        channels, n_frames, bits, rate = comm
+        if bits != 16:
+            raise ValueError("only 16-bit PCM AIFF supported")
+        if channels < 1 or len(sound) < n_frames * channels * 2:
+            raise ValueError("AIFF sound data shorter than frame count")
+        samples = np.frombuffer(
+            sound[: n_frames * channels * 2], dtype=">i2"
+        )
+        return n_frames, channels, samples, rate
+
+    @staticmethod
+    def _encode_aiff(
+        samples: np.ndarray, channels: int, sample_rate: int = 16000
+    ) -> bytes:
+        import struct
+
+        data = np.asarray(samples, dtype=">i2").tobytes()
+        n_frames = len(samples) // channels
+        # 80-bit extended from an integer rate: normalize the explicit
+        # integer bit to the top of the 64-bit mantissa
+        k = sample_rate.bit_length() - 1
+        ext = struct.pack(
+            ">HQ", 16383 + k, sample_rate << (63 - k)
+        )
+        comm = struct.pack(">HIH", channels, n_frames, 16) + ext
+        ssnd = struct.pack(">II", 0, 0) + data
+        chunks = b""
+        for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+            chunks += cid + struct.pack(">I", len(body)) + body
+            if len(body) & 1:
+                chunks += b"\x00"
+        return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
     @staticmethod
     def _encode_wav_mulaw(
         ulaw_bytes: bytes, channels: int, sample_rate: int = 8000
@@ -2026,6 +2146,11 @@ class PixmapCodec:
         del media_type
         if payload[:4] == b"RIFF":
             frames, channels, samples = self._parse_wav(payload)
+            return frames, channels, float(
+                np.abs(samples.astype(np.int64)).mean()
+            )
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            frames, channels, samples, _rate = self._parse_aiff(payload)
             return frames, channels, float(
                 np.abs(samples.astype(np.int64)).mean()
             )

@@ -959,6 +959,70 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one BIG-endian int16 sample from the md5-cycled byte stream: the
+# byte-order mirror of _WAV_SAMPLE (hi = byte[2(j-1)], lo = next)
+_AIFF_HI = (
+    "CAST(('0x' || substr(hx, CAST(((j - 1) * 2) % 16 AS INT) * 2 + 1, 2))"
+    " AS INT)"
+)
+_AIFF_LO = (
+    "CAST(('0x' || substr(hx, CAST(((j - 1) * 2 + 1) % 16 AS INT) * 2 + 1,"
+    " 2)) AS INT)"
+)
+_AIFF_SAMPLE = f"({_AIFF_LO} + 256 * {_AIFF_HI})"
+
+
+@register(
+    "multimodal_aiff_decode_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 50 + 10 AS INT) AS frames,
+             CAST(t.asset_id % 2 + 1 AS INT) AS ch,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- big-endian sample words over the digest cycle: a decoder that
+      -- read them little-endian computes different amplitudes
+      SELECT asset_id, frames, ch,
+        list_avg(list_transform(range(1, frames * ch + 1), j ->
+          ABS(CASE WHEN {_AIFF_SAMPLE} >= 32768
+                   THEN {_AIFF_SAMPLE} - 65536
+                   ELSE {_AIFF_SAMPLE} END))) AS mean_abs
+      FROM a
+    )
+    SELECT ch AS channels,
+           COUNT(*) AS n_assets,
+           CAST(SUM(frames) AS BIGINT) AS sum_frames,
+           ROUND(AVG(mean_abs), 4) AS avg_abs_amplitude
+    FROM d
+    GROUP BY ch
+    """,
+)
+def multimodal_aiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decode path: big-endian 16-bit PCM in the FORM/COMM/
+    SSND container (80-bit extended sample rate parsed for real),
+    decoded through the production Arrow stage with require_codec=True.
+    The oracle re-derives the mean |sample| amplitude from the digest
+    convention with BIG-endian word assembly — the byte-order mirror of
+    the WAV row, so the pair certifies both endiannesses of the PCM
+    path."""
+    decoded = mm.decode_assets(
+        mm.synth_aiff_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumnRenamed("decoded_height", "channels")
+        .groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_frames"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_abs_amplitude"),
+        )
+    )
+
+
 # canonical CCITT ulaw2linear over a digest byte b: complement, bias
 # the mantissa, shift by the segment, re-sign — all integer ops
 _ULAW_U = (

@@ -424,6 +424,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("event_type_user_overlap",
      ["type_a", "type_b", "n_both", "n_a", "n_b"], ["user_jaccard"]),
     ("histogram_quantile_estimate", [], ["q", "quantile_checked"]),
+    ("multimodal_aiff_decode_stats",
+     ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
     ("multimodal_bmp_decode_stats",
      ["n_assets", "sum_width", "sum_height", "total_pw_sum"],
      ["avg_intensity"]),
