@@ -113,6 +113,8 @@ HEADLINE_QUERIES = [
     "multimodal_gif_decode_stats",
     "multimodal_tiff_decode_stats",
     "multimodal_bmp_decode_stats",
+    "multimodal_mulaw_decode_stats",
+    "multimodal_aiff_decode_stats",
     "train_test_split_counts",
 ]
 

@@ -39,7 +39,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _manifest_hash(manifest: object) -> str:
-    """Stable hash of one query's plan manifest (sorted-key JSON)."""
+    """Stable hash of one query's plan manifest (sorted-key JSON).
+
+    Cache-state-dependent counters are excluded from the basis:
+    InMemoryTableScan substitution replaces whole subtrees, so
+    `reused_subplans` and `physical_nodes` vary with what the session
+    happened to cache before the plan was captured (the r7
+    "tree-string counts are cache-state dependent" class) — a flap
+    there would spuriously reset a median that has the same real cost
+    basis. The shuffle/join/filter shape plus python_stages/unions
+    (the map-only-growth signal) stay in."""
+    if isinstance(manifest, dict):
+        manifest = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("reused_subplans", "physical_nodes")
+        }
     return hashlib.md5(
         json.dumps(manifest, sort_keys=True, separators=(",", ":")).encode()
     ).hexdigest()[:12]
