@@ -151,12 +151,59 @@ def test_wav_round_trip_exact(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_flac_round_trip_exact(data):
+    frames = data.draw(st.integers(1, 200))
+    channels = data.draw(st.integers(1, 4))
+    stereo_mode = (
+        data.draw(
+            st.sampled_from(
+                ["independent", "left_side", "right_side", "mid_side"]
+            )
+        )
+        if channels == 2
+        else "independent"
+    )
+    block_size = data.draw(st.integers(1, 64))
+    po = data.draw(st.integers(0, 2))
+    verbatim = data.draw(st.booleans())
+    escape = data.draw(st.booleans())
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    # mix full-range noise with smooth/constant runs so every subframe
+    # type (constant/verbatim/fixed orders) and wasted-bits detection
+    # gets real traffic
+    kind = data.draw(st.sampled_from(["noise", "smooth", "shifted"]))
+    n = frames * channels
+    if kind == "noise":
+        samples = rng.integers(-32768, 32768, n)
+    elif kind == "smooth":
+        samples = np.cumsum(rng.integers(-3, 4, n)) + rng.integers(-50, 50)
+        samples = np.clip(samples, -32768, 32767)
+    else:
+        samples = rng.integers(-2048, 2048, n) * 16
+    samples = samples.astype("<i2")
+    payload = PixmapCodec._encode_flac(
+        samples,
+        channels,
+        block_size=block_size,
+        stereo_mode=stereo_mode,
+        force_verbatim=verbatim,
+        partition_order=po,
+        force_escape=escape,
+    )
+    fr, ch, got, rate = PixmapCodec._parse_flac(payload)
+    assert (fr, ch, rate) == (frames, channels, 16000)
+    assert np.array_equal(got, samples)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_truncation_always_raises_valueerror(data):
     """The 'never fakes a result' contract, fuzzed: any prefix of a
     valid payload either raises ValueError or (for formats whose tail
     is pure padding) decodes identically — never a different result,
     never a foreign exception type."""
-    kind = data.draw(st.sampled_from(["png", "jpeg", "gif", "wav"]))
+    kind = data.draw(st.sampled_from(["png", "jpeg", "gif", "wav", "flac"]))
     seed = data.draw(st.integers(0, 2**32 - 1))
     rng = np.random.default_rng(seed)
     if kind == "png":
@@ -172,9 +219,14 @@ def test_truncation_always_raises_valueerror(data):
             rng.integers(0, 16, (5, 7), dtype=np.uint8),
             rng.integers(0, 256, (16, 3), dtype=np.uint8),
         )
-    else:
+    elif kind == "wav":
         payload = PixmapCodec._encode_wav(
             rng.integers(-100, 100, 40).astype("<i2"), 2
+        )
+    else:
+        payload = PixmapCodec._encode_flac(
+            rng.integers(-32768, 32768, 40).astype("<i2"), 2,
+            block_size=8,
         )
     full = _pc.decode(payload, "image")
     cut = data.draw(st.integers(1, len(payload) - 1))

@@ -330,6 +330,74 @@ def synth_mulaw_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_flac_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-FLAC asset table. Sample values follow the
+    synth_wav_assets md5-cycle convention (little-endian int16 pairs of
+    the digest), so the SAME arithmetic oracle certifies the decoded
+    PCM — except constant assets (asset_id % 7 == 0) whose samples all
+    equal the digest's first int16, exercising the constant subframe.
+    Structural variety per asset: mono/stereo, all four stereo channel
+    assignments (independent / left-side / right-side / mid-side),
+    block sizes 8/16/32 with partial final blocks, forced-verbatim and
+    forced-escape residuals, and rice partition order 1 — every
+    subframe/residual path of the encoder round-trips through the
+    decoder, whose CRC-8/CRC-16/MD5 gates make a silently-wrong decode
+    impossible."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 50 + 10).cast("int").alias("frames"),
+        (F.col("id") % 2 + 1).cast("int").alias("channels"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+    modes = ("independent", "left_side", "right_side", "mid_side")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, frames, ch in zip(
+                pdf["asset_id"], pdf["frames"], pdf["channels"]
+            ):
+                aid, frames, ch = int(aid), int(frames), int(ch)
+                digest = hashlib.md5(str(aid).encode()).digest()
+                if aid % 7 == 0:
+                    v = int(
+                        np.frombuffer(digest[:2], dtype="<i2")[0]
+                    )
+                    samples = np.full(frames * ch, v, dtype=np.int16)
+                else:
+                    need = frames * ch * 2
+                    raw = (digest * (need // 16 + 1))[:need]
+                    samples = np.frombuffer(raw, dtype="<i2")
+                payload = PixmapCodec._encode_flac(
+                    samples,
+                    ch,
+                    block_size=8 << (aid % 3),
+                    stereo_mode=modes[(aid // 2) % 4]
+                    if ch == 2
+                    else "independent",
+                    force_verbatim=aid % 11 == 3,
+                    partition_order=1 if aid % 5 == 0 else 0,
+                    force_escape=aid % 13 == 5,
+                )
+                rows.append(
+                    (
+                        aid,
+                        "audio",
+                        payload,
+                        (frames, ch, 16000, frames * 1000 // 16000, "flac"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def _y4m_base(spark: SparkSession, n: int, partitions: int) -> DataFrame:
     """The pre-encode Y4M asset arithmetic (id → even dims, frame
     count) — shared by the payload generator and y4m_dims so consumers
@@ -664,6 +732,94 @@ def synth_mixed_assets(spark: SparkSession) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+class _MsbBitWriter:
+    """MSB-first bit packer (FLAC's bit order: the most significant bit
+    of each value lands in the most significant free bit of the output
+    byte stream)."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits <= 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._out.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits followed by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def getvalue(self) -> bytes:
+        if self._nbits:
+            raise ValueError("bit writer not byte-aligned")
+        return bytes(self._out)
+
+
+class _MsbBitReader:
+    """MSB-first bit reader over a bytes buffer; every out-of-data read
+    raises ValueError so truncated payloads fail loudly."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._byte = pos
+        self._bit = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        while nbits > 0:
+            if self._byte >= len(self._data):
+                raise ValueError("truncated FLAC bitstream")
+            avail = 8 - self._bit
+            take = avail if avail < nbits else nbits
+            cur = self._data[self._byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self._bit += take
+            nbits -= take
+            if self._bit == 8:
+                self._bit = 0
+                self._byte += 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if nbits and v >> (nbits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway unary code in FLAC bitstream")
+        return q
+
+    def align(self) -> None:
+        if self._bit:
+            self._bit = 0
+            self._byte += 1
+
+    @property
+    def byte_pos(self) -> int:
+        return self._byte
+
+    @property
+    def aligned(self) -> bool:
+        return self._bit == 0
 
 
 @runtime_checkable
@@ -1641,6 +1797,551 @@ class PixmapCodec:
             + b"data" + struct.pack("<I", len(data)) + data
         )
 
+    # -- FLAC helpers (free lossless audio codec, RFC 9639) ----------------
+    # Real FLAC: STREAMINFO metadata, framed bitstream with CRC-8/CRC-16
+    # integrity, constant/verbatim/fixed-predictor/LPC subframes,
+    # rice/rice2 partitioned residuals, stereo decorrelation
+    # (left-side/right-side/mid-side), wasted-bits, and the STREAMINFO
+    # MD5 of the decoded stream verified on decode — a frame-order or
+    # sample-value bug cannot produce plausible output, it raises.
+    _FLAC_RATE_CODES = {
+        88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+        24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+    }
+
+    @staticmethod
+    def _flac_crc8(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x07) & 0xFF
+                    if crc & 0x80
+                    else (crc << 1) & 0xFF
+                )
+        return crc
+
+    @staticmethod
+    def _flac_crc16(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    @staticmethod
+    def _flac_utf8_encode(v: int) -> bytes:
+        """FLAC's UTF-8-style coded number (frame/sample index)."""
+        if v < 0x80:
+            return bytes([v])
+        for n in range(1, 7):
+            if v < 1 << (6 + 5 * n):
+                lead = (0xFF00 >> (n + 1)) & 0xFF
+                return bytes([lead | (v >> (6 * n))]) + bytes(
+                    0x80 | ((v >> (6 * (n - 1 - i))) & 0x3F)
+                    for i in range(n)
+                )
+        raise ValueError("FLAC coded number out of range")
+
+    @staticmethod
+    def _flac_utf8_decode(br: "_MsbBitReader") -> int:
+        b0 = br.read(8)
+        if b0 < 0x80:
+            return b0
+        n = 0
+        mask = 0x40
+        while b0 & mask:
+            n += 1
+            mask >>= 1
+        if not 1 <= n <= 6:
+            raise ValueError("invalid FLAC UTF-8 coded number")
+        v = b0 & (mask - 1)
+        for _ in range(n):
+            c = br.read(8)
+            if c & 0xC0 != 0x80:
+                raise ValueError("invalid FLAC UTF-8 continuation byte")
+            v = (v << 6) | (c & 0x3F)
+        return v
+
+    @staticmethod
+    def _flac_zigzag(v: int) -> int:
+        return (v << 1) if v >= 0 else (-v << 1) - 1
+
+    @classmethod
+    def _write_flac_residual(
+        cls,
+        fw: "_MsbBitWriter",
+        res: list[int],
+        n: int,
+        order: int,
+        partition_order: int,
+        force_escape: bool,
+    ) -> None:
+        po = partition_order
+        if po < 0 or n % (1 << po) or (n >> po) <= order:
+            po = 0
+        counts = [
+            (n >> po) - (order if i == 0 else 0) for i in range(1 << po)
+        ]
+        params: list[int] = []
+        idx = 0
+        for cnt in counts:
+            chunk = res[idx : idx + cnt]
+            idx += cnt
+            us = [cls._flac_zigzag(v) for v in chunk]
+            best_p, best_cost = 0, None
+            for p in range(0, 31):
+                cost = sum(u >> p for u in us) + cnt * (p + 1)
+                if best_cost is None or cost < best_cost:
+                    best_p, best_cost = p, cost
+            params.append(best_p)
+        method = 0 if all(p <= 14 for p in params) and not force_escape else 1
+        pbits = 4 + method
+        esc = (1 << pbits) - 1
+        fw.write(method, 2)
+        fw.write(po, 4)
+        idx = 0
+        for p_i, cnt in enumerate(counts):
+            chunk = res[idx : idx + cnt]
+            idx += cnt
+            if force_escape or params[p_i] >= esc:
+                raw = max(
+                    ((v if v >= 0 else ~v).bit_length() + 1 for v in chunk),
+                    default=1,
+                )
+                if raw > 31:
+                    raise ValueError("FLAC residual exceeds escape width")
+                fw.write(esc, pbits)
+                fw.write(raw, 5)
+                for v in chunk:
+                    fw.write(v & ((1 << raw) - 1), raw)
+            else:
+                p = params[p_i]
+                fw.write(p, pbits)
+                for v in chunk:
+                    u = cls._flac_zigzag(v)
+                    fw.write_unary(u >> p)
+                    fw.write(u & ((1 << p) - 1), p)
+
+    @classmethod
+    def _write_flac_subframe(
+        cls,
+        fw: "_MsbBitWriter",
+        data: list[int],
+        bps: int,
+        force_verbatim: bool,
+        partition_order: int,
+        force_escape: bool,
+    ) -> None:
+        n = len(data)
+        # wasted bits: trailing zero bits common to every sample
+        k = 0
+        if not force_verbatim and any(data):
+            k = min(
+                (v & -v).bit_length() - 1 if v else bps for v in data
+            )
+            k = max(0, min(k, bps - 1))
+        eff = [v >> k for v in data]
+        ebps = bps - k
+
+        def wasted() -> None:
+            if k:
+                fw.write(1, 1)
+                fw.write(1, k)  # (k-1) zero bits then a one bit
+            else:
+                fw.write(0, 1)
+
+        if force_verbatim:
+            fw.write(0, 1)
+            fw.write(1, 6)
+            wasted()
+            for v in eff:
+                fw.write(v & ((1 << ebps) - 1), ebps)
+            return
+        if all(v == eff[0] for v in eff):
+            fw.write(0, 1)
+            fw.write(0, 6)
+            wasted()
+            fw.write(eff[0] & ((1 << ebps) - 1), ebps)
+            return
+        # best fixed predictor order by zigzag bit-length cost
+        best_order, best_res, best_cost = 0, eff, None
+        res = eff
+        for order in range(0, min(4, n - 1) + 1):
+            if order > 0:
+                res = [res[i + 1] - res[i] for i in range(len(res) - 1)]
+            cand = res if order else eff
+            cost = sum(cls._flac_zigzag(v).bit_length() for v in cand)
+            if best_cost is None or cost < best_cost:
+                best_cost, best_order, best_res = cost, order, list(cand)
+        order, resid = best_order, best_res
+        fw.write(0, 1)
+        fw.write(0b001000 | order, 6)
+        wasted()
+        for v in eff[:order]:
+            fw.write(v & ((1 << ebps) - 1), ebps)
+        cls._write_flac_residual(
+            fw, resid, n, order, partition_order, force_escape
+        )
+
+    @classmethod
+    def _encode_flac(
+        cls,
+        samples: np.ndarray,
+        channels: int,
+        sample_rate: int = 16000,
+        block_size: int = 16,
+        stereo_mode: str = "independent",
+        force_verbatim: bool = False,
+        partition_order: int = 0,
+        force_escape: bool = False,
+    ) -> bytes:
+        """Interleaved int16 samples -> a real FLAC stream: fLaC magic,
+        STREAMINFO (incl. MD5 of the unencoded stream), then fixed-
+        blocking frames. stereo_mode (2-channel only) selects the
+        channel assignment: independent / left_side / right_side /
+        mid_side."""
+        import hashlib
+        import struct
+
+        x = np.asarray(samples, dtype=np.int64)
+        if channels < 1 or len(x) % channels:
+            raise ValueError("sample count not a multiple of channels")
+        n_total = len(x) // channels
+        chans = [x[c::channels] for c in range(channels)]
+        md5 = hashlib.md5(
+            np.asarray(samples, dtype="<i2").tobytes()
+        ).digest()
+        frames_out: list[bytes] = []
+        frame_idx = 0
+        pos = 0
+        sizes: list[int] = []
+        while pos < n_total:
+            n = min(block_size, n_total - pos)
+            sizes.append(n)
+            block = [
+                [int(v) for v in c[pos : pos + n]] for c in chans
+            ]
+            if channels == 2 and stereo_mode != "independent":
+                left, right = block
+                side = [a - b for a, b in zip(left, right)]
+                if stereo_mode == "left_side":
+                    ch_assign, subs = 8, [(left, 16), (side, 17)]
+                elif stereo_mode == "right_side":
+                    ch_assign, subs = 9, [(side, 17), (right, 16)]
+                elif stereo_mode == "mid_side":
+                    mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                    ch_assign, subs = 10, [(mid, 16), (side, 17)]
+                else:
+                    raise ValueError(f"unknown stereo mode {stereo_mode}")
+            else:
+                ch_assign = channels - 1
+                subs = [(c, 16) for c in block]
+            hdr = _MsbBitWriter()
+            hdr.write(0b11111111111110, 14)
+            hdr.write(0, 1)  # reserved
+            hdr.write(0, 1)  # fixed blocking strategy
+            bs_code = 0b0110 if n - 1 < 256 else 0b0111
+            hdr.write(bs_code, 4)
+            rate_code = cls._FLAC_RATE_CODES.get(sample_rate, 0b1101)
+            hdr.write(rate_code, 4)
+            hdr.write(ch_assign, 4)
+            hdr.write(0b100, 3)  # 16 bits per sample
+            hdr.write(0, 1)  # reserved
+            for b in cls._flac_utf8_encode(frame_idx):
+                hdr.write(b, 8)
+            hdr.write(n - 1, 8 if bs_code == 0b0110 else 16)
+            if rate_code == 0b1101:
+                hdr.write(sample_rate, 16)
+            hbytes = bytearray(hdr.getvalue())
+            hbytes.append(cls._flac_crc8(bytes(hbytes)))
+            fw = _MsbBitWriter()
+            for b in hbytes:
+                fw.write(b, 8)
+            for data, bps in subs:
+                cls._write_flac_subframe(
+                    fw, data, bps, force_verbatim, partition_order,
+                    force_escape,
+                )
+            fw.align()
+            body = fw.getvalue()
+            frames_out.append(
+                body + struct.pack(">H", cls._flac_crc16(body))
+            )
+            pos += n
+            frame_idx += 1
+        si = _MsbBitWriter()
+        si.write(min(sizes, default=block_size), 16)
+        si.write(max(sizes, default=block_size), 16)
+        si.write(0, 24)  # min frame size unknown
+        si.write(0, 24)  # max frame size unknown
+        si.write(sample_rate, 20)
+        si.write(channels - 1, 3)
+        si.write(15, 5)  # bps - 1
+        si.write(n_total, 36)
+        info = si.getvalue() + md5
+        meta = bytes([0x80]) + len(info).to_bytes(3, "big") + info
+        return b"fLaC" + meta + b"".join(frames_out)
+
+    @classmethod
+    def _read_flac_residual(
+        cls, br: "_MsbBitReader", n: int, order: int
+    ) -> list[int]:
+        method = br.read(2)
+        if method > 1:
+            raise ValueError("reserved FLAC residual coding method")
+        pbits = 4 + method
+        esc = (1 << pbits) - 1
+        po = br.read(4)
+        if n % (1 << po) or (n >> po) <= order:
+            raise ValueError("invalid FLAC residual partition order")
+        res: list[int] = []
+        for p_i in range(1 << po):
+            cnt = (n >> po) - (order if p_i == 0 else 0)
+            p = br.read(pbits)
+            if p == esc:
+                raw = br.read(5)
+                res.extend(
+                    br.read_signed(raw) if raw else 0 for _ in range(cnt)
+                )
+            else:
+                for _ in range(cnt):
+                    u = (br.read_unary() << p) | br.read(p)
+                    res.append((u >> 1) ^ -(u & 1))
+        return res
+
+    @classmethod
+    def _read_flac_subframe(
+        cls, br: "_MsbBitReader", n: int, bps: int
+    ) -> list[int]:
+        if br.read(1):
+            raise ValueError("reserved padding bit set in FLAC subframe")
+        t = br.read(6)
+        k = 0
+        if br.read(1):  # wasted-bits flag
+            k = br.read_unary() + 1
+        ebps = bps - k
+        if ebps <= 0:
+            raise ValueError("FLAC wasted bits exceed sample size")
+        if t == 0:  # constant
+            vals = [br.read_signed(ebps)] * n
+        elif t == 1:  # verbatim
+            vals = [br.read_signed(ebps) for _ in range(n)]
+        elif 8 <= t <= 12:  # fixed predictor, order t & 7
+            order = t & 7
+            if order > n:
+                raise ValueError("FLAC predictor order exceeds block size")
+            warm = [br.read_signed(ebps) for _ in range(order)]
+            resid = cls._read_flac_residual(br, n, order)
+            coefs = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])[order]
+            vals = list(warm)
+            for i in range(order, n):
+                pred = sum(
+                    c * vals[i - 1 - j] for j, c in enumerate(coefs)
+                )
+                vals.append(resid[i - order] + pred)
+        elif t >= 32:  # LPC, order (t & 31) + 1
+            order = (t & 31) + 1
+            if order > n:
+                raise ValueError("FLAC LPC order exceeds block size")
+            warm = [br.read_signed(ebps) for _ in range(order)]
+            prec = br.read(4) + 1
+            if prec == 16:
+                raise ValueError("invalid FLAC LPC precision")
+            shift = br.read_signed(5)
+            if shift < 0:
+                raise ValueError("negative FLAC LPC shift")
+            coefs = [br.read_signed(prec) for _ in range(order)]
+            resid = cls._read_flac_residual(br, n, order)
+            vals = list(warm)
+            for i in range(order, n):
+                pred = sum(
+                    c * vals[i - 1 - j] for j, c in enumerate(coefs)
+                ) >> shift
+                vals.append(resid[i - order] + pred)
+        else:
+            raise ValueError("reserved FLAC subframe type")
+        return [v << k for v in vals]
+
+    @classmethod
+    def _parse_flac_frame(
+        cls,
+        payload: bytes,
+        br: "_MsbBitReader",
+        channels: int,
+        bps: int,
+        stream_rate: int,
+        out: list[list[int]],
+    ) -> int:
+        start = br.byte_pos
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync code")
+        if br.read(1):
+            raise ValueError("reserved bit set in FLAC frame header")
+        br.read(1)  # blocking strategy (number already UTF-8 coded)
+        bs_code = br.read(4)
+        rate_code = br.read(4)
+        ch_assign = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("reserved bit set in FLAC frame header")
+        cls._flac_utf8_decode(br)  # frame/sample number
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            n = 192
+        elif bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            n = br.read(8) + 1
+        elif bs_code == 7:
+            n = br.read(16) + 1
+        else:
+            n = 256 << (bs_code - 8)
+        rate_table = (
+            None, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+            32000, 44100, 48000, 96000,
+        )
+        if rate_code == 0:
+            pass  # use stream rate
+        elif rate_code <= 11:
+            if rate_table[rate_code] != stream_rate:
+                raise ValueError("FLAC frame sample rate mismatch")
+        elif rate_code == 12:
+            if br.read(8) * 1000 != stream_rate:
+                raise ValueError("FLAC frame sample rate mismatch")
+        elif rate_code == 13:
+            if br.read(16) != stream_rate:
+                raise ValueError("FLAC frame sample rate mismatch")
+        elif rate_code == 14:
+            if br.read(16) * 10 != stream_rate:
+                raise ValueError("FLAC frame sample rate mismatch")
+        else:
+            raise ValueError("invalid FLAC frame sample rate code")
+        if not br.aligned:
+            raise ValueError("misaligned FLAC frame header")
+        crc8_end = br.byte_pos
+        if br.read(8) != cls._flac_crc8(payload[start:crc8_end]):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        ss_map = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+        if ss_code not in ss_map:
+            raise ValueError("reserved FLAC sample size code")
+        if ss_map[ss_code] != bps:
+            raise ValueError("FLAC frame sample size mismatch")
+        if ch_assign <= 7:
+            if ch_assign + 1 != channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            chans = [
+                cls._read_flac_subframe(br, n, bps)
+                for _ in range(channels)
+            ]
+        elif ch_assign in (8, 9, 10):
+            if channels != 2:
+                raise ValueError(
+                    "FLAC stereo decorrelation on non-stereo stream"
+                )
+            side_first = ch_assign == 9
+            a = cls._read_flac_subframe(
+                br, n, bps + (1 if side_first else 0)
+            )
+            b = cls._read_flac_subframe(
+                br, n, bps + (0 if side_first else 1)
+            )
+            if ch_assign == 8:  # left/side
+                chans = [a, [x - s for x, s in zip(a, b)]]
+            elif ch_assign == 9:  # side/right
+                chans = [[s + x for s, x in zip(a, b)], b]
+            else:  # mid/side
+                mids = [
+                    (m << 1) | (s & 1) for m, s in zip(a, b)
+                ]
+                chans = [
+                    [(m + s) >> 1 for m, s in zip(mids, b)],
+                    [(m - s) >> 1 for m, s in zip(mids, b)],
+                ]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        br.align()
+        crc16_end = br.byte_pos
+        if br.read(16) != cls._flac_crc16(payload[start:crc16_end]):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        for c in range(channels):
+            out[c].extend(chans[c])
+        return n
+
+    @classmethod
+    def _parse_flac(cls, payload: bytes):
+        """(frames_per_channel, channels, samples[int16 interleaved],
+        sample_rate) for a FLAC stream. Verifies frame-header CRC-8,
+        frame CRC-16 and the STREAMINFO MD5 of the decoded stream —
+        any corruption or mis-assembly raises instead of returning
+        wrong-but-plausible samples."""
+        import hashlib
+
+        if payload[:4] != b"fLaC":
+            raise ValueError("not a FLAC payload")
+        pos = 4
+        streaminfo = None
+        last = False
+        while not last:
+            if pos + 4 > len(payload):
+                raise ValueError("truncated FLAC metadata header")
+            b0 = payload[pos]
+            last = bool(b0 & 0x80)
+            btype = b0 & 0x7F
+            size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 4 + size]
+            if len(body) != size:
+                raise ValueError("truncated FLAC metadata block")
+            if btype == 0:
+                if size != 34:
+                    raise ValueError("malformed FLAC STREAMINFO")
+                streaminfo = body
+            elif btype == 127:
+                raise ValueError("invalid FLAC metadata block type")
+            pos += 4 + size
+        if streaminfo is None:
+            raise ValueError("FLAC stream missing STREAMINFO")
+        si = _MsbBitReader(streaminfo)
+        si.read(16)  # min block size
+        si.read(16)  # max block size
+        si.read(24)  # min frame size
+        si.read(24)  # max frame size
+        rate = si.read(20)
+        channels = si.read(3) + 1
+        bps = si.read(5) + 1
+        total = si.read(36)
+        md5_expect = streaminfo[18:34]
+        if bps != 16:
+            raise ValueError("only 16-bit FLAC supported")
+        out: list[list[int]] = [[] for _ in range(channels)]
+        br = _MsbBitReader(payload, pos)
+        decoded = 0
+        while decoded < total:
+            decoded += cls._parse_flac_frame(
+                payload, br, channels, bps, rate, out
+            )
+        if decoded != total:
+            raise ValueError("FLAC frame sizes overrun STREAMINFO total")
+        samples = np.empty(decoded * channels, dtype=np.int16)
+        for c in range(channels):
+            arr = np.asarray(out[c], dtype=np.int64)
+            if len(arr) and (arr.max() > 32767 or arr.min() < -32768):
+                raise ValueError("decoded FLAC sample out of int16 range")
+            samples[c::channels] = arr.astype(np.int16)
+        if (
+            hashlib.md5(samples.astype("<i2").tobytes()).digest()
+            != md5_expect
+        ):
+            raise ValueError("FLAC STREAMINFO MD5 mismatch")
+        return decoded, channels, samples, rate
+
     # -- JPEG helpers (baseline sequential, ITU-T T.81) -------------------
     # zigzag scan: stream position k holds raster index _JPEG_ZIGZAG[k].
     # Generated, not transcribed (the classic anti-diagonal walk), so a
@@ -2151,6 +2852,11 @@ class PixmapCodec:
             )
         if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
             frames, channels, samples, _rate = self._parse_aiff(payload)
+            return frames, channels, float(
+                np.abs(samples.astype(np.int64)).mean()
+            )
+        if payload[:4] == b"fLaC":
+            frames, channels, samples, _rate = self._parse_flac(payload)
             return frames, channels, float(
                 np.abs(samples.astype(np.int64)).mean()
             )

@@ -1266,3 +1266,75 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("mean_intensity"), 4).alias("avg_abs_amplitude"),
         )
     )
+
+
+# constant-asset sample: the digest's first little-endian int16
+_FLAC_CONST = (
+    "(CAST(('0x' || substr(hx, 1, 2)) AS INT)"
+    " + 256 * CAST(('0x' || substr(hx, 3, 2)) AS INT))"
+)
+
+
+@register(
+    "multimodal_flac_decode_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 50 + 10 AS INT) AS frames,
+             CAST(t.asset_id % 2 + 1 AS INT) AS ch,
+             t.asset_id % 7 = 0 AS is_const,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- decoded PCM follows the synth_wav_assets md5-cycle convention
+      -- (constant assets: the digest's first int16 everywhere), so the
+      -- oracle re-derives the amplitudes arithmetically; the Spark side
+      -- HAS to walk FLAC frames, undo rice coding + fixed prediction +
+      -- stereo decorrelation, and pass the CRC-8/CRC-16/MD5 gates to
+      -- reach the same numbers
+      SELECT asset_id, frames, ch, is_const,
+        CASE WHEN is_const THEN
+          CAST(ABS(CASE WHEN {_FLAC_CONST} >= 32768
+                        THEN {_FLAC_CONST} - 65536
+                        ELSE {_FLAC_CONST} END) AS DOUBLE)
+        ELSE
+          list_avg(list_transform(range(1, frames * ch + 1), j ->
+            ABS(CASE WHEN {_WAV_SAMPLE} >= 32768
+                     THEN {_WAV_SAMPLE} - 65536
+                     ELSE {_WAV_SAMPLE} END)))
+        END AS mean_abs
+      FROM a
+    )
+    SELECT ch AS channels, is_const,
+           COUNT(*) AS n_assets,
+           CAST(SUM(frames) AS BIGINT) AS sum_frames,
+           ROUND(AVG(mean_abs), 4) AS avg_abs_amplitude
+    FROM d
+    GROUP BY ch, is_const
+    """,
+)
+def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode path: every payload is a genuine FLAC stream
+    (synth_flac_assets — rice/rice2/escape residuals, fixed predictors,
+    constant/verbatim subframes, all four stereo channel assignments,
+    partial final blocks) decoded by PixmapCodec._parse_flac through
+    the production Arrow stage with require_codec=True. Grouped by
+    (channels, constant-vs-noise) so the constant-subframe path and the
+    predictor/rice path certify separately. The decoder's STREAMINFO
+    MD5 gate makes frame-order bugs un-fakeable: a scrambled assembly
+    raises instead of averaging to the same mean."""
+    decoded = mm.decode_assets(
+        mm.synth_flac_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumnRenamed("decoded_height", "channels")
+        .withColumn("is_const", F.col("asset_id") % 7 == 0)
+        .groupBy("channels", "is_const")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_frames"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_abs_amplitude"),
+        )
+    )
