@@ -1,0 +1,235 @@
+"""Web-crawl ingestion queries (WARC -> HTML -> text funnel).
+
+Every payload is a REAL multi-member .warc.gz shard (operators/crawl):
+gzip member per record, WARC/1.0 headers, HTTP response envelopes,
+deterministic HTML. The synthesis convention derives all content from
+md5(doc_key), so the oracles re-derive record counts, body lengths,
+extracted word counts and the position-weighted hex-word checksum with
+pure arithmetic — the Spark side HAS to walk gzip members, parse two
+header layers, and run the boilerplate-stripping extractor to reach the
+same numbers. The position-weighted checksum certifies extraction ORDER
+and script/style/comment exclusion: any leaked or reordered token
+shifts every later position.
+
+Scale: shards are the parallel unit (one member-walk per row inside a
+single Arrow stage); the wide binary body column is projected away in
+the extraction stage itself, so nothing wide ever crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import crawl as cops
+from .registry import register
+
+_N_SHARDS = 64  # x 4 records/shard = 256 records
+
+# rid -> (content key, http status): the duplicate convention (every
+# rid % 16 == 8 reuses rid - 8's document) and the status cycle
+_R_BASE = f"""
+    r AS (
+      SELECT t.rid,
+             CASE WHEN t.rid % 16 = 8 THEN t.rid - 8 ELSE t.rid END AS key,
+             CASE t.rid % 8 WHEN 6 THEN 404 WHEN 7 THEN 301
+                  ELSE 200 END AS status
+      FROM range(0, {_N_SHARDS * cops.RECORDS_PER_SHARD}) t(rid)
+    )
+"""
+
+# digest pair i (0-based) of md5(key) as an integer
+def _kp(i: str) -> str:
+    return (
+        "CAST(('0x' || substr(hx, CAST(2 * (" + i + ") + 1 AS INT), 2))"
+        " AS INT)"
+    )
+
+
+# structural params: P paragraphs (pair15 % 3 + 2), L links (pair14 % 3)
+_P_EXPR = f"({_kp('15')} % 3 + 2)"
+_L_EXPR = f"({_kp('14')} % 3)"
+
+
+@register(
+    "warc_ingest_stats",
+    oracle=f"""
+    WITH {_R_BASE}, d AS (
+      SELECT rid, status,
+             md5(CAST(key AS VARCHAR)) AS hx
+      FROM r
+    ), b AS (
+      -- body length: the HTML template is affine in (P, L) with fixed
+      -- part 171 / paragraph line 31 / link line 26 (pinned by
+      -- tests/test_crawl.py against the live generator); 404 and 301
+      -- bodies are fixed
+      SELECT rid, status,
+        CASE WHEN status = 200
+             THEN 171 + {cops.PARA_LINE_LEN} * {_P_EXPR}
+                      + {cops.LINK_LINE_LEN} * {_L_EXPR}
+             WHEN status = 404 THEN 10 ELSE 0 END AS body_len
+      FROM d
+    )
+    SELECT status,
+           COUNT(*) AS n_records,
+           CAST(SUM(body_len) AS BIGINT) AS total_body_bytes,
+           ROUND(AVG(body_len), 4) AS avg_body_bytes
+    FROM b
+    GROUP BY status
+    """,
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.warc.gz shard ingestion certified end-to-end: gzip member walk,
+    WARC header parse, HTTP envelope parse (both Content-Length
+    declarations validated), rolled up per HTTP status. The oracle
+    re-derives every body length from the generation arithmetic — a
+    mis-framed body, skipped member, or header-offset bug changes the
+    sums."""
+    records = cops.parse_warc_records(
+        cops.synth_warc_shards(spark, n_shards=_N_SHARDS)
+    )
+    return records.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("body_bytes").cast("bigint").alias("total_body_bytes"),
+        F.round(F.avg("body_bytes"), 4).alias("avg_body_bytes"),
+    )
+
+
+# position-weighted checksum over the extracted hex words: position
+# (1-based) x value, paragraph words first (digest pairs cycled), then
+# link words (pairs 8+k)
+_PW_EXPR = f"""
+      CAST(list_sum(list_transform(range(0, 8 * {_P_EXPR}), j ->
+        CAST((j + 1) * {_kp('j % 16')} AS BIGINT))) AS BIGINT)
+      + COALESCE(CAST(list_sum(list_transform(range(0, {_L_EXPR}), k ->
+          CAST((8 * {_P_EXPR} + k + 1) * {_kp('8 + k')} AS BIGINT)))
+          AS BIGINT), 0)
+"""
+
+
+@register(
+    "html_text_extraction_stats",
+    oracle=f"""
+    WITH {_R_BASE}, d AS (
+      SELECT key, md5(CAST(key AS VARCHAR)) AS hx
+      FROM r WHERE status = 200
+    ), f AS (
+      SELECT key,
+             {_L_EXPR} AS n_links,
+             2 + 8 * {_P_EXPR} + 2 * {_L_EXPR} AS n_words,
+             {_PW_EXPR} AS pw
+      FROM d
+    )
+    SELECT n_links,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT key) AS BIGINT) AS distinct_titles,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(pw) AS BIGINT) AS total_pw
+    FROM f
+    GROUP BY n_links
+    """,
+)
+def html_text_extraction_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HTML -> text extraction certified positionally: the extractor
+    must exclude script/style/comment/head content, keep body words in
+    document order, and count links — the oracle re-derives the word
+    stream from the digest convention. The position-weighted checksum
+    is the certificate word counts cannot give: a decoy-leaking or
+    block-reordering extractor shifts positions and fails the hash even
+    when counts survive."""
+    ext = cops.extract_html_text(
+        cops.parse_warc_records(
+            cops.synth_warc_shards(spark, n_shards=_N_SHARDS)
+        )
+    )
+    hexw = "filter(split(text, ' '), w -> w rlike '^[0-9a-f]{2}$')"
+    pw = F.expr(
+        f"""
+        CASE WHEN size({hexw}) = 0 THEN 0L ELSE
+          aggregate(
+            zip_with({hexw}, sequence(1, size({hexw})),
+                     (w, i) -> CAST(i AS BIGINT)
+                               * CAST(conv(w, 16, 10) AS BIGINT)),
+            0L, (acc, x) -> acc + x)
+        END
+        """
+    )
+    return (
+        ext.withColumn("pw", pw)
+        .groupBy("n_links")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("title").cast("bigint").alias(
+                "distinct_titles"
+            ),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("pw").cast("bigint").alias("total_pw"),
+        )
+    )
+
+
+@register(
+    "crawl_corpus_funnel",
+    oracle=f"""
+    WITH {_R_BASE}, e AS (
+      SELECT rid, key, status,
+        CASE WHEN status = 200 THEN
+          2 + 8 * {_P_EXPR.replace('hx', "md5(CAST(key AS VARCHAR))")}
+            + 2 * {_L_EXPR.replace('hx', "md5(CAST(key AS VARCHAR))")}
+        END AS n_words
+      FROM r
+    )
+    SELECT stage, n_records FROM (
+      SELECT 'fetched' AS stage, CAST(COUNT(*) AS BIGINT) AS n_records,
+             0 AS ord
+      FROM e
+      UNION ALL
+      SELECT 'http_ok', CAST(COUNT(*) AS BIGINT), 1 FROM e
+      WHERE status = 200
+      UNION ALL
+      SELECT 'parsed_min_words', CAST(COUNT(*) AS BIGINT), 2 FROM e
+      WHERE n_words >= 20
+      UNION ALL
+      SELECT 'unique_text', CAST(COUNT(DISTINCT key) AS BIGINT), 3
+      FROM e WHERE n_words >= 20
+    ) s
+    """,
+)
+def crawl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-corpus attrition funnel: fetched records -> HTTP
+    200s -> documents passing a minimum extracted word count -> unique
+    texts after exact dedup. One annotated record-grain pass with
+    conditional aggregation (the corpus_filter_funnel pattern) instead
+    of per-stage legs; the dedup stage counts distinct extracted texts,
+    which the oracle equates to distinct content keys because text is a
+    pure function of the key — the duplicate rids planted by the shard
+    generator MUST collapse, or the count diverges."""
+    records = cops.parse_warc_records(
+        cops.synth_warc_shards(spark, n_shards=_N_SHARDS)
+    )
+    ext = cops.extract_html_text(records).select(
+        "shard_id", "record_idx", "text", "n_words"
+    )
+    ann = records.select("shard_id", "record_idx", "status").join(
+        ext, ["shard_id", "record_idx"], "left"
+    )
+    min_ok = F.col("n_words") >= 20
+    agg = ann.agg(
+        F.count(F.lit(1)).cast("bigint").alias("fetched"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("http_ok"),
+        F.sum(F.when(min_ok, 1).otherwise(0))
+        .cast("bigint")
+        .alias("parsed_min_words"),
+        F.countDistinct(F.when(min_ok, F.col("text")))
+        .cast("bigint")
+        .alias("unique_text"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'fetched', fetched, 'http_ok', http_ok, "
+        "'parsed_min_words', parsed_min_words, "
+        "'unique_text', unique_text) AS (stage, n_records)"
+    )

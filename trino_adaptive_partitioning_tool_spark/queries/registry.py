@@ -61,6 +61,7 @@ def _load_all() -> None:
         clustering,
         core_sql,
         core_sql2,
+        crawl,
         dedup,
         funnel,
         multimodal,
