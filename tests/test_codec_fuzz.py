@@ -203,7 +203,9 @@ def test_truncation_always_raises_valueerror(data):
     valid payload either raises ValueError or (for formats whose tail
     is pure padding) decodes identically — never a different result,
     never a foreign exception type."""
-    kind = data.draw(st.sampled_from(["png", "jpeg", "gif", "wav", "flac"]))
+    kind = data.draw(
+        st.sampled_from(["png", "jpeg", "gif", "wav", "flac", "avi"])
+    )
     seed = data.draw(st.integers(0, 2**32 - 1))
     rng = np.random.default_rng(seed)
     if kind == "png":
@@ -223,11 +225,16 @@ def test_truncation_always_raises_valueerror(data):
         payload = PixmapCodec._encode_wav(
             rng.integers(-100, 100, 40).astype("<i2"), 2
         )
-    else:
+    elif kind == "flac":
         payload = PixmapCodec._encode_flac(
             rng.integers(-32768, 32768, 40).astype("<i2"), 2,
             block_size=8,
         )
+    else:
+        jf = PixmapCodec._encode_jpeg(
+            rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        )
+        payload = PixmapCodec._encode_avi([jf, jf], 8, 8)
     full = _pc.decode(payload, "image")
     cut = data.draw(st.integers(1, len(payload) - 1))
     try:

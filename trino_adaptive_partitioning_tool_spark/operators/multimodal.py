@@ -559,6 +559,138 @@ def synth_jpeg_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_avi_assets(
+    spark: SparkSession, n: int = 192, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL MJPEG-AVI asset table: each payload is a
+    RIFF/AVI container (hdrl + movi + idx1) whose 00dc chunks are valid
+    baseline JPEGs from the exact-decode synth convention — constant
+    8x8 blocks + unit quant tables, 4:4:4 — built on the PER-FRAME
+    digest md5(asset_id * 131 + f): frame f's block m has
+    Y = d[m % 16], Cb = d[(3m+5) % 16], Cr = d[(3m+11) % 16]. A DuckDB
+    oracle therefore re-derives every decoded RGB value of every frame
+    positionally; the Spark side has to walk the container, verify the
+    idx1 index, and Huffman-decode each frame to reach the same sums.
+    MCU grid (asset_id % 3 + 1) x ((asset_id // 3) % 2 + 1), frame
+    count asset_id % 6 + 2, 10 fps."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 3 + 1).cast("int").alias("mw"),
+        ((F.col("id") / 3).cast("long") % 2 + 1).cast("int").alias("mh"),
+        (F.col("id") % 6 + 2).cast("int").alias("nf"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mw, mh, nf in zip(
+                pdf["asset_id"], pdf["mw"], pdf["mh"], pdf["nf"]
+            ):
+                aid, mw, mh, nf = int(aid), int(mw), int(mh), int(nf)
+                n_mcus = mw * mh
+                frames = []
+                for f in range(nf):
+                    d = hashlib.md5(str(aid * 131 + f).encode()).digest()
+                    yb = np.array(
+                        [d[m % 16] for m in range(n_mcus)], np.uint8
+                    ).reshape(mh, mw)
+                    cb = np.array(
+                        [d[(3 * m + 5) % 16] for m in range(n_mcus)],
+                        np.uint8,
+                    ).reshape(mh, mw)
+                    cr = np.array(
+                        [d[(3 * m + 11) % 16] for m in range(n_mcus)],
+                        np.uint8,
+                    ).reshape(mh, mw)
+                    frames.append(
+                        PixmapCodec._encode_jpeg(
+                            np.repeat(np.repeat(yb, 8, 0), 8, 1),
+                            np.repeat(np.repeat(cb, 8, 0), 8, 1),
+                            np.repeat(np.repeat(cr, 8, 0), 8, 1),
+                            subsampling="444",
+                        )
+                    )
+                w, h = 8 * mw, 8 * mh
+                rows.append(
+                    (
+                        aid,
+                        "video",
+                        PixmapCodec._encode_avi(frames, w, h, fps=10),
+                        (w, h, None, nf * 100, "avi"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ms", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("rgb_sum", T.LongType(), False),
+        T.StructField("mean_rgb", T.DoubleType(), False),
+    ]
+)
+
+
+def avi_frame_stats(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Per-frame decoded statistics for MJPEG-AVI payloads: one row per
+    frame with the exact integer RGB sum (the position-weightable
+    order certificate) and the mean. Container walk + per-frame JPEG
+    decode run in one Arrow stage; only scalar stats leave it."""
+    codec = _check_codec(codec, require_codec)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                aid = int(aid)
+                raw = bytes(payload)
+                w, h, fps, jpegs = PixmapCodec._parse_avi(raw)
+                for idx, j in enumerate(jpegs):
+                    fw, fh, px = PixmapCodec._parse_jpeg(j)
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            "AVI frame dims disagree with header"
+                        )
+                    s = int(px.astype(np.int64).sum())
+                    out.append(
+                        (
+                            aid,
+                            idx,
+                            idx * 1000 // fps,
+                            w,
+                            h,
+                            s,
+                            s / px.size,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "frame_idx", "ms", "width", "height",
+                    "rgb_sum", "mean_rgb",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _stats, schema=AVI_FRAME_SCHEMA
+    )
+
+
 def synth_gif_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -705,14 +837,15 @@ def synth_tiff_assets(
 
 def synth_mixed_assets(spark: SparkSession) -> DataFrame:
     """Mixed-modality corpus: one asset table carrying REAL PNG, JPEG,
-    WAV, Y4M and TIFF payloads side by side — the shape a real crawl
-    table arrives in. Asset ids are offset per modality (PNG +0, JPEG
-    +1000, WAV +2000, Y4M +3000, TIFF +4000 — each generator's id space
-    is its own, so every payload equals the single-modality generator's
-    output for id % 1000 and the oracles' positional re-derivations
-    carry over unchanged). Consumed by ONE decode stage whose codec
-    dispatches on payload magic bytes per row — per-type dispatch
-    inside a single Arrow mapInPandas pass, not a per-type job."""
+    WAV, Y4M, TIFF, FLAC and MJPEG-AVI payloads side by side — the
+    shape a real crawl table arrives in. Asset ids are offset per
+    modality (PNG +0, JPEG +1000, WAV +2000, Y4M +3000, TIFF +4000,
+    FLAC +5000, AVI +6000 — each generator's id space is its own, so
+    every payload equals the single-modality generator's output for
+    id % 1000 and the oracles' positional re-derivations carry over
+    unchanged). Consumed by ONE decode stage whose codec dispatches on
+    payload magic bytes per row — per-type dispatch inside a single
+    Arrow mapInPandas pass, not a per-type job."""
     parts = [
         synth_png_assets(spark, n=64, partitions=4),
         synth_jpeg_assets(spark, n=64, partitions=4).withColumn(
@@ -726,6 +859,12 @@ def synth_mixed_assets(spark: SparkSession) -> DataFrame:
         ),
         synth_tiff_assets(spark, n=64, partitions=4).withColumn(
             "asset_id", F.col("asset_id") + 4000
+        ),
+        synth_flac_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 5000
+        ),
+        synth_avi_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 6000
         ),
     ]
     out = parts[0]
@@ -2342,6 +2481,161 @@ class PixmapCodec:
             raise ValueError("FLAC STREAMINFO MD5 mismatch")
         return decoded, channels, samples, rate
 
+    # -- AVI helpers (RIFF container, MJPEG video stream) ------------------
+    @staticmethod
+    def _encode_avi(
+        frames: list[bytes], w: int, h: int, fps: int = 10
+    ) -> bytes:
+        """Motion-JPEG AVI: RIFF('AVI ') with hdrl (avih + vids strl,
+        handler MJPG), a movi LIST of 00dc chunks (one baseline JPEG
+        per frame, even-padded) and an idx1 index whose offsets point
+        back into movi — the container layout every legacy capture
+        pipeline emits."""
+        import struct
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return (
+                cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b"")
+            )
+
+        def lst(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        n = len(frames)
+        max_frame = max((len(f) for f in frames), default=0)
+        avih = struct.pack(
+            "<10I16x",
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            max_frame * fps,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            0x10,  # AVIF_HASINDEX
+            n, 0, 1, max_frame, w, h,
+        )
+        strh = struct.pack(
+            "<4s4sIHH8I4h",
+            b"vids", b"MJPG", 0, 0, 0, 0,
+            1, fps, 0, n, max_frame, 10_000, 0,
+            0, 0, w, h,
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+            0, 0, 0, 0,
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        movi_body = b""
+        idx_entries = []
+        for f in frames:
+            # idx1 offsets are relative to the 'movi' fourcc: the first
+            # chunk id sits 4 bytes past it
+            idx_entries.append((4 + len(movi_body), len(f)))
+            movi_body += chunk(b"00dc", f)
+        movi = lst(b"movi", movi_body)
+        idx1 = chunk(
+            b"idx1",
+            b"".join(
+                b"00dc" + struct.pack("<III", 0x10, off, size)
+                for off, size in idx_entries
+            ),
+        )
+        body = b"AVI " + hdrl + movi + idx1
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @staticmethod
+    def _parse_avi(payload: bytes):
+        """(width, height, fps, [jpeg_frame_bytes...]) for an MJPEG AVI.
+        Validates the header/stream frame counts against the movi walk
+        AND replays the idx1 index against the actual chunk offsets —
+        a reordered, dropped or mis-framed chunk raises instead of
+        yielding a plausible frame sequence."""
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        riff_size = struct.unpack_from("<I", payload, 4)[0]
+        if 8 + riff_size > len(payload):
+            raise ValueError("truncated AVI payload")
+        avih = None
+        strh = None
+        frames: list[bytes] = []
+        offsets: list[tuple[int, int]] = []
+        idx1: list[tuple[int, int]] | None = None
+        pos = 12
+        end = 8 + riff_size
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated AVI chunk ({cid!r})")
+            if cid == b"LIST":
+                ltype = body[:4]
+                if ltype == b"hdrl":
+                    hpos = 4
+                    while hpos + 8 <= len(body):
+                        hcid, hsize = struct.unpack_from(
+                            "<4sI", body, hpos
+                        )
+                        hbody = body[hpos + 8 : hpos + 8 + hsize]
+                        if hcid == b"avih":
+                            avih = struct.unpack_from("<10I", hbody, 0)
+                        elif hcid == b"LIST" and hbody[:4] == b"strl":
+                            scid, ssize = struct.unpack_from(
+                                "<4sI", hbody, 4
+                            )
+                            if scid != b"strh":
+                                raise ValueError(
+                                    "AVI strl missing strh chunk"
+                                )
+                            strh = struct.unpack_from(
+                                "<4s4sIHH8I", hbody, 12
+                            )
+                        hpos += 8 + hsize + (hsize & 1)
+                elif ltype == b"movi":
+                    mpos = 4
+                    while mpos + 8 <= len(body):
+                        mcid, msize = struct.unpack_from(
+                            "<4sI", body, mpos
+                        )
+                        mbody = body[mpos + 8 : mpos + 8 + msize]
+                        if len(mbody) != msize:
+                            raise ValueError("truncated AVI movi chunk")
+                        if mcid == b"00dc":
+                            frames.append(mbody)
+                            offsets.append((mpos, msize))
+                        mpos += 8 + msize + (msize & 1)
+            elif cid == b"idx1":
+                if size % 16:
+                    raise ValueError("malformed AVI idx1 chunk")
+                idx1 = []
+                for i in range(size // 16):
+                    eid, _flags, off, esize = struct.unpack_from(
+                        "<4sIII", body, 16 * i
+                    )
+                    if eid == b"00dc":
+                        idx1.append((off, esize))
+            pos += 8 + size + (size & 1)
+        if avih is None or strh is None:
+            raise ValueError("AVI missing avih or strh header")
+        if strh[0] != b"vids" or strh[1] != b"MJPG":
+            raise ValueError("only MJPG video AVI supported")
+        # strh tuple: fccType, handler, flags, priority, language,
+        # initialFrames, scale, rate, start, length, buf, quality, size
+        scale, rate = strh[6], strh[7]
+        if scale == 0 or rate == 0:
+            raise ValueError("malformed AVI stream timing")
+        n_frames, w, h = avih[4], avih[8], avih[9]
+        if len(frames) != n_frames or strh[9] != n_frames:
+            raise ValueError("AVI frame count disagrees with headers")
+        if idx1 is None:
+            raise ValueError("AVI missing idx1 index")
+        if idx1 != offsets:
+            raise ValueError("AVI idx1 disagrees with movi chunk layout")
+        return w, h, rate // scale, frames
+
     # -- JPEG helpers (baseline sequential, ITU-T T.81) -------------------
     # zigzag scan: stream position k holds raster index _JPEG_ZIGZAG[k].
     # Generated, not transcribed (the classic anti-diagonal walk), so a
@@ -2845,11 +3139,22 @@ class PixmapCodec:
     # -- Codec protocol --------------------------------------------------
     def decode(self, payload: bytes, media_type: str) -> tuple[int, int, float]:
         del media_type
-        if payload[:4] == b"RIFF":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             frames, channels, samples = self._parse_wav(payload)
             return frames, channels, float(
                 np.abs(samples.astype(np.int64)).mean()
             )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            w, h, _fps, jpegs = self._parse_avi(payload)
+            total = 0
+            count = 0
+            for j in jpegs:
+                fw, fh, px = self._parse_jpeg(j)
+                if (fw, fh) != (w, h):
+                    raise ValueError("AVI frame dims disagree with header")
+                total += int(px.astype(np.int64).sum())
+                count += px.size
+            return w, h, total / count if count else 0.0
         if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
             frames, channels, samples, _rate = self._parse_aiff(payload)
             return frames, channels, float(

@@ -671,6 +671,29 @@ def multimodal_jpeg_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# constant-asset sample: the digest's first little-endian int16
+_FLAC_CONST = (
+    "(CAST(('0x' || substr(hx, 1, 2)) AS INT)"
+    " + 256 * CAST(('0x' || substr(hx, 3, 2)) AS INT))"
+)
+
+
+# AVI frame oracle: per-frame digest hx = md5(asset_id * 131 + f); the
+# 4:4:4 constant-MCU convention reuses the still-JPEG value scheme
+_AVI_RGBSUM = (
+    f"({_rgb(_J_Y444, _J_CB, _J_CR, 0)}) + "
+    f"({_rgb(_J_Y444, _J_CB, _J_CR, 1)}) + "
+    f"({_rgb(_J_Y444, _J_CB, _J_CR, 2)})"
+)
+
+
+# the same sum with the per-frame digest spliced in for contexts where
+# no `hx` alias is in scope (the mixed-corpus oracle's nested lambdas)
+_AVI_RGBSUM_KEYED = _AVI_RGBSUM.replace(
+    "hx", "md5(CAST(asset_id * 131 + f AS VARCHAR))"
+)
+
+
 # shared by the batch mixed-corpus query and its streaming-ingest twin
 # (queries/streaming_q.py): both decode the identical synth_mixed_assets
 # corpus, so one positional re-derivation certifies both paths
@@ -753,10 +776,48 @@ MIXED_CORPUS_ORACLE = f"""
           CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1, 2))
                AS BIGINT))) AS mean_intensity
       FROM tif
+    ), flc AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 50 + 10 AS INT) AS frames,
+             CAST(t.asset_id % 2 + 1 AS INT) AS ch,
+             t.asset_id % 7 = 0 AS is_const,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 64) t(asset_id)
+    ), flc_d AS (
+      -- FLAC decodes to the same md5-cycled PCM convention as WAV,
+      -- except constant assets (the digest's first int16 everywhere)
+      SELECT 'flac' AS fmt, frames AS w, ch AS h,
+        CASE WHEN is_const THEN
+          CAST(ABS(CASE WHEN {_FLAC_CONST} >= 32768
+                        THEN {_FLAC_CONST} - 65536
+                        ELSE {_FLAC_CONST} END) AS DOUBLE)
+        ELSE
+          list_avg(list_transform(range(1, frames * ch + 1), j ->
+            ABS(CASE WHEN {_WAV_SAMPLE} >= 32768
+                     THEN {_WAV_SAMPLE} - 65536
+                     ELSE {_WAV_SAMPLE} END)))
+        END AS mean_intensity
+      FROM flc
+    ), avi AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 3 + 1 AS INT) AS mw,
+             CAST((t.asset_id // 3) % 2 + 1 AS INT) AS mh,
+             CAST(t.asset_id % 6 + 2 AS INT) AS nf
+      FROM range(0, 64) t(asset_id)
+    ), avi_d AS (
+      -- decode() walks every MJPEG frame: mean over all frames' exact
+      -- integer RGB sums (per-frame digest md5(id * 131 + f))
+      SELECT 'avi' AS fmt, 8 * mw AS w, 8 * mh AS h,
+        list_sum(list_transform(range(0, nf), f ->
+          CAST(64 * list_sum(list_transform(range(0, mw * mh), m ->
+            {_AVI_RGBSUM_KEYED})) AS DOUBLE)))
+        / (nf * 192.0 * mw * mh) AS mean_intensity
+      FROM avi
     ), all_d AS (
       SELECT * FROM png_d UNION ALL SELECT * FROM jpg_d
       UNION ALL SELECT * FROM wav_d UNION ALL SELECT * FROM y4m_d
-      UNION ALL SELECT * FROM tif_d
+      UNION ALL SELECT * FROM tif_d UNION ALL SELECT * FROM flc_d
+      UNION ALL SELECT * FROM avi_d
     )
     SELECT fmt, COUNT(*) AS n_assets,
            CAST(SUM(w) AS BIGINT) AS sum_width,
@@ -775,7 +836,7 @@ def mixed_corpus_rollup(decoded: DataFrame) -> DataFrame:
     fmt = F.element_at(
         F.array(
             F.lit("png"), F.lit("jpeg"), F.lit("wav"), F.lit("y4m"),
-            F.lit("tiff"),
+            F.lit("tiff"), F.lit("flac"), F.lit("avi"),
         ),
         (F.floor(F.col("asset_id") / 1000) + 1).cast("int"),
     )
@@ -794,14 +855,15 @@ def mixed_corpus_rollup(decoded: DataFrame) -> DataFrame:
 @register("multimodal_mixed_corpus_stats", oracle=MIXED_CORPUS_ORACLE)
 def multimodal_mixed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality corpus through ONE decode stage: a single asset
-    table carrying real PNG, JPEG, WAV and Y4M payloads (the shape a
-    real crawl delivers) flows through one Arrow mapInPandas pass
-    whose codec dispatches on payload magic bytes per row — proving
-    the codec seam composes across modalities instead of requiring a
-    per-format job. Grouped by format; the oracle re-derives each
-    format's decoded statistics positionally (PNG pixel cycle, JPEG
-    block convention + integer color transform, WAV int16 amplitude,
-    Y4M full-stream plane walk)."""
+    table carrying real PNG, JPEG, WAV, Y4M, TIFF, FLAC and MJPEG-AVI
+    payloads (the shape a real crawl delivers) flows through one Arrow
+    mapInPandas pass whose codec dispatches on payload magic bytes per
+    row — proving the codec seam composes across modalities instead of
+    requiring a per-format job. Grouped by format; the oracle
+    re-derives each format's decoded statistics positionally (PNG pixel
+    cycle, JPEG block convention + integer color transform, WAV/FLAC
+    int16 amplitude, Y4M full-stream plane walk, AVI per-frame RGB
+    sums)."""
     return mixed_corpus_rollup(
         mm.decode_assets(
             mm.synth_mixed_assets(spark),
@@ -1268,13 +1330,6 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# constant-asset sample: the digest's first little-endian int16
-_FLAC_CONST = (
-    "(CAST(('0x' || substr(hx, 1, 2)) AS INT)"
-    " + 256 * CAST(('0x' || substr(hx, 3, 2)) AS INT))"
-)
-
-
 @register(
     "multimodal_flac_decode_stats",
     oracle=f"""
@@ -1337,4 +1392,60 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("decoded_width").cast("bigint").alias("sum_frames"),
             F.round(F.avg("mean_intensity"), 4).alias("avg_abs_amplitude"),
         )
+    )
+
+
+@register(
+    "multimodal_avi_frame_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 3 + 1 AS INT) AS mw,
+             CAST((t.asset_id // 3) % 2 + 1 AS INT) AS mh,
+             CAST(t.asset_id % 6 + 2 AS INT) AS nf
+      FROM range(0, 192) t(asset_id)
+    ), fr AS (
+      SELECT asset_id, mw, mh, CAST(f.f AS INT) AS f,
+             md5(CAST(asset_id * 131 + f.f AS VARCHAR)) AS hx
+      FROM a JOIN range(0, 7) f(f) ON f.f < a.nf
+    ), s AS (
+      -- exact integer RGB sum of frame f: 64 pixels per constant MCU,
+      -- fixed-point YCbCr->RGB replayed in SQL
+      SELECT asset_id, mw, mh, f,
+        64 * list_sum(list_transform(range(0, mw * mh), m ->
+          {_AVI_RGBSUM})) AS rgb_sum
+      FROM fr
+    )
+    SELECT CAST(8 * mw AS INT) AS width,
+           CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+           COUNT(*) AS n_frames,
+           CAST(SUM((f + 1) * rgb_sum) AS BIGINT) AS total_pw,
+           ROUND(AVG(rgb_sum / (192.0 * mw * mh)), 4) AS avg_intensity
+    FROM s
+    GROUP BY mw
+    """,
+)
+def multimodal_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode: MJPEG AVI payloads (RIFF hdrl/movi/
+    idx1, one baseline JPEG per 00dc chunk) walked and per-frame decoded
+    by PixmapCodec through the avi_frame_stats Arrow stage with
+    require_codec=True. The parser cross-checks the idx1 index against
+    the actual movi chunk offsets and both header frame counts, and the
+    query's frame-position-weighted RGB checksum certifies frame ORDER
+    end-to-end — a skipped, duplicated or reordered frame shifts
+    total_pw even when every mean survives. The oracle re-derives every
+    decoded value from the per-frame digest convention including the
+    fixed-point color transform."""
+    stats = mm.avi_frame_stats(
+        mm.synth_avi_assets(spark, n=192),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return stats.groupBy("width").agg(
+        F.countDistinct("asset_id").cast("bigint").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum((F.col("frame_idx") + 1) * F.col("rgb_sum"))
+        .cast("bigint")
+        .alias("total_pw"),
+        F.round(F.avg("mean_rgb"), 4).alias("avg_intensity"),
     )

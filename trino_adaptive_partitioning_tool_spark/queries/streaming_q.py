@@ -1031,7 +1031,7 @@ def streaming_drift_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_multimodal_ingest", oracle=MIXED_CORPUS_ORACLE)
 def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality decode as a Structured Streaming pipeline: the
-    PNG+JPEG+WAV+Y4M corpus (synth_mixed_assets — binary payloads, so
+    PNG+JPEG+WAV+Y4M+TIFF+FLAC+AVI corpus (synth_mixed_assets — binary, so
     the feed is parquet, not JSON) streams from files, the production
     Arrow decode stage applies UNCHANGED on the streaming frame
     (mapInPandas is stateless), and the per-format rollup drains in
@@ -1041,7 +1041,7 @@ def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same full DuckDB oracle as the batch twin
     (multimodal_mixed_corpus_stats): the decode arithmetic is
     positional in the md5 conventions, so hash-green here proves
-    stream == SQL across all four real decoders, not just
+    stream == SQL across all seven real decoders, not just
     stream == batch."""
     from ..operators import multimodal as mm
     from .multimodal import mixed_corpus_rollup
