@@ -1,0 +1,171 @@
+"""Round-10 operator units: footer-only aggregation (error contract +
+exactness), gzip-JSONL quarantine invariants (framing, routing,
+character preservation), the BPE pair model, and the map-only shape of
+the embedding decontamination scan."""
+
+from __future__ import annotations
+
+import json
+import gzip
+import glob
+
+import pytest
+
+from conftest import PARITY_SF_DIR
+
+from trino_adaptive_partitioning_tool_spark.operators import jsonl
+from trino_adaptive_partitioning_tool_spark.sources import tables
+
+
+# --- footer-only aggregation ------------------------------------------------
+
+
+def test_footer_stats_match_scan(spark):
+    specs = (("orders", "o_totalprice"), ("lineitem", "l_quantity"))
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in tables.column_stats_from_footers(PARITY_SF_DIR, specs)
+    }
+    for t, c in specs:
+        df = tables.load_table(spark, PARITY_SF_DIR, t)
+        scan = df.selectExpr(
+            "count(*) AS n",
+            f"count(*) - count({c}) AS nulls",
+            f"CAST(min({c}) AS DOUBLE) AS mn",
+            f"CAST(max({c}) AS DOUBLE) AS mx",
+        ).first()
+        r = rows[(t, c)]
+        assert r["n_rows"] == scan.n
+        assert r["n_nulls"] == scan.nulls
+        assert r["min_v"] == scan.mn  # exact: parquet numeric stats are
+        assert r["max_v"] == scan.mx  # value copies, not approximations
+
+
+def test_footer_stats_unknown_column_fails_loudly():
+    with pytest.raises(Exception):
+        tables.column_stats_from_footers(
+            PARITY_SF_DIR, (("orders", "no_such_column"),)
+        )
+
+
+# --- gzip JSONL quarantine ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("jsonl")) + "/docs"
+    docs = tables.load_table(spark, PARITY_SF_DIR, "documents")
+    jsonl.write_jsonl_gz(docs, path)
+    return path
+
+
+def test_jsonl_shards_are_gzip_one_object_per_line(jsonl_dir):
+    files = glob.glob(jsonl_dir + "/part-*.txt.gz")
+    assert files, "no gzip shards written"
+    n_good = n_bad = 0
+    for f in files:
+        for line in gzip.open(f, "rt", encoding="utf-8"):
+            line = line.rstrip("\n")
+            try:
+                obj = json.loads(line)
+                assert set(obj) <= {
+                    "doc_id", "lang", "source", "n_chars", "text"
+                }
+                n_good += 1
+            except json.JSONDecodeError:
+                assert len(line) == jsonl.CORRUPT_PREFIX_LEN
+                n_bad += 1
+    assert n_good > 0 and n_bad > 0
+
+
+def test_jsonl_quarantine_routing_and_text_preserved(spark, jsonl_dir):
+    parsed = jsonl.read_jsonl_quarantine(spark, jsonl_dir).cache()
+    docs = tables.load_table(spark, PARITY_SF_DIR, "documents")
+    n_docs = docs.count()
+    n_corrupt_expected = docs.where(
+        jsonl.corrupt_pred(docs.doc_id)
+    ).count()
+    bad = parsed.where(parsed._corrupt_record.isNotNull())
+    good = parsed.where(parsed._corrupt_record.isNull())
+    assert parsed.count() == n_docs
+    assert bad.count() == n_corrupt_expected
+    # quarantined rows carry NO parsed fields; clean rows carry ALL
+    assert bad.where(bad.doc_id.isNotNull()).count() == 0
+    assert good.where(good.text.isNull()).count() == 0
+    # the decoded text of every clean row is byte-identical to the source
+    joined = good.select("doc_id", "text").join(
+        docs.select(
+            docs.doc_id, docs.text.alias("orig")
+        ),
+        "doc_id",
+    )
+    assert joined.where(joined.text != joined.orig).count() == 0
+    parsed.unpersist()
+
+
+def test_jsonl_corrupt_prefix_is_invalid_json():
+    # the truncation contract: 12 chars of any serialized object can
+    # never form valid JSON (object opens, never closes)
+    for doc_id in (0, 1, 999999, 123456789):
+        prefix = ('{"doc_id":%d,"lang":"en"}' % doc_id)[
+            : jsonl.CORRUPT_PREFIX_LEN
+        ]
+        with pytest.raises(json.JSONDecodeError):
+            json.loads(prefix)
+
+
+# --- BPE pair model ----------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_model(spark):
+    from trino_adaptive_partitioning_tool_spark.queries import text as tq
+
+    df = spark.createDataFrame(
+        [(1, "aba aba cd"), (2, "aba X9 zz")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__bpe_probe")
+    # replicate the query body on a controlled frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from trino_adaptive_partitioning_tool_spark.operators import dedup
+
+    words = (
+        df.select(F.explode(dedup.tokens_expr("text")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    got = {r["pair"]: r["n"] for r in pairs.collect()}
+    # aba x3 -> ab:3, ba:3; cd x1; zz x1; X9 filtered (non-alpha after
+    # lower it's 'x9' — digit rejected)
+    assert got == {"ab": 3, "ba": 3, "cd": 1, "zz": 1}
+
+
+# --- decontamination scan plan shape ------------------------------------
+
+
+def test_decontamination_scan_is_map_only_before_rollup(spark):
+    from trino_adaptive_partitioning_tool_spark.queries.similarity import (
+        decontamination_embedding_scan,
+    )
+
+    df = decontamination_embedding_scan(spark, PARITY_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the bench side must arrive by broadcast: no sort-merge join, and
+    # the only shuffle is the final label x band rollup
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 1

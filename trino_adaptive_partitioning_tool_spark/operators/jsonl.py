@@ -1,0 +1,101 @@
+"""Gzip JSONL corpus ingestion with corrupt-record quarantine.
+
+JSONL (one JSON object per line, gzip-compressed shards) is the most
+common interchange format real training corpora arrive in. This module
+exercises Spark's NATIVE json source end-to-end — `to_json` writer,
+gzip text shards, `spark.read.json` in PERMISSIVE mode with a
+`_corrupt_record` quarantine column — rather than a custom Arrow stage:
+the native reader is the one a 100 TB ingest would use (distributed,
+whole-stage-codegen parse, schema enforced), and quarantining instead
+of failing is the only operable posture when a crawl dump contains a
+few malformed lines per billion.
+
+Corruption is HASH-planted (md5_60(doc_id) — operators/dedup), so the
+DuckDB oracle re-derives exactly which lines were mangled and what the
+clean-side aggregates must be, without ever parsing JSON itself: the
+Spark side HAS to round-trip every row through real JSON encode →
+gzip → decode to reach the same numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .dedup import md5_60
+
+# Truncating a JSON line to this prefix always yields INVALID JSON: the
+# serialized object starts '{"doc_id":<digits>,' and never closes within
+# 12 characters (doc_ids are far below 10^10).
+CORRUPT_PREFIX_LEN = 12
+CORRUPT_MOD = 17  # every 17th doc (by hash) is mangled
+
+READ_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("text", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def corrupt_pred(doc_id_col: Column) -> Column:
+    """True for rows whose serialized line gets mangled (hash-planted,
+    oracle-reproducible)."""
+    return (
+        F.pmod(
+            md5_60(
+                F.concat_ws("|", F.lit("jsonl"), doc_id_col.cast("string"))
+            ),
+            F.lit(CORRUPT_MOD),
+        )
+        == 0
+    )
+
+
+def corrupt_pred_sql(id_expr: str = "doc_id") -> str:
+    from .dedup import md5_60_sql
+
+    h = md5_60_sql(f"concat_ws('|', 'jsonl', CAST({id_expr} AS VARCHAR))")
+    return f"({h} % {CORRUPT_MOD}) = 0"
+
+
+def write_jsonl_gz(docs: DataFrame, path: str) -> None:
+    """Serialize documents rows to gzip JSONL shards, mangling the
+    hash-planted subset to an invalid prefix. `to_json` escapes control
+    characters per the JSON spec, so embedded newlines in `text` never
+    break the one-object-per-line framing."""
+    line = F.to_json(
+        F.struct("doc_id", "lang", "source", "n_chars", "text")
+    )
+    out = docs.select(
+        F.when(
+            corrupt_pred(F.col("doc_id")),
+            F.substring(line, 1, CORRUPT_PREFIX_LEN),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    out.write.mode("overwrite").option("compression", "gzip").text(path)
+
+
+def read_jsonl_quarantine(spark: SparkSession, path: str) -> DataFrame:
+    """PERMISSIVE read: well-formed lines populate the typed columns,
+    malformed lines land whole in `_corrupt_record` with every typed
+    column null — the quarantine contract (drop nothing, fail nothing,
+    route bad lines to a dead-letter rollup)."""
+    return (
+        spark.read.schema(READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -1648,6 +1648,78 @@ def table_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
+# (table, numeric column) pairs whose COUNT/MIN/MAX the advisor answers
+# from footers alone. Numeric-only on purpose: parquet row-group stats
+# for int/double columns are exact value copies (string stats may be
+# truncated by writers), so footer == full scan is a hard equality.
+_FOOTER_AGG_SPECS: tuple[tuple[str, str], ...] = (
+    ("orders", "o_orderkey"),
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+    ("customer", "c_acctbal"),
+    ("supplier", "s_acctbal"),
+    ("part", "p_size"),
+    ("events", "user_id"),
+    ("events", "value"),
+)
+
+
+def _footer_agg_oracle() -> str:
+    # FULL-SCAN oracle, deliberately path-free: unlike table_file_metadata
+    # (whose oracle re-parses the same footers), this one recomputes every
+    # aggregate from the DATA through the registered views, so a green row
+    # proves the footer statistics answer the aggregates exactly — at
+    # whatever sf the driver runs. No pinning needed.
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(MIN({c}) AS DOUBLE) AS min_v,"
+        f" CAST(MAX({c}) AS DOUBLE) AS max_v"
+        f" FROM {t}"
+        for t, c in _FOOTER_AGG_SPECS
+    )
+    return (
+        f"SELECT * FROM (\n{legs}\n) m ORDER BY table_name, column_name"
+    )
+
+
+@register("metadata_pushdown_aggregates", oracle=_footer_agg_oracle())
+def metadata_pushdown_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate pushdown INTO the footer: COUNT/MIN/MAX/null-count for
+    ten numeric columns answered from parquet row-group statistics with
+    zero data pages read (sources/tables.column_stats_from_footers).
+
+    The min/max range probe is the advisor's hottest metadata question
+    (reference analog: the `$metadata` stats probes,
+    src/trino_client.py:65-107); at 100 TB this is the difference
+    between one footer parse per file and a full scan per table. The
+    oracle recomputes every value from the data itself, so a green row
+    certifies footer == scan exactly — at any scale, which also makes
+    this row benchable (its cost is size-independent while the oracle's
+    grows with the data)."""
+    rows = tables.column_stats_from_footers(sf_dir, _FOOTER_AGG_SPECS)
+    return spark.createDataFrame(
+        [
+            (
+                r["table_name"],
+                r["column_name"],
+                r["n_rows"],
+                r["n_nulls"],
+                r["min_v"],
+                r["max_v"],
+            )
+            for r in rows
+        ],
+        "table_name string, column_name string, n_rows long, n_nulls long,"
+        " min_v double, max_v double",
+    ).orderBy("table_name", "column_name")
+
+
 @register(
     "skew_salt_advice",
     oracle="""

@@ -451,3 +451,103 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("recall")
     )
     return exact_leg.unionByName(approx_leg)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (r10): the benchmark-contamination scan a
+# training pipeline runs BEFORE the n-gram pass (queries/text.py
+# decontamination_ngram_overlap) — paraphrased contamination survives token
+# overlap checks but not embedding similarity.
+
+_EMBENCH_PERMILLE = 30  # ~3% of vectors play the held-out benchmark set
+
+
+def _embench_pred_sql() -> str:
+    from ..operators.dedup import md5_60_sql
+
+    h = md5_60_sql("concat_ws('|', 'embench', CAST(vec_id AS VARCHAR))")
+    return f"({h} % 1000) < {_EMBENCH_PERMILLE}"
+
+
+def _decon_embedding_oracle() -> str:
+    return f"""
+    WITH bench AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bvec
+      FROM embeddings WHERE {_embench_pred_sql()}
+    ),
+    corpus AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE NOT ({_embench_pred_sql()})
+    ),
+    per_vec AS (
+      SELECT c.vec_id, c.label,
+             MAX(ROUND(list_cosine_similarity(c.cvec, b.bvec), 6))
+               AS max_cosine
+      FROM corpus c, bench b
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(FLOOR(max_cosine * 10) AS BIGINT) AS cosine_band,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(max_cosine) AS top_cosine
+    FROM per_vec GROUP BY label, cosine_band
+    """
+
+
+@register("decontamination_embedding_scan", oracle=_decon_embedding_oracle())
+def decontamination_embedding_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-corpus-vector max cosine against a hash-held-out benchmark
+    set, banded per label — the evidence report that decides where the
+    contamination threshold should sit for THIS corpus (here nothing
+    crosses 0.7: the corpus is clean, and the report proves it instead
+    of silently returning zero rows).
+
+    Scale shape: the benchmark set is collected into ONE array column
+    and broadcast (benchmark sets are small by construction — the 100 TB
+    side is always the corpus), so the scan is MAP-ONLY: no shuffle
+    until the final label×band rollup of corpus-row-count inputs.
+    Rounding to 6 decimals before max/band keeps last-ulp float drift
+    from flipping a band (same discipline as similarity_topk_bruteforce).
+    """
+    from ..operators.dedup import md5_60
+    from ..operators.similarity import _as_double, cosine_expr
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    bench_pred = (
+        F.pmod(
+            md5_60(
+                F.concat_ws(
+                    "|", F.lit("embench"), F.col("vec_id").cast("string")
+                )
+            ),
+            F.lit(1000),
+        )
+        < _EMBENCH_PERMILLE
+    )
+    bench_arr = (
+        emb.where(bench_pred)
+        .select(_as_double(F.col("embedding")).alias("bvec"))
+        .agg(F.collect_list("bvec").alias("bench"))
+    )
+    corpus = emb.where(~bench_pred).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("cvec")
+    )
+    per_vec = corpus.join(F.broadcast(bench_arr)).select(
+        "label",
+        F.array_max(
+            F.transform(
+                F.col("bench"),
+                lambda b: F.round(cosine_expr(F.col("cvec"), b), 6),
+            )
+        ).alias("max_cosine"),
+    )
+    return per_vec.groupBy(
+        F.col("label").cast("bigint").alias("label"),
+        F.floor(F.col("max_cosine") * 10).cast("bigint").alias("cosine_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("max_cosine").alias("top_cosine"),
+    )

@@ -45,6 +45,7 @@ from . import (  # noqa: F401
     clustering,
     core_sql,
     core_sql2,
+    crawl,
     dedup,
     funnel,
     multimodal,
@@ -283,6 +284,7 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
 
 _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
+    ("bpe_merge_pair_counts", ["pair", "pair_count", "rank"], []),
     ("cluster_mixture_plan",
      ["cluster", "lang", "n_docs", "total_tokens", "budget_tokens"],
      ["mixture_share"]),
@@ -299,6 +301,7 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("corpus_top_tokens", ["token", "cnt"], []),
     ("corpus_zipf_stats",
      ["n_vocab", "total_tokens", "head_n"], ["zipf_slope", "zipf_r2"]),
+    ("crawl_corpus_funnel", ["stage", "n_records"], []),
     ("dataset_quality_audit",
      ["table_name", "column_name", "total_rows", "non_null",
       "distinct_values"],
@@ -306,6 +309,10 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("document_chunking_stats",
      ["doc_id", "n_chunks", "total_chunk_chars", "chunks_md5"], []),
     ("document_topic_clusters", ["doc_id", "cluster", "dist2"], []),
+    ("html_text_extraction_stats",
+     ["n_links", "n_docs", "distinct_titles", "total_words", "total_pw"],
+     []),
+    ("jsonl_ingest_stats", ["lang", "n_docs", "total_chars"], []),
     ("lateral_explode_tokens", ["doc_id", "tok"], []),
     ("pii_redaction_stats",
      ["doc_id", "n_email", "n_url", "n_phone", "redacted_md5"], []),
@@ -335,6 +342,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["doc_id", "winnow_fp", "winnow_size"], []),
     ("topic_balanced_doc_sample",
      ["doc_id", "cluster", "lang", "source"], []),
+    ("warc_ingest_stats",
+     ["status", "n_records", "total_body_bytes"], ["avg_body_bytes"]),
     ("winnow_containment_pairs",
      ["id_a", "id_b", "shared_fps"], ["containment"]),
 ]
@@ -342,6 +351,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
 _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("cluster_balanced_sample", ["vec_id", "cluster", "label"], []),
     ("cluster_outlier_prune", ["vec_id", "cluster", "dist2"], []),
+    ("decontamination_embedding_scan",
+     ["label", "cosine_band", "n_vecs"], ["top_cosine"]),
     ("dedup_exact", ["canonical_doc_id", "dup_count", "n_chars"], []),
     ("dedup_exact_groups", ["canonical_id", "dup_count"], []),
     ("dedup_keep_canonical", ["doc_id", "lang", "source", "n_chars"], []),
@@ -424,8 +435,13 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("event_type_user_overlap",
      ["type_a", "type_b", "n_both", "n_a", "n_b"], ["user_jaccard"]),
     ("histogram_quantile_estimate", [], ["q", "quantile_checked"]),
+    ("metadata_pushdown_aggregates",
+     ["table_name", "column_name", "n_rows", "n_nulls"],
+     ["min_v", "max_v"]),
     ("multimodal_aiff_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
+    ("multimodal_avi_frame_stats",
+     ["width", "n_assets", "n_frames", "total_pw"], ["avg_intensity"]),
     ("multimodal_bmp_decode_stats",
      ["n_assets", "sum_width", "sum_height", "total_pw_sum"],
      ["avg_intensity"]),
@@ -433,6 +449,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["n_channels", "channel", "n_assets"], ["avg_channel_mean"]),
     ("multimodal_feature_search",
      ["query_id", "vec_id", "rank"], ["cosine"]),
+    ("multimodal_flac_decode_stats",
+     ["channels", "is_const", "n_assets", "sum_frames"],
+     ["avg_abs_amplitude"]),
     ("multimodal_frame_sample",
      ["asset_id", "n_frames", "last_frame_ms"], []),
     ("multimodal_gif_decode_stats",

@@ -1027,3 +1027,91 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / denx, 4).alias("zipf_slope"),
         F.round(F.pow(num, 2) / (denx * deny), 4).alias("zipf_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge-candidate mining (r10): the statistics half of a
+# byte-pair-encoding tokenizer TRAINING iteration. Classic BPE counts, per
+# unique word weighted by its corpus frequency, every adjacent symbol pair;
+# the highest count becomes the next merge. At 100 TB the unique-word table
+# after the first groupBy is vocabulary-sized (millions, not billions), so
+# the expensive pass over raw text happens exactly once; pair explosion and
+# the ranking run over the small aggregate. ASCII-alphabetic words only —
+# a deliberate parity envelope (substring semantics on multi-byte code
+# points are engine-specific; real BPE trainers byte-encode first anyway).
+
+_BPE_TOP = 50
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS word FROM documents
+    ),
+    w AS (
+      SELECT word, COUNT(*) AS freq FROM toks
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      GROUP BY word
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, CAST(i AS INT), 2)))
+               AS pair,
+             freq
+      FROM w
+    ),
+    agg AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM p GROUP BY pair
+    )
+    SELECT pair, pair_count, rank FROM (
+      SELECT pair, pair_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
+                  AS BIGINT) AS rank
+      FROM agg
+    ) t WHERE rank <= {_BPE_TOP}
+    """,
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge candidates of the first BPE training iteration:
+    frequency-weighted adjacent character-pair counts over the unique
+    words of the corpus, ranked with a total (count DESC, pair) order
+    so the top-50 cut is deterministic on both engines.
+
+    Plan shape: explode(tokens) → word groupBy (the only corpus-sized
+    shuffle, map-side combined) → pair explode over the VOCABULARY →
+    pair groupBy → TakeOrderedAndProject. Iterating BPE re-runs only
+    the vocabulary-sized stages with merged symbols."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as dedup_ops
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(dedup_ops.tokens_expr("text")).alias("word")
+        )
+        .where(
+            F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("pair_count")
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _BPE_TOP)
+    )
