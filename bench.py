@@ -116,6 +116,19 @@ HEADLINE_QUERIES = [
     "multimodal_mulaw_decode_stats",
     "multimodal_aiff_decode_stats",
     "train_test_split_counts",
+    # r9 late additions + r10: remaining real-format decoders, crawl
+    # ingestion funnel, and the four r10 queries (footer pushdown,
+    # embedding decon scan, JSONL quarantine ingest, BPE pair mining)
+    "multimodal_flac_decode_stats",
+    "multimodal_avi_frame_stats",
+    "warc_ingest_stats",
+    "html_text_extraction_stats",
+    "crawl_corpus_funnel",
+    "metadata_pushdown_aggregates",
+    "decontamination_embedding_scan",
+    "jsonl_ingest_stats",
+    "bpe_merge_pair_counts",
+    "bpe_merge_iterations",
 ]
 
 

@@ -77,6 +77,18 @@ _SWEEP = {
         "is the in-engine remediation)",
     "user_retention_cohorts": "",
     "sessionize_events": "",
+    # r10 additions: the new corpus-ingest / scan-heavy flagships
+    "decontamination_embedding_scan":
+        "map-only corpus x bench scan, but the hash split makes the "
+        "bench side GROW with the corpus under replication (real "
+        "benchmark sets are fixed-size), so work is quadratic here by "
+        "construction — the exponent tracks bench growth, not a plan "
+        "flaw",
+    "bpe_merge_pair_counts": "",
+    "bpe_merge_iterations": "",
+    "jsonl_ingest_stats":
+        "write side memoized per (session, dir); timed READ path is "
+        "the distributed gzip-json parse",
 }
 
 

@@ -267,6 +267,24 @@ _SHUFFLE_CEILINGS = {
     # shuffles, now counted — they spread the single-row-group scan's
     # CPU-bound sketch work across cores; see plans/inspect.shuffle_count)
     "cms_heavy_hitters": 9,
+    # r10: footer aggregation is a LocalRelation sort (the one exchange
+    # is the tiny orderBy); the decon scan is map-only until the final
+    # label x band rollup (bench side arrives by broadcast — pinned
+    # SortMergeJoin-free in tests/test_pipeline_r10.py); jsonl is a
+    # distributed gzip-json parse + one rollup; the BPE queries shuffle
+    # per round (word groupBy reused, pair groupBy + the global rank
+    # over the PAIR VOCABULARY — bounded by alphabet^2, never data-sized;
+    # iterations = 3 unrolled rounds each re-shuffling the vocabulary)
+    "metadata_pushdown_aggregates": 1,
+    "decontamination_embedding_scan": 1,
+    "jsonl_ingest_stats": 1,
+    "bpe_merge_pair_counts": 2,
+    "bpe_merge_iterations": 14,
+    "warc_ingest_stats": 1,
+    "html_text_extraction_stats": 2,
+    "crawl_corpus_funnel": 1,
+    "multimodal_flac_decode_stats": 1,
+    "multimodal_avi_frame_stats": 2,
     "histogram_quantile_estimate": 18,
     "incremental_histogram_rollup": 2,
     "text_entropy_scores": 3,

@@ -263,9 +263,10 @@ def _jsonl_shards(spark: SparkSession, sf_dir: str) -> str:
     return _JSONL_CACHE[key]
 
 
-@register(
-    "jsonl_ingest_stats",
-    oracle=f"""
+# shared by the batch query below and the streaming twin
+# (queries/streaming_q.streaming_jsonl_ingest): the drained stream must
+# equal the same table-derived SQL, proving stream == batch == oracle
+JSONL_INGEST_ORACLE = f"""
     WITH tagged AS (
       SELECT lang, length(text) AS text_chars,
              {jops_corrupt_sql}
@@ -279,26 +280,15 @@ def _jsonl_shards(spark: SparkSession, sf_dir: str) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST({jops.CORRUPT_PREFIX_LEN} * COUNT(*) AS BIGINT) AS total_chars
     FROM tagged WHERE corrupt
-    """,
-)
-def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip every document through real JSON encode → gzip shard →
-    Spark's native PERMISSIVE json reader, with hash-planted malformed
-    lines quarantined into `_corrupt_record` (never dropped, never
-    fatal). The oracle derives the clean/quarantined aggregates from
-    the source table arithmetic — matching them requires the full
-    decode to preserve every character of every text (including escaped
-    control characters) and to route exactly the planted lines to the
-    dead-letter bucket.
+    """
 
-    Scale: the json parse is distributed whole-stage codegen over gzip
-    shards; at 100 TB the same two-line read works against a sharded
-    corpus root (gzip is non-splittable per FILE, so parallelism =
-    shard count — the write side shards accordingly)."""
-    parsed = jops.read_jsonl_quarantine(spark, _jsonl_shards(spark, sf_dir))
-    # ONE pass routes both legs (clean rows keyed by lang, quarantined
-    # rows to a dead-letter group) — also sidesteps Spark's rule that a
-    # query may not reference ONLY the corrupt-record column
+
+def jsonl_quarantine_rollup(parsed: DataFrame) -> DataFrame:
+    """ONE pass routes both legs (clean rows keyed by lang, quarantined
+    rows to a dead-letter group) — also sidesteps Spark's rule that a
+    query may not reference ONLY the corrupt-record column. Stateless
+    aggregation over stateless parse: applies unchanged to the
+    streaming frame."""
     is_bad = F.col("_corrupt_record").isNotNull()
     return parsed.groupBy(
         F.when(is_bad, F.lit("<quarantined>"))
@@ -314,3 +304,22 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_chars"),
     )
+
+
+@register("jsonl_ingest_stats", oracle=JSONL_INGEST_ORACLE)
+def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip every document through real JSON encode → gzip shard →
+    Spark's native PERMISSIVE json reader, with hash-planted malformed
+    lines quarantined into `_corrupt_record` (never dropped, never
+    fatal). The oracle derives the clean/quarantined aggregates from
+    the source table arithmetic — matching them requires the full
+    decode to preserve every character of every text (including escaped
+    control characters) and to route exactly the planted lines to the
+    dead-letter bucket.
+
+    Scale: the json parse is distributed whole-stage codegen over gzip
+    shards; at 100 TB the same two-line read works against a sharded
+    corpus root (gzip is non-splittable per FILE, so parallelism =
+    shard count — the write side shards accordingly)."""
+    parsed = jops.read_jsonl_quarantine(spark, _jsonl_shards(spark, sf_dir))
+    return jsonl_quarantine_rollup(parsed)

@@ -513,7 +513,7 @@ def decontamination_embedding_scan(
     from flipping a band (same discipline as similarity_topk_bruteforce).
     """
     from ..operators.dedup import md5_60
-    from ..operators.similarity import _as_double, cosine_expr
+    from ..operators.similarity import _as_double, _dot, _norm
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
     bench_pred = (
@@ -527,20 +527,42 @@ def decontamination_embedding_scan(
         )
         < _EMBENCH_PERMILLE
     )
+    # Per-pair cost is the hot loop (corpus x bench interpreted HOF):
+    # dividing both sides by their norms ONCE (norm hoisted into its own
+    # column so it's computed once per VECTOR, not once per element)
+    # turns each pair into a bare dot product — cosine(c, b) ==
+    # dot(c/|c|, b/|b|), ~3x fewer folds than dot + both norms per pair.
     bench_arr = (
         emb.where(bench_pred)
         .select(_as_double(F.col("embedding")).alias("bvec"))
+        .withColumn("bn", _norm(F.col("bvec")))
+        .select(
+            F.transform(
+                F.col("bvec"), lambda x: x / F.col("bn")
+            ).alias("bvec")
+        )
         .agg(F.collect_list("bvec").alias("bench"))
     )
-    corpus = emb.where(~bench_pred).select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("cvec")
+    corpus = (
+        emb.where(~bench_pred)
+        .select(
+            "vec_id", "label", _as_double(F.col("embedding")).alias("cv")
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("cv"), lambda x: x / F.col("cn")).alias(
+                "cvec"
+            ),
+        )
     )
     per_vec = corpus.join(F.broadcast(bench_arr)).select(
         "label",
         F.array_max(
             F.transform(
                 F.col("bench"),
-                lambda b: F.round(cosine_expr(F.col("cvec"), b), 6),
+                lambda b: F.round(_dot(F.col("cvec"), b), 6),
             )
         ).alias("max_cosine"),
     )

@@ -1061,3 +1061,35 @@ def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = mixed_corpus_rollup(decoded)
     name = f"stream_mm_{uuid.uuid4().hex[:8]}"
     return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy("fmt")
+
+
+from .crawl import JSONL_INGEST_ORACLE as _JSONL_ORACLE
+
+
+@register("streaming_jsonl_ingest", oracle=_JSONL_ORACLE)
+def streaming_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip JSONL corpus ingestion as a Structured Streaming pipeline:
+    the same shards the batch twin reads (queries/crawl._jsonl_shards)
+    stream through Spark's PERMISSIVE json source with the
+    corrupt-record quarantine column, and the same one-pass rollup
+    (crawl.jsonl_quarantine_rollup — stateless over stateless) drains
+    in complete mode with availableNow.
+
+    Oracle: the batch twin's table-derived SQL (crawl.JSONL_INGEST_
+    ORACLE), attached after definition — hash-green proves
+    stream == batch == source-table arithmetic, including that the
+    quarantine routing is slicing-invariant (a malformed line is
+    malformed in whatever micro-batch it lands)."""
+    from ..operators import jsonl as jops
+    from .crawl import _jsonl_shards, jsonl_quarantine_rollup
+
+    feed = _jsonl_shards(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(jops.READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(feed)
+    )
+    rollup = jsonl_quarantine_rollup(stream)
+    name = f"stream_jsonl_{uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy("lang")

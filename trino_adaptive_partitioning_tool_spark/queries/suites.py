@@ -284,6 +284,8 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
 
 _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
+    ("bpe_merge_iterations",
+     ["round", "pair", "pair_count", "rank"], []),
     ("bpe_merge_pair_counts", ["pair", "pair_count", "rank"], []),
     ("cluster_mixture_plan",
      ["cluster", "lang", "n_docs", "total_tokens", "budget_tokens"],
@@ -591,6 +593,7 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
      []),
     ("streaming_interactive_share",
      ["window_start", "is_interactive", "query_count"], []),
+    ("streaming_jsonl_ingest", ["lang", "n_docs", "total_chars"], []),
     ("streaming_multimodal_ingest",
      ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
     ("streaming_pii_scrub",

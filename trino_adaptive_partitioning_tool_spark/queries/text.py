@@ -1115,3 +1115,138 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= _BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unrolled BPE training loop (r10): three merge ROUNDS, each applying the
+# previous round's winning merge before recounting — the part of BPE that
+# looks "inherently sequential" expressed as a declarative plan. Each
+# merged symbol is rewritten to a single surrogate character (Q/R/S —
+# outside the [a-z] alphabet), so 2-char-substring pair extraction keeps
+# meaning "adjacent SYMBOLS" after any number of merges, and `replace`'s
+# left-to-right non-overlapping semantics (identical in Spark and DuckDB)
+# are exactly BPE's greedy merge application.
+
+_BPE_ROUNDS_TOP = 10
+_BPE_SURROGATES = ("Q", "R", "S")
+
+
+def _bpe_words_sql() -> str:
+    return f"""
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents
+      ) toks
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      GROUP BY word
+    """
+
+
+def _bpe_pairs_sql(words_cte: str) -> str:
+    return f"""
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> substr(word, CAST(i AS INT), 2)))
+                 AS pair,
+               freq
+        FROM {words_cte} WHERE length(word) >= 2
+      ) p GROUP BY pair
+    """
+
+
+def _bpe_iterations_oracle() -> str:
+    ctes = [f"w1 AS ({_bpe_words_sql()})"]
+    legs = []
+    for r, surrogate in enumerate(_BPE_SURROGATES, start=1):
+        ctes.append(f"p{r} AS ({_bpe_pairs_sql(f'w{r}')})")
+        ctes.append(
+            f"t{r} AS (SELECT pair AS merge_pair FROM p{r}"
+            f" ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r + 1} AS (SELECT replace(word,"
+            f" (SELECT merge_pair FROM t{r}), '{surrogate}') AS word, freq"
+            f" FROM w{r})"
+        )
+        legs.append(
+            f"SELECT {r} AS round, pair, pair_count, rank FROM ("
+            f"  SELECT pair, pair_count,"
+            f"    CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)"
+            f"         AS BIGINT) AS rank"
+            f"  FROM p{r}) q WHERE rank <= {_BPE_ROUNDS_TOP}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(round AS BIGINT) AS round, pair, pair_count, rank"
+          " FROM (\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\n) rounds"
+    )
+
+
+@register("bpe_merge_iterations", oracle=_bpe_iterations_oracle())
+def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled BPE training rounds: count pairs -> pick the top
+    merge (count DESC, pair tie-break) -> apply it -> recount. The
+    winning merge flows into the next round as a BROADCAST single-row
+    frame consumed by `replace(word, merge_pair, surrogate)` — no
+    driver-side collect; the whole loop is one lazy plan.
+
+    Scale: every round's recount runs over the VOCABULARY (unique-word)
+    table, not the corpus — the corpus-sized shuffle happens exactly
+    once, in the initial word count. That is also how production BPE
+    trainers scale: iterate on the aggregate, never on the raw text."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as dedup_ops
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(dedup_ops.tokens_expr("text")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def pair_counts(w: DataFrame) -> DataFrame:
+        return (
+            w.where(F.length("word") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word) - 1),"
+                        " i -> substring(word, i, 2))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+
+    rank_w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    out: DataFrame | None = None
+    w = words
+    for r, surrogate in enumerate(_BPE_SURROGATES, start=1):
+        counts = pair_counts(w)
+        ranked = counts.withColumn(
+            "rank", F.row_number().over(rank_w).cast("bigint")
+        )
+        leg = ranked.where(F.col("rank") <= _BPE_ROUNDS_TOP).select(
+            F.lit(r).cast("bigint").alias("round"),
+            "pair",
+            "pair_count",
+            "rank",
+        )
+        out = leg if out is None else out.unionByName(leg)
+        top1 = ranked.where(F.col("rank") == 1).select(
+            F.col("pair").alias("merge_pair")
+        )
+        w = w.crossJoin(F.broadcast(top1)).select(
+            F.expr(f"replace(word, merge_pair, '{surrogate}')").alias(
+                "word"
+            ),
+            "freq",
+        )
+    assert out is not None
+    return out
