@@ -129,6 +129,9 @@ HEADLINE_QUERIES = [
     "jsonl_ingest_stats",
     "bpe_merge_pair_counts",
     "bpe_merge_iterations",
+    "language_id_confusion",
+    "sessionize_gap_sensitivity",
+    "pagerank_transaction_graph",
 ]
 
 

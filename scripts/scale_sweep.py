@@ -89,6 +89,9 @@ _SWEEP = {
     "jsonl_ingest_stats":
         "write side memoized per (session, dir); timed READ path is "
         "the distributed gzip-json parse",
+    "pagerank_transaction_graph":
+        "3 unrolled power iterations; per-iteration cost is one edge "
+        "join + one groupBy(dst) — expect ~linear in edges",
 }
 
 
@@ -252,23 +255,41 @@ def main() -> None:
         )
 
     path = os.path.join(REPO, "SCALE_SWEEP.json")
-    # a filtered run refreshes only its queries — merge over the
-    # existing artifact (same base + factor) instead of dropping the rest
-    merged = results
-    if filters:
-        try:
-            with open(path) as fh:
-                prev = json.load(fh)
-            if prev.get("base") == BASE and prev.get("factor") == factor:
-                merged = {**prev.get("results", {}), **results}
-        except (OSError, ValueError):
-            pass
-    artifact = {
-        "base": BASE,
-        "factor": factor,
-        "host_noise_caveat": "+/-40% shared-host load; exponents +/-0.15",
-        "results": merged,
-    }
+    prev = {}
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("base") != BASE:
+            prev = {}
+    except (OSError, ValueError):
+        pass
+    if factor == 10:
+        # a filtered run refreshes only its queries — merge over the
+        # existing artifact instead of dropping the rest
+        merged = results
+        if filters and prev.get("factor") == 10:
+            merged = {**prev.get("results", {}), **results}
+        artifact = {
+            "base": BASE,
+            "factor": factor,
+            "host_noise_caveat":
+                "+/-40% shared-host load; exponents +/-0.15",
+            "results": merged,
+            # second-decade checks at other factors live alongside the
+            # primary 10x sweep instead of clobbering it
+            "extra_factors": prev.get("extra_factors", {}),
+        }
+    else:
+        artifact = prev or {
+            "base": BASE,
+            "factor": 10,
+            "host_noise_caveat":
+                "+/-40% shared-host load; exponents +/-0.15",
+            "results": {},
+        }
+        extra = artifact.setdefault("extra_factors", {})
+        section = extra.setdefault(str(factor), {})
+        section.update(results)
     with open(path, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(f"# wrote {path}", file=sys.stderr)

@@ -169,3 +169,92 @@ def test_decontamination_scan_is_map_only_before_rollup(spark):
     # the only shuffle is the final label x band rollup
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") >= 1
+
+
+# --- integer-lattice PageRank ---------------------------------------------
+
+
+def test_pagerank_integer_hand_graph(spark):
+    """3-node chain a->b->c (+ reverse edges): hand-computed lattice
+    ranks after one and two iterations."""
+    from pyspark.sql import functions as F
+    from trino_adaptive_partitioning_tool_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    # deg: 1->1, 2->2, 3->1. r0 = 1_000_000 each.
+    # contribs: from 1: 1_000_000 -> 2; from 2: 500_000 -> 1 and 3;
+    #           from 3: 1_000_000 -> 2.
+    # r1(1) = 150000 + 85*500000//100  = 575000
+    # r1(2) = 150000 + 85*2000000//100 = 1850000
+    # r1(3) = 575000
+    got1 = {
+        r["node"]: r["rank_micro"]
+        for r in graph.pagerank_integer(edges, n_iterations=1).collect()
+    }
+    assert got1 == {1: 575000, 2: 1850000, 3: 575000}
+    # r2(1) = 150000 + 85*(1850000//2)//100 = 150000+786250 = 936250
+    # r2(2) = 150000 + 85*(575000+575000)//100 = 1127500
+    # r2(3) = 936250
+    got2 = {
+        r["node"]: r["rank_micro"]
+        for r in graph.pagerank_integer(edges, n_iterations=2).collect()
+    }
+    assert got2 == {1: 936250, 2: 1127500, 3: 936250}
+
+
+def test_pagerank_no_inedge_node_keeps_base(spark):
+    from trino_adaptive_partitioning_tool_spark.operators import graph
+
+    edges = spark.createDataFrame([(7, 8)], "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in graph.pagerank_integer(edges, n_iterations=1).collect()
+    }
+    assert got[7] == 150000  # nothing points at 7
+    assert got[8] == 150000 + 85 * 1_000_000 // 100
+
+
+# --- sessionization gap sweep ---------------------------------------------
+
+
+def test_gap_sweep_monotone_and_event_conserving(spark):
+    from trino_adaptive_partitioning_tool_spark.queries.core_sql2 import (
+        sessionize_gap_sensitivity,
+    )
+
+    rows = sessionize_gap_sensitivity(spark, PARITY_SF_DIR).collect()
+    by_gap = {r["gap_minutes"]: r for r in rows}
+    gaps = sorted(by_gap)
+    totals = {by_gap[g]["total_events"] for g in gaps}
+    assert len(totals) == 1  # every config accounts for every event
+    for lo, hi in zip(gaps, gaps[1:]):
+        # widening the gap can only merge sessions, never split them
+        assert by_gap[hi]["n_sessions"] <= by_gap[lo]["n_sessions"]
+        assert by_gap[hi]["max_session_events"] >= by_gap[lo][
+            "max_session_events"
+        ]
+
+
+# --- language-ID confusion -------------------------------------------------
+
+
+def test_language_confusion_totals_match_corpus(spark):
+    from trino_adaptive_partitioning_tool_spark.queries.text import (
+        language_id_confusion,
+    )
+    from trino_adaptive_partitioning_tool_spark.sources import tables
+
+    rows = language_id_confusion(spark, PARITY_SF_DIR).collect()
+    docs = tables.load_table(spark, PARITY_SF_DIR, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # lang_total is consistent within each true language
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["true_lang"], []).append(r)
+    for lang, cells in per_lang.items():
+        totals = {c["lang_total"] for c in cells}
+        assert len(totals) == 1
+        assert totals.pop() == sum(c["n_docs"] for c in cells)

@@ -285,6 +285,13 @@ _SHUFFLE_CEILINGS = {
     "crawl_corpus_funnel": 1,
     "multimodal_flac_decode_stats": 1,
     "multimodal_avi_frame_stats": 2,
+    # r10b: confusion = predictor joins + two-level count; gap sweep =
+    # one session_window shuffle per gap config; pagerank = 3 unrolled
+    # power iterations, each an edge join + groupBy(dst) over NODE/EDGE
+    #-sized frames (the rank window at the end is top-20 over nodes)
+    "language_id_confusion": 2,
+    "sessionize_gap_sensitivity": 4,
+    "pagerank_transaction_graph": 33,
     "histogram_quantile_estimate": 18,
     "incremental_histogram_rollup": 2,
     "text_entropy_scores": 3,

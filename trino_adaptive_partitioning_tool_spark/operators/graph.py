@@ -218,3 +218,67 @@ def cluster_rollup(components: DataFrame) -> DataFrame:
     return components.groupBy(
         F.col("component").alias("cluster_rep")
     ).agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    init_micro: int = 1_000_000,
+    base_micro: int = 150_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Deterministic integer-lattice PageRank: ranks live in micro-units
+    and every step is exact int64 arithmetic —
+    contrib(u) = rank(u) div out_degree(u);
+    rank'(v)   = base + (damping_pct * sum(contrib over in-edges)) div 100
+    — so the result is bit-identical across engines, partitionings and
+    re-runs (same design as the integer-lattice k-means,
+    operators/clustering.py: floor-division is the lattice projection).
+    Nodes with no in-edges keep the base term; dangling mass is dropped
+    (the standard simplification when ranks are used ordinally, e.g.
+    crawl-frontier prioritization, where only the ORDER matters).
+
+    Scale shape per iteration: one broadcast-able degree join keyed by
+    src + one groupBy(dst) shuffle — the rank table is node-sized, the
+    join is edge-sized, nothing is quadratic. Magnitudes stay far below
+    2^53, so even a DOUBLE-based oracle reproduces the integers exactly.
+    """
+    out_deg = edges.groupBy(src_col).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(init_micro).cast("bigint")
+    )
+    for _ in range(n_iterations):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("node", src_col), src_col
+            )
+            .join(out_deg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("rank_micro div out_degree").alias("contrib"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(
+            F.sum("contrib").alias("inflow")
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base_micro)
+                + F.expr(
+                    f"({damping_pct} * coalesce(inflow, 0)) div 100"
+                )
+            )
+            .cast("bigint")
+            .alias("rank_micro"),
+        )
+    return ranks

@@ -635,3 +635,88 @@ def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-gap sensitivity sweep (r10): the "what-if" tuning row for the
+# sessionizer — the same events sessionized under four gap configs in one
+# query, so an analyst sees how session counts collapse as the gap widens
+# before committing a pipeline to one number. Spark side uses the NATIVE
+# session_window operator per gap; the oracle recomputes every gap with
+# the independent gaps-and-islands algorithm (lag + cumulative sum) on
+# integer microseconds — four configs, two algorithms, one green row.
+
+_SESSION_GAPS_MIN = (10, 30, 60, 120)
+
+
+def _gap_sensitivity_oracle() -> str:
+    legs = []
+    for gap in _SESSION_GAPS_MIN:
+        legs.append(f"""
+    SELECT {gap} AS gap_minutes, COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singleton_sessions,
+           MAX(n_events) AS max_session_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM (
+      SELECT user_id, session_id, COUNT(*) AS n_events FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > CAST({gap} AS BIGINT) * 60000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ) marked
+      ) sessions
+      GROUP BY user_id, session_id
+    ) per_session""")
+    return (
+        "SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes, n_sessions,"
+        " n_singleton_sessions, max_session_events, total_events FROM (\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\n) gaps"
+    )
+
+
+@register("sessionize_gap_sensitivity", oracle=_gap_sensitivity_oracle())
+def sessionize_gap_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-gap sessionization stats for 10/30/60/120-minute gaps: session
+    count, singleton share (as exact counts), largest session, and the
+    invariant total event count (a per-gap checksum — every gap must
+    account for every event exactly once).
+
+    Scale: one native session_window aggregation per gap config —
+    shuffle key (user_id) is identical across legs, and each leg's
+    session collapse is the same plan the production sessionizer runs;
+    the final per-gap rollup is 4 rows."""
+    events = tables.load_table(spark, sf_dir, "events")
+    out: DataFrame | None = None
+    for gap in _SESSION_GAPS_MIN:
+        sessions = events.groupBy(
+            "user_id", F.session_window("ts", f"{gap} minutes").alias("w")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        leg = sessions.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singleton_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+        ).select(
+            F.lit(gap).cast("bigint").alias("gap_minutes"),
+            "n_sessions",
+            "n_singleton_sessions",
+            "max_session_events",
+            "total_events",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    assert out is not None
+    return out

@@ -474,3 +474,103 @@ def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-lattice PageRank (r10): graph centrality over the undirected
+# customer<->supplier transaction graph — the authority score a crawl
+# pipeline uses to prioritize its frontier (here over the TPC-H-shaped
+# graph the testdata provides). Three unrolled power iterations, every
+# step exact int64 arithmetic (operators/graph.pagerank_integer), so the
+# DuckDB oracle replays the identical lattice bit-for-bit.
+
+_PR_TOP = 20
+_PR_NS = 1_000_000_000  # supplier node namespace offset
+
+
+def _pagerank_oracle() -> str:
+    edges = f"""
+      SELECT DISTINCT o.o_custkey AS src,
+             {_PR_NS} + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      UNION
+      SELECT DISTINCT {_PR_NS} + l.l_suppkey AS src,
+             o.o_custkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """
+    ctes = [
+        f"e AS ({edges})",
+        "deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro"
+        " FROM nodes)",
+    ]
+    for k in range(1, 4):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS node,"
+            f" SUM(r.rank_micro // d.out_degree) AS inflow"
+            f" FROM e JOIN r{k - 1} r ON r.node = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT n.node,"
+            f" CAST(150000 + (85 * COALESCE(c.inflow, 0)) // 100"
+            f" AS BIGINT) AS rank_micro"
+            f" FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node, rank_micro, rank FROM (
+      SELECT node, rank_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY rank_micro DESC, node)
+                  AS BIGINT) AS rank
+      FROM r3
+    ) t WHERE rank <= {_PR_TOP}
+    """
+    )
+
+
+@register("pagerank_transaction_graph", oracle=_pagerank_oracle())
+def pagerank_transaction_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{20} authority nodes of the customer<->supplier graph after
+    three integer-lattice PageRank iterations. Suppliers are namespaced
+    to 1e9+ so one rank table covers both sides.
+
+    Scale shape: the edge list is built once (distinct on the join
+    projection); each iteration is one src-keyed join against the
+    node-sized rank table plus one groupBy(dst) — linear in edges,
+    nothing quadratic, and exact integers end to end (the same
+    determinism design as the integer-lattice k-means)."""
+    from ..operators import graph as gops
+
+    orders = tables.load_table(spark, sf_dir, "orders")
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_PR_NS) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp").alias("src"), F.col("cust").alias("dst")
+        )
+    )
+    ranks = gops.pagerank_integer(edges, n_iterations=3)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _PR_TOP)
+    )

@@ -275,6 +275,9 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
     ("full_outer_daily_activity", ["day", "n_orders", "n_events"], []),
     ("rolling_7day_revenue",
      ["o_orderpriority", "day", "days_in_window"], ["rev_7d"]),
+    ("sessionize_gap_sensitivity",
+     ["gap_minutes", "n_sessions", "n_singleton_sessions",
+      "max_session_events", "total_events"], []),
     ("user_retention_cohorts",
      ["cohort_week", "week_offset", "n_active", "cohort_size"],
      ["retention_rate"]),
@@ -315,6 +318,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
      ["n_links", "n_docs", "distinct_titles", "total_words", "total_pw"],
      []),
     ("jsonl_ingest_stats", ["lang", "n_docs", "total_chars"], []),
+    ("language_id_confusion",
+     ["true_lang", "predicted_lang", "n_docs", "lang_total"], []),
     ("lateral_explode_tokens", ["doc_id", "tok"], []),
     ("pii_redaction_stats",
      ["doc_id", "n_email", "n_url", "n_phone", "redacted_md5"], []),
@@ -376,6 +381,8 @@ _DEDUP_SIMILARITY: list[tuple[str, list[str], list[str]]] = [
     ("embedding_near_duplicates_exact", ["id_a", "id_b"], ["cosine"]),
     ("embedding_quantization_stats",
      ["vec_id", "label", "n_dims"], ["scale", "max_abs_err"]),
+    ("pagerank_transaction_graph",
+     ["node", "rank_micro", "rank"], []),
     ("semdedup_keep_canonical", ["vec_id", "label"], []),
     ("similarity_ivf_topk", ["query_id", "vec_id", "rank"], ["cosine"]),
     ("similarity_pq_topk", ["query_id", "vec_id", "rank"], ["l2"]),

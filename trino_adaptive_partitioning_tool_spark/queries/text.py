@@ -1250,3 +1250,66 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     assert out is not None
     return out
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (r10): the confusion matrix of the n-gram marker
+# classifier (text_language_id) against the corpus's true labels — the
+# quality-evaluation row a curation pipeline needs before trusting the
+# predictor for routing/filtering. Counts only (n_docs + lang_total), no
+# ratios: exact integers sidestep cross-engine ROUND-of-ratio drift, and
+# accuracy per language is n_docs / lang_total on the diagonal.
+
+_LANG_PRED_SQL = f"""
+      SELECT doc_id, lang AS predicted_lang FROM (
+        SELECT doc_id, lang, hits,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY hits DESC, lang
+               ) AS rn
+        FROM hits
+      ) t WHERE rn = 1
+"""
+
+
+@register(
+    "language_id_confusion",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    hits AS (
+      {_lang_hits_legs()}
+    ),
+    pred AS (
+      {_LANG_PRED_SQL}
+    )
+    SELECT d.lang AS true_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS BIGINT)
+             AS lang_total
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.predicted_lang
+    """,
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true language, predicted language) cell counts plus each true
+    language's row total. The predictor runs UNCHANGED (operators/
+    text.language_id); the join back to the labels and the two-level
+    count are the only additions, so a green row certifies the full
+    classifier path end-to-end against the oracle's independent SQL
+    replay of the marker scoring."""
+    from pyspark.sql import Window
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pred = ops.language_id(docs).select("doc_id", "predicted_lang")
+    cells = (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("true_lang"), F.col("predicted_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cells.withColumn(
+        "lang_total",
+        F.sum("n_docs").over(Window.partitionBy("true_lang")).cast("bigint"),
+    )
