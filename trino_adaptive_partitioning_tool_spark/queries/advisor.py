@@ -1676,8 +1676,8 @@ def _footer_agg_oracle() -> str:
         f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
         f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
         f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
-        f" CAST(MIN({c}) AS DOUBLE) AS min_v,"
-        f" CAST(MAX({c}) AS DOUBLE) AS max_v"
+        f" CAST(MIN({c}) AS DOUBLE) + 0 AS min_v,"
+        f" CAST(MAX({c}) AS DOUBLE) + 0 AS max_v"
         f" FROM {t}"
         for t, c in _FOOTER_AGG_SPECS
     )

@@ -194,8 +194,13 @@ def column_stats_from_footers(
                 "column_name": col,
                 "n_rows": n_rows,
                 "n_nulls": n_nulls,
-                "min_v": float(min(mins)),
-                "max_v": float(max(maxs)),
+                # + 0.0 canonicalizes IEEE negative zero: parquet
+                # writers store -0.0 as the DOUBLE min when present,
+                # engines' MIN() may return either sign, and -0.0 vs
+                # 0.0 survives numeric compares but breaks string
+                # hashing — both this side and the oracle normalize
+                "min_v": float(min(mins)) + 0.0,
+                "max_v": float(max(maxs)) + 0.0,
             }
         )
     return out
