@@ -132,6 +132,7 @@ HEADLINE_QUERIES = [
     "language_id_confusion",
     "sessionize_gap_sensitivity",
     "pagerank_transaction_graph",
+    "multimodal_phash_near_dup",
 ]
 
 

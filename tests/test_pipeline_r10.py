@@ -258,3 +258,47 @@ def test_language_confusion_totals_match_corpus(spark):
         totals = {c["lang_total"] for c in cells}
         assert len(totals) == 1
         assert totals.pop() == sum(c["n_docs"] for c in cells)
+
+
+# --- perceptual-hash image dedup -------------------------------------------
+
+
+def test_phash_finds_exactly_planted_pairs(spark):
+    """Every planted duplicate pair (exact + one-pixel perturbations) is
+    found; no unrelated pair sneaks under the hamming gate."""
+    from trino_adaptive_partitioning_tool_spark.queries.multimodal import (
+        multimodal_phash_near_dup,
+    )
+
+    rows = multimodal_phash_near_dup(spark, PARITY_SF_DIR).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    assert total == 64  # n=256, every aid % 4 == 3 duplicates aid - 3
+    assert all(r["hamming"] <= 4 for r in rows)
+
+
+def test_phash_bit_contract(spark):
+    """Hand raster: gray cross-multiplied mean threshold, row-major bit
+    order."""
+    import numpy as np
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        multimodal as mm,
+    )
+
+    class _Codec(mm.PixmapCodec):
+        def pixels(self, payload):
+            # 2x2 gray raster: [[10, 20], [30, 40]]; mean 25
+            return np.array(
+                [[[10], [20]], [[30], [40]]], dtype=np.uint8
+            )
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    row = mm.perceptual_hashes(
+        assets, require_codec=True, codec=_Codec()
+    ).collect()[0]
+    # bits: 10*4>100? no; 20*4>100? no; 30*4>100 yes (bit 2);
+    # 40*4>100 yes (bit 3) -> 0b1100 = 12
+    assert row["phash"] == 12
+    assert row["n_pixels"] == 4

@@ -292,6 +292,9 @@ _SHUFFLE_CEILINGS = {
     "language_id_confusion": 2,
     "sessionize_gap_sensitivity": 4,
     "pagerank_transaction_graph": 33,
+    # r10c: banded phash self-join (candidate distinct + final rollup;
+    # the band join broadcasts at smoke scale)
+    "multimodal_phash_near_dup": 4,
     "histogram_quantile_estimate": 18,
     "incremental_histogram_rollup": 2,
     "text_entropy_scores": 3,

@@ -3612,3 +3612,117 @@ def resize_assets(
         )
         .mapInPandas(_resize, schema=RESIZED_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (r10): the missing modality in the dedup
+# layer (text has MinHash/SimHash/spans, embeddings have SemDeDup; images
+# had nothing). Bit-per-pixel average-hash over DECODED rasters, exact
+# integer arithmetic end to end so the DuckDB oracle re-derives every
+# hash from the synth conventions without decoding a single PNG.
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("ch", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+PHASH_MAX_BITS = 63  # signed-int64 lattice: bits beyond 63 are dropped
+
+
+def synth_phash_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """PNG asset table with PLANTED duplicate structure: every
+    asset_id % 4 == 3 reuses asset_id-3's content key (dims AND pixels
+    derive from the KEY, so duplicates are true rasters-equal pairs),
+    and the % 8 == 7 half of those additionally bumps pixel (0,0,0) by
+    +16 mod 256 — a planted NEAR-duplicate whose hash differs in a few
+    bits. Dims are 6-11 x 6-9 (>= 36 pixels) so unrelated assets sit
+    ~N/2 hamming apart and can never masquerade as near-dups."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                key = aid - 3 if aid % 4 == 3 else aid
+                w, h = key % 6 + 6, key % 4 + 6
+                ch = (1, 3, 4)[key % 3]
+                need = w * h * ch
+                # full-entropy stream: one md5 per 16-byte BLOCK (the
+                # single-digest cycle of the other synths would repeat
+                # gray values every 16/gcd(ch,16) pixels and collapse
+                # the hash space — unrelated assets must sit ~N/2 bits
+                # apart for the near-dup gate to mean anything)
+                stream = b"".join(
+                    hashlib.md5(f"{key}|{blk}".encode()).digest()
+                    for blk in range(need // 16 + 1)
+                )
+                px = np.frombuffer(
+                    stream[:need], dtype=np.uint8
+                ).reshape(h, w, ch).copy()
+                if aid % 8 == 7:
+                    px[0, 0, 0] = (int(px[0, 0, 0]) + 16) % 256
+                rows.append(
+                    (aid, "image", PixmapCodec._encode_png(px),
+                     (w, h, None, None, "png"))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "media_type", "payload", "meta"],
+            )
+
+    return base.mapInPandas(_encode, schema=SYNTH_ASSET_SCHEMA)
+
+
+def perceptual_hashes(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Average-hash per asset over the decoded raster: gray(p) = integer
+    sum of the pixel's channels; bit j (row-major pixel j, first
+    min(n_pixels, 63) pixels) is set iff gray(j) * n_pixels > sum(gray)
+    — the mean threshold CROSS-MULTIPLIED so there is no division and
+    no float anywhere; the hash is bit-reproducible in any engine.
+    Arrow mapInPandas over the same batch shape as decode_assets."""
+    codec = _check_codec(codec, require_codec)
+    if not hasattr(codec, "pixels"):
+        raise NotImplementedError(
+            "perceptual_hashes needs a codec exposing pixels(payload)"
+        )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = codec.pixels(bytes(payload)).astype(np.int64)
+                h_, w_, ch = px.shape
+                gray = px.sum(axis=2).reshape(-1)
+                n = gray.shape[0]
+                s = int(gray.sum())
+                bits = gray[: min(n, PHASH_MAX_BITS)] * n > s
+                phash = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        phash |= 1 << j
+                rows.append((int(aid), w_, h_, ch, n, phash))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "w", "h", "ch", "n_pixels", "phash"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _hash, schema=PHASH_SCHEMA
+    )

@@ -1449,3 +1449,170 @@ def multimodal_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_pw"),
         F.round(F.avg("mean_rgb"), 4).alias("avg_intensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup detection (r10): average-hash over the
+# decoded rasters, banded self-join, exact hamming verify — image dedup
+# joins text (MinHash/SimHash) and embeddings (SemDeDup) as a first-class
+# dedup modality. The oracle re-derives every hash from the synth
+# convention (key-derived dims, md5-cycled pixels, the +16 perturbation)
+# with pure integer arithmetic — the Spark side HAS to decode the PNGs
+# and hash real rasters to reach the same pair set.
+
+_PHASH_N = 256
+_PHASH_HAMMING_MAX = 4
+_PHASH_BANDS = 4  # 16-bit pigeonhole chunks of the 63-bit hash
+
+
+def _phash_oracle() -> str:
+    # gray(p) = sum over channels of digest byte ((p*ch + c) % 16), with
+    # the near-dup perturbation folded in arithmetically for % 8 == 7
+    # stream byte b lives at position (b % 16) of md5('<key>|<b//16>')
+    byte = (
+        "CAST(('0x' || substr(md5(key_s || '|' ||"
+        " CAST((p * ch + c) // 16 AS VARCHAR)),"
+        " CAST(((p * ch + c) % 16) * 2 + 1 AS INT), 2)) AS INT)"
+    )
+    gray = f"""
+      list_transform(range(0, w * h), p ->
+        CAST(list_sum(list_transform(range(0, ch), c ->
+          CASE WHEN perturbed AND p = 0 AND c = 0
+               THEN ({byte} + 16) % 256
+               ELSE {byte} END)) AS BIGINT))
+    """
+    return f"""
+    WITH a AS (
+      SELECT t.aid AS asset_id,
+             CASE WHEN t.aid % 4 = 3 THEN t.aid - 3 ELSE t.aid END AS key,
+             (t.aid % 8 = 7) AS perturbed
+      FROM range(0, {_PHASH_N}) t(aid)
+    ),
+    d AS (
+      SELECT asset_id,
+             CAST(key % 6 + 6 AS INT) AS w,
+             CAST(key % 4 + 6 AS INT) AS h,
+             CAST(CASE key % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                  AS INT) AS ch,
+             CAST(key AS VARCHAR) AS key_s,
+             perturbed
+      FROM a
+    ),
+    g AS (
+      SELECT asset_id, w, h, ch, {gray} AS gray FROM d
+    ),
+    hashes AS (
+      SELECT asset_id, w, h, ch,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(COALESCE(list_sum(list_transform(
+               range(1, CAST(LEAST(w * h, 63) AS INT) + 1), j ->
+                 CASE WHEN gray[j] * w * h > list_sum(gray)
+                      THEN CAST(1 AS BIGINT) << (j - 1)
+                      ELSE 0 END)), 0) AS BIGINT) AS phash
+      FROM g
+    ),
+    bands AS (
+      SELECT asset_id, w, h, ch, phash, b.k AS band_idx,
+             (phash >> (16 * b.k)) & 65535 AS band
+      FROM hashes, (SELECT unnest(range(0, {_PHASH_BANDS})) AS k) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
+      FROM bands x
+      JOIN bands y
+        ON x.w = y.w AND x.h = y.h AND x.ch = y.ch
+       AND x.band_idx = y.band_idx AND x.band = y.band
+       AND x.asset_id < y.asset_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             bit_count(xor(ha.phash, hb.phash)) AS hamming
+      FROM cand c
+      JOIN hashes ha ON ha.asset_id = c.id_a
+      JOIN hashes hb ON hb.asset_id = c.id_b
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM verified
+    WHERE hamming <= {_PHASH_HAMMING_MAX}
+    GROUP BY hamming
+    """
+
+
+@register("multimodal_phash_near_dup", oracle=_phash_oracle())
+def multimodal_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-duplicate pairs by decoded-raster average-hash:
+    hash in an Arrow stage (operators/multimodal.perceptual_hashes),
+    pigeonhole-band the 63-bit hash into four 16-bit chunks, self-join
+    on (dims, band) — same-shape rasters only; cross-dims pairs are
+    meaningless — and verify candidates with exact hamming
+    (bit_count(xor)). Planted exact dups land at hamming 0, planted
+    one-pixel perturbations land a few bits away, and unrelated assets
+    sit ~n_pixels/2 away so the <= {4} gate never admits them.
+
+    Scale: for real rasters the hash is a fixed 64-bit signature
+    (resize-to-8x8 upstream), bands are selective, and the join is a
+    banded equi-join like MinHash-LSH — nothing all-pairs. On the tiny
+    synth rasters the dims key is the primary bucket; the band legs
+    degenerate to it, which the candidate DISTINCT absorbs."""
+    from ..operators import multimodal as mm
+
+    hashes = mm.perceptual_hashes(
+        mm.synth_phash_assets(spark, n=_PHASH_N),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    bands = hashes.select(
+        "asset_id", "w", "h", "ch", "phash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("phash"), 16 * k).bitwiseAND(
+                    F.lit(65535)
+                )
+                for k in range(_PHASH_BANDS)
+            ])
+        ).alias("band_idx", "band"),
+    )
+    left = bands.select(
+        F.col("asset_id").alias("id_a"), "w", "h", "ch",
+        "band_idx", "band",
+    )
+    right = bands.select(
+        F.col("asset_id").alias("id_b"), "w", "h", "ch",
+        "band_idx", "band",
+    )
+    cand = (
+        left.join(right, ["w", "h", "ch", "band_idx", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ph = hashes.select("asset_id", "phash")
+    verified = (
+        cand.join(
+            ph.select(
+                F.col("asset_id").alias("id_a"),
+                F.col("phash").alias("ph_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            ph.select(
+                F.col("asset_id").alias("id_b"),
+                F.col("phash").alias("ph_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.expr("bit_count(ph_a ^ ph_b)").cast("bigint").alias(
+                "hamming"
+            )
+        )
+    )
+    return (
+        verified.where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1093,3 +1093,82 @@ def streaming_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = jsonl_quarantine_rollup(stream)
     name = f"stream_jsonl_{uuid.uuid4().hex[:8]}"
     return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy("lang")
+
+
+from .multimodal import _phash_oracle as _phash_oracle_sql
+
+
+@register("streaming_phash_ingest", oracle=_phash_oracle_sql())
+def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection on a STREAM: the planted-duplicate PNG
+    corpus streams from parquet files, the Arrow perceptual-hash stage
+    applies unchanged (stateless mapInPandas), and the banded self-join
+    + hamming verify run as a stream-static join against the BATCH
+    hash table of the same corpus — the shape of an online ingest
+    gate asking "does this incoming image duplicate anything in the
+    existing corpus?" while keeping the drained result equal to the
+    batch pair set (id_a < id_b dedupes the two directions).
+
+    Same convention-arithmetic oracle as the batch twin
+    (multimodal_phash_near_dup): hash-green proves stream == batch ==
+    synth arithmetic through a REAL PNG decode on the streaming side."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as mm
+    from .multimodal import _PHASH_BANDS, _PHASH_HAMMING_MAX, _PHASH_N
+
+    def _write(d: str) -> None:
+        mm.synth_phash_assets(spark, n=_PHASH_N).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/assets")
+
+    tmp = _memo_feed(spark, "phash_assets", "synth", _write)
+    stream = spark.readStream.schema(mm.SYNTH_ASSET_SCHEMA).parquet(
+        f"{tmp}/assets"
+    )
+    static_hashes = mm.perceptual_hashes(
+        spark.read.schema(mm.SYNTH_ASSET_SCHEMA).parquet(f"{tmp}/assets"),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    stream_hashes = mm.perceptual_hashes(
+        stream, require_codec=True, codec=mm.PixmapCodec()
+    )
+
+    def bands(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col("asset_id").alias(idc), "w", "h", "ch",
+            F.col("phash").alias(f"ph_{idc}"),
+            F.posexplode(
+                F.array(*[
+                    F.shiftright(F.col("phash"), 16 * k).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    for k in range(_PHASH_BANDS)
+                ])
+            ).alias("band_idx", "band"),
+        )
+
+    cand = (
+        bands(stream_hashes, "id_a")
+        .join(
+            bands(static_hashes, "id_b"),
+            ["w", "h", "ch", "band_idx", "band"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(ph_id_a ^ ph_id_b)").cast("bigint").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rollup = cand.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    name = f"stream_phash_{uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy(
+        "hamming"
+    )

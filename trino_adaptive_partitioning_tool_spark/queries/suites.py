@@ -476,6 +476,7 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
     ("multimodal_mulaw_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
+    ("multimodal_phash_near_dup", ["hamming", "n_pairs"], []),
     ("multimodal_png_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
@@ -603,6 +604,7 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
     ("streaming_jsonl_ingest", ["lang", "n_docs", "total_chars"], []),
     ("streaming_multimodal_ingest",
      ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
+    ("streaming_phash_ingest", ["hamming", "n_pairs"], []),
     ("streaming_pii_scrub",
      ["lang", "n_docs", "total_emails", "total_urls", "total_phones"], []),
     ("streaming_sessionize",
