@@ -282,7 +282,10 @@ def main() -> None:
     else:
         artifact = prev or {
             "base": BASE,
-            "factor": 10,
+            # no 10x sweep has run against this base: say so instead of
+            # fabricating an empty primary section that looks like one
+            "factor": None,
+            "note": "primary 10x sweep not run for this base",
             "host_noise_caveat":
                 "+/-40% shared-host load; exponents +/-0.15",
             "results": {},

@@ -84,11 +84,15 @@ def _pair(hx: str, i: int) -> str:
 def synth_html(rid: int) -> bytes:
     """Deterministic HTML document for record rid. Body words are the
     md5(doc_key) hex pairs in cycle order; script/style/comment blocks
-    carry DECOY hex pairs (digest positions 8-13) that must NOT appear
-    in the extracted text — an extractor that leaks them shifts the
-    position-weighted checksum. Paragraph count P = pair15 % 3 + 2 and
-    link count L = pair14 % 3 give per-document structural variety the
-    oracle re-derives from the digest."""
+    carry DECOY hex pairs (digest positions 10-13) whose PAIR VALUES may
+    legitimately also occur in body/link text (link words reuse pairs
+    8..10) — the leak certificate is POSITIONAL, not value-exclusion: an
+    extractor that emits a decoy inserts an extra word, which shifts
+    every later word's position and breaks the oracle's
+    position-weighted checksum regardless of the leaked value.
+    Paragraph count P = pair15 % 3 + 2 and link count L = pair14 % 3
+    give per-document structural variety the oracle re-derives from
+    the digest."""
     key = _doc_key(rid)
     hx = hashlib.md5(str(key).encode()).hexdigest()
     p15 = int(_pair(hx, 15), 16)
@@ -409,41 +413,76 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def extract_html_text(records: DataFrame) -> DataFrame:
-    """HTML -> text extraction stage over parsed WARC records. Filters
-    to successful text/html responses DECLARATIVELY (pushable Column
-    predicates) before the Python stage, and projects the binary body
-    away in the same stage that consumes it — the wide column never
-    survives past extraction."""
-    ok = records.filter(
-        (F.col("status") == 200)
-        & F.col("content_type").startswith("text/html")
-    ).select("shard_id", "record_idx", "uri", "body")
+FUNNEL_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("record_idx", T.IntegerType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_words", T.IntegerType(), True),
+        T.StructField("n_links", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_html_text(
+    records: DataFrame, include_non_html: bool = False
+) -> DataFrame:
+    """HTML -> text extraction stage over parsed WARC records. By
+    default filters to successful text/html responses DECLARATIVELY
+    (pushable Column predicates) before the Python stage; with
+    include_non_html=True it instead carries EVERY record through with
+    status attached and null extraction fields for non-HTML rows — the
+    single-pass shape crawl_corpus_funnel needs (a record-grain join of
+    records against their own extraction re-runs the WARC parse twice).
+    Either way the binary body is projected away in the same stage that
+    consumes it — the wide column never survives past extraction."""
+    is_html = (F.col("status") == 200) & F.col(
+        "content_type"
+    ).startswith("text/html")
+    if include_non_html:
+        base = records.select(
+            "shard_id", "record_idx", "status", "uri", "body",
+            is_html.alias("parse_me"),
+        )
+    else:
+        base = records.filter(is_html).select(
+            "shard_id", "record_idx", "status", "uri", "body",
+            F.lit(True).alias("parse_me"),
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for sid, idx, uri, body in zip(
-                pdf["shard_id"], pdf["record_idx"], pdf["uri"], pdf["body"]
+            for sid, idx, st, uri, body, parse_me in zip(
+                pdf["shard_id"], pdf["record_idx"], pdf["status"],
+                pdf["uri"], pdf["body"], pdf["parse_me"],
             ):
-                title, text, n_links = extract_text(bytes(body))
-                rows.append(
-                    (
-                        int(sid),
-                        int(idx),
-                        uri,
-                        title,
-                        text,
-                        len(text.split()),
-                        n_links,
+                if parse_me:
+                    title, text, n_links = extract_text(bytes(body))
+                    rows.append(
+                        (int(sid), int(idx), int(st), uri, title, text,
+                         len(text.split()), n_links)
                     )
-                )
+                else:
+                    rows.append(
+                        (int(sid), int(idx), int(st), uri, None, None,
+                         None, None)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "shard_id", "record_idx", "uri", "title", "text",
-                    "n_words", "n_links",
+                    "shard_id", "record_idx", "status", "uri", "title",
+                    "text", "n_words", "n_links",
                 ],
             )
 
-    return ok.mapInPandas(_extract, schema=EXTRACT_SCHEMA)
+    out = base.mapInPandas(_extract, schema=FUNNEL_EXTRACT_SCHEMA)
+    if include_non_html:
+        return out
+    return out.select(
+        "shard_id", "record_idx", "uri", "title", "text", "n_words",
+        "n_links",
+    )

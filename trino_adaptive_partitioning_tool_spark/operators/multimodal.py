@@ -1950,28 +1950,22 @@ class PixmapCodec:
 
     @staticmethod
     def _flac_crc8(data: bytes) -> int:
+        # table-driven (poly 0x07): the per-bit loop costs 8 python
+        # iterations per byte and runs twice per frame on encode AND
+        # decode — interpreter time the standard 256-entry table removes
         crc = 0
+        table = _FLAC_CRC8_TABLE
         for b in data:
-            crc ^= b
-            for _ in range(8):
-                crc = (
-                    ((crc << 1) ^ 0x07) & 0xFF
-                    if crc & 0x80
-                    else (crc << 1) & 0xFF
-                )
+            crc = table[crc ^ b]
         return crc
 
     @staticmethod
     def _flac_crc16(data: bytes) -> int:
+        # table-driven (poly 0x8005), same rationale as _flac_crc8
         crc = 0
+        table = _FLAC_CRC16_TABLE
         for b in data:
-            crc ^= b << 8
-            for _ in range(8):
-                crc = (
-                    ((crc << 1) ^ 0x8005) & 0xFFFF
-                    if crc & 0x8000
-                    else (crc << 1) & 0xFFFF
-                )
+            crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
         return crc
 
     @staticmethod
@@ -3726,3 +3720,19 @@ def perceptual_hashes(
     return assets.select("asset_id", "payload").mapInPandas(
         _hash, schema=PHASH_SCHEMA
     )
+
+
+def _build_crc_table(poly: int, width: int) -> tuple:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return tuple(table)
+
+
+_FLAC_CRC8_TABLE = _build_crc_table(0x07, 8)
+_FLAC_CRC16_TABLE = _build_crc_table(0x8005, 16)

@@ -209,12 +209,10 @@ def crawl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = cops.parse_warc_records(
         cops.synth_warc_shards(spark, n_shards=_N_SHARDS)
     )
-    ext = cops.extract_html_text(records).select(
-        "shard_id", "record_idx", "text", "n_words"
-    )
-    ann = records.select("shard_id", "record_idx", "status").join(
-        ext, ["shard_id", "record_idx"], "left"
-    )
+    # ONE pass: the extractor carries every record through with status
+    # attached (null extraction fields for non-HTML rows) — the old
+    # record-grain self-join re-ran the WARC parse on both legs
+    ann = cops.extract_html_text(records, include_non_html=True)
     min_ok = F.col("n_words") >= 20
     agg = ann.agg(
         F.count(F.lit(1)).cast("bigint").alias("fetched"),

@@ -180,12 +180,13 @@ def column_stats_from_footers(
         maxs: list[float] = []
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
+            if st is None or not st.has_min_max or not st.has_null_count:
                 raise ValueError(
-                    f"{table_name}.{col}: row group {rg} has no min/max "
-                    f"statistics — footer-only aggregation is impossible"
+                    f"{table_name}.{col}: row group {rg} lacks min/max "
+                    f"or null-count statistics — footer-only "
+                    f"aggregation is impossible"
                 )
-            n_nulls += st.null_count or 0
+            n_nulls += st.null_count
             mins.append(st.min)
             maxs.append(st.max)
         out.append(
