@@ -302,3 +302,107 @@ def test_phash_bit_contract(spark):
     # 40*4>100 yes (bit 3) -> 0b1100 = 12
     assert row["phash"] == 12
     assert row["n_pixels"] == 4
+
+
+# --- property-based depth ---------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _pagerank_reference(edges, n_iterations):
+    """Independent integer PageRank on plain dicts — the operator's spec
+    re-derived without Spark, floor-division lattice included."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(n_iterations):
+        inflow = {v: 0 for v in nodes}
+        for s_, d_ in edges:
+            inflow[d_] += rank[s_] // deg[s_]
+        rank = {v: 150_000 + (85 * inflow[v]) // 100 for v in nodes}
+    return rank
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_matches_reference_on_random_graphs(
+    spark, edges, iters
+):
+    from trino_adaptive_partitioning_tool_spark.operators import graph
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in graph.pagerank_integer(df, n_iterations=iters).collect()
+    }
+    assert got == _pagerank_reference(edges, iters)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jsonl_roundtrip_preserves_arbitrary_text(
+    spark, tmp_path_factory, texts
+):
+    """Adversarial content — newlines, quotes, backslashes, control
+    chars, emoji — survives the encode -> gzip -> PERMISSIVE decode
+    round trip byte-identically and never breaks line framing."""
+    from trino_adaptive_partitioning_tool_spark.operators import jsonl
+
+    # no need to dodge the corruption hash: compare only the clean
+    # rows (the hash-planted corrupt ones have null text by contract)
+    rows = [(i, "xx", "prop", len(t), t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string,"
+        " n_chars long, text string"
+    )
+    path = str(tmp_path_factory.mktemp("jsonl_prop")) + "/docs"
+    jsonl.write_jsonl_gz(df, path)
+    parsed = jsonl.read_jsonl_quarantine(spark, path).cache()
+    good = {
+        r["doc_id"]: r["text"]
+        for r in parsed.where(
+            parsed._corrupt_record.isNull()
+        ).collect()
+    }
+    parsed.unpersist()
+    expected = {
+        i: t for i, t in enumerate(texts) if not _is_corrupt(i)
+    }
+    assert good == expected
+
+
+def _is_corrupt(doc_id: int) -> bool:
+    import hashlib
+
+    from trino_adaptive_partitioning_tool_spark.operators.jsonl import (
+        CORRUPT_MOD,
+    )
+
+    h = hashlib.md5(f"jsonl|{doc_id}".encode()).hexdigest()[:15]
+    return int(h, 16) % CORRUPT_MOD == 0
