@@ -147,6 +147,7 @@ def emit_output_lines(
     sf: float,
     watch: dict[str, float] | None = None,
     anchor_ratio_r1: float | None = None,
+    load_1m: float | None = None,
     tail_budget: int = 1900,
 ) -> list[str]:
     """Build the stdout JSON lines the driver captures.
@@ -193,6 +194,7 @@ def emit_output_lines(
         "n_queries": len(timings),
         "watch": dict(sorted(watch.items(), key=lambda kv: -kv[1])),
         "anchor_ratio_r1": anchor_ratio_r1,
+        "load_1m": load_1m,
         "value": round(total, 3),
         "regressions": compact_reg,
         "sf": sf,
@@ -227,6 +229,7 @@ def emit_output_lines(
         "missing_baseline_count": len(missing_baseline),
         "watch": compact_watch,
         "anchor_ratio_r1": anchor_ratio_r1,
+        "load_1m": load_1m,
         "value": round(total, 3),
         "regressions": compact_reg,
         "sf": sf,
@@ -276,6 +279,16 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # Host load telemetry (r10 verdict #1): every bench sample records
+    # the 1-min load average at start and end, so a number measured
+    # under external contention is distinguishable from a regression
+    # after the fact, and gen_bench_baseline.py can refuse to fold a
+    # loaded run into the append-only medians.
+    try:
+        load_start_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load_start_1m = None
 
     from trino_adaptive_partitioning_tool_spark.session import get_spark
     from trino_adaptive_partitioning_tool_spark.queries import registry
@@ -713,6 +726,21 @@ def main() -> None:
     # (BENCH_r05.json: parsed=null). Keep the stdout line compact and
     # write the heavy diagnostics (per-query plan shapes, row-group twin
     # timings) to BENCH_PLANS.json next to this script instead.
+    try:
+        load_end_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load_end_1m = None
+    load_avg = {
+        "start_1m": load_start_1m,
+        "end_1m": load_end_1m,
+        "max_1m": max(
+            (v for v in (load_start_1m, load_end_1m) if v is not None),
+            default=None,
+        ),
+    }
+    print(f"# load_avg: start {load_start_1m} end {load_end_1m}",
+          file=sys.stderr)
+
     side = {
         "warm_queries": timings,  # the COMPLETE per-query record — the
         # stdout compact line elides past its tail budget, this never does
@@ -730,6 +758,8 @@ def main() -> None:
         # additive noise floor — report-only drift telemetry
         "anchor_ratio_r1": anchor_ratio_r1,
         "missing_baseline": missing_baseline,
+        "load_avg": load_avg,  # measurement context for every sample —
+        # gen_bench_baseline.py refuses to append runs over its load gate
         "sf": sf,
     }
     side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -752,6 +782,7 @@ def main() -> None:
         sf=sf,
         watch=watch,
         anchor_ratio_r1=anchor_ratio_r1,
+        load_1m=load_avg.get("max_1m"),
     ):
         print(line)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):

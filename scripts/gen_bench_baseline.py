@@ -63,9 +63,19 @@ def _manifest_hash(manifest: object) -> str:
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     force = bool(os.environ.get("FORCE_REBASELINE"))
+    # Load gate (r10 verdict #1): the append-only discipline is only as
+    # good as the samples it appends — a median captured under load-avg
+    # ~8 would flag phantom regressions (or mask real ones) forever.
+    # Any run whose recorded 1-min load (max of start/end, from
+    # bench.py's load_avg telemetry) exceeds the gate is DISCARDED; if
+    # every run is loaded the script refuses to touch the baseline and
+    # exits non-zero.
+    max_load = float(os.environ.get("SPARK_GRAFT_BASELINE_MAX_LOAD", "4.0"))
     per_query: dict[str, list[float]] = {}
     per_query_cold: dict[str, list[float]] = {}
     plans: dict[str, object] = {}
+    run_loads: list[float | None] = []
+    kept_runs = 0
     env = dict(os.environ, SPARK_GRAFT_BENCH_SKIP_EXTRAS="1")
     for run in range(n_runs):
         out = subprocess.run(
@@ -78,22 +88,42 @@ def main() -> None:
         line = out.stdout.strip().splitlines()[0]
         parsed = json.loads(line)
         assert "queries_elided" not in parsed, "expected the full record"
-        for name, sec in parsed["queries"].items():
-            per_query.setdefault(name, []).append(float(sec))
         # first-call (cold) times are too large for the driver-captured
         # stdout tail; bench.py writes them to BENCH_PLANS.json instead
+        side: dict = {}
         try:
             with open(os.path.join(REPO, "BENCH_PLANS.json")) as fh:
                 side = json.load(fh)
-            for name, sec in side.get("cold_queries", {}).items():
-                per_query_cold.setdefault(name, []).append(float(sec))
-            plans = side.get("plans", plans)
         except (OSError, ValueError):
             pass
+        run_load = (side.get("load_avg") or {}).get("max_1m")
+        run_loads.append(run_load)
+        if run_load is not None and run_load > max_load:
+            print(
+                f"# run {run + 1}/{n_runs}: DISCARDED (load_1m "
+                f"{run_load} > gate {max_load}) — total was "
+                f"{parsed['value']}s",
+                file=sys.stderr,
+            )
+            continue
+        kept_runs += 1
+        for name, sec in parsed["queries"].items():
+            per_query.setdefault(name, []).append(float(sec))
+        for name, sec in side.get("cold_queries", {}).items():
+            per_query_cold.setdefault(name, []).append(float(sec))
+        plans = side.get("plans", plans)
         print(
-            f"# run {run + 1}/{n_runs}: total {parsed['value']}s",
+            f"# run {run + 1}/{n_runs}: total {parsed['value']}s "
+            f"(load_1m {run_load})",
             file=sys.stderr,
         )
+    if not per_query:
+        print(
+            f"# REFUSED: all {n_runs} runs exceeded the load gate "
+            f"({max_load}); baseline untouched. Loads: {run_loads}",
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
     path = os.path.join(REPO, "BENCH_BASELINE.json")
     prev_medians: dict[str, float] = {}
@@ -135,11 +165,13 @@ def main() -> None:
         "medians": medians,
         "cold_medians": cold_medians,
         "plan_hashes": hashes,
-        "runs": n_runs,
+        "runs": kept_runs,
         "samples": {n: v for n, v in sorted(per_query.items())},
         "generated_utc": datetime.datetime.now(
             datetime.timezone.utc
         ).isoformat(timespec="seconds"),
+        "load_gate": {"max_1m": max_load, "run_loads": run_loads,
+                      "kept_runs": kept_runs, "requested_runs": n_runs},
         "append_only": not force,
         "kept": len(kept),
         "reset_on_plan_change": sorted(reset),

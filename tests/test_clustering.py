@@ -187,7 +187,7 @@ def test_semdedup_mega_cluster_guard(spark):
         assert "larger k" in str(exc)
         assert "124750 pairs" in str(exc)  # 500*499/2, exact
 
-    # the registered query goes through the guard: shrink the ceiling
+    # the abort-only mode goes through the guard: shrink the ceiling
     # and the real corpus (500 vecs across k=8) must trip it
     with _pytest.MonkeyPatch.context() as mp:
         mp.setattr(qc, "_SEMDEDUP_CLUSTER_CEILING", 3)
@@ -198,7 +198,16 @@ def test_semdedup_mega_cluster_guard(spark):
 
         mp.setattr(qc, "guard_cluster_sizes", patched)
         with _pytest.raises(ValueError, match="mega-cluster guard"):
-            qc.semdedup_keep_canonical(spark, SMOKE_SF_DIR)
+            qc._semdedup(spark, SMOKE_SF_DIR, split_oversized=False)
+
+    # the registered query (auto-split default since r11) keeps the
+    # guard as the post-split last resort: with a ceiling so small that
+    # even sub_k-way sub-clusters stay oversized, the split path itself
+    # must raise rather than build a quadratic pair join
+    with _pytest.raises(ValueError, match="mega-cluster guard"):
+        qc._semdedup(
+            spark, SMOKE_SF_DIR, split_oversized=True, ceiling=2, sub_k=2
+        )
 
 
 def test_cluster_profile_advisory_columns(spark):
@@ -370,23 +379,24 @@ def test_split_oversized_refines_giant_cluster_bounded_pairs(spark):
 def test_semdedup_split_mode_matches_registered_result(spark):
     """Both modes green: at a healthy operating point (no cluster over
     the ceiling) the auto-split path is a no-op and must reproduce the
-    registered guard-mode result row-for-row — the property that keeps
-    split mode hash-green against the registered oracle."""
+    abort-only guard-mode result row-for-row — the property that keeps
+    the registered query (auto-split default since r11) hash-green
+    against the oracle."""
     from trino_adaptive_partitioning_tool_spark.queries import (
         clustering as qc,
     )
 
-    base = sorted(
+    registered = sorted(
         (r["vec_id"], r["label"])
         for r in qc.semdedup_keep_canonical(spark, SMOKE_SF_DIR).collect()
     )
-    split = sorted(
+    guard_mode = sorted(
         (r["vec_id"], r["label"])
         for r in qc._semdedup(
-            spark, SMOKE_SF_DIR, split_oversized=True
+            spark, SMOKE_SF_DIR, split_oversized=False
         ).collect()
     )
-    assert base == split and len(base) > 0
+    assert registered == guard_mode and len(registered) > 0
 
 
 def test_semdedup_split_frame_cached_and_evictable(spark):

@@ -438,7 +438,14 @@ def extract_html_text(
     single-pass shape crawl_corpus_funnel needs (a record-grain join of
     records against their own extraction re-runs the WARC parse twice).
     Either way the binary body is projected away in the same stage that
-    consumes it — the wide column never survives past extraction."""
+    consumes it — the wide column never survives past extraction.
+
+    The two modes emit distinct mapInPandas schemas: the default keeps
+    the original EXTRACT_SCHEMA contract (no status column; title/text/
+    n_words/n_links non-nullable — every row passed the HTML filter),
+    the funnel mode carries status and nullable extraction fields for
+    the rows that didn't (r10 advice: the default path must not
+    silently weaken its nullability contract)."""
     is_html = (F.col("status") == 200) & F.col(
         "content_type"
     ).startswith("text/html")
@@ -447,42 +454,61 @@ def extract_html_text(
             "shard_id", "record_idx", "status", "uri", "body",
             is_html.alias("parse_me"),
         )
-    else:
-        base = records.filter(is_html).select(
-            "shard_id", "record_idx", "status", "uri", "body",
-            F.lit(True).alias("parse_me"),
-        )
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _extract(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for sid, idx, st, uri, body, parse_me in zip(
+                    pdf["shard_id"], pdf["record_idx"], pdf["status"],
+                    pdf["uri"], pdf["body"], pdf["parse_me"],
+                ):
+                    if parse_me:
+                        title, text, n_links = extract_text(bytes(body))
+                        rows.append(
+                            (int(sid), int(idx), int(st), uri, title,
+                             text, len(text.split()), n_links)
+                        )
+                    else:
+                        rows.append(
+                            (int(sid), int(idx), int(st), uri, None,
+                             None, None, None)
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "shard_id", "record_idx", "status", "uri",
+                        "title", "text", "n_words", "n_links",
+                    ],
+                )
+
+        return base.mapInPandas(_extract, schema=FUNNEL_EXTRACT_SCHEMA)
+
+    base = records.filter(is_html).select(
+        "shard_id", "record_idx", "uri", "body"
+    )
+
+    def _extract_html(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for sid, idx, st, uri, body, parse_me in zip(
-                pdf["shard_id"], pdf["record_idx"], pdf["status"],
-                pdf["uri"], pdf["body"], pdf["parse_me"],
+            for sid, idx, uri, body in zip(
+                pdf["shard_id"], pdf["record_idx"], pdf["uri"],
+                pdf["body"],
             ):
-                if parse_me:
-                    title, text, n_links = extract_text(bytes(body))
-                    rows.append(
-                        (int(sid), int(idx), int(st), uri, title, text,
-                         len(text.split()), n_links)
-                    )
-                else:
-                    rows.append(
-                        (int(sid), int(idx), int(st), uri, None, None,
-                         None, None)
-                    )
+                title, text, n_links = extract_text(bytes(body))
+                rows.append(
+                    (int(sid), int(idx), uri, title, text,
+                     len(text.split()), n_links)
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "shard_id", "record_idx", "status", "uri", "title",
-                    "text", "n_words", "n_links",
+                    "shard_id", "record_idx", "uri", "title", "text",
+                    "n_words", "n_links",
                 ],
             )
 
-    out = base.mapInPandas(_extract, schema=FUNNEL_EXTRACT_SCHEMA)
-    if include_non_html:
-        return out
-    return out.select(
-        "shard_id", "record_idx", "uri", "title", "text", "n_words",
-        "n_links",
-    )
+    return base.mapInPandas(_extract_html, schema=EXTRACT_SCHEMA)

@@ -424,11 +424,12 @@ def _semdedup(
     ceiling: int = _SEMDEDUP_CLUSTER_CEILING,
     sub_k: int = _K,
 ) -> DataFrame:
-    """SemDeDup body shared by the registered query (guard-raise mode)
-    and the opt-in auto-split mode. With ``split_oversized=True`` an
-    oversized cluster is sub-clustered before pairing instead of
-    aborting a multi-hour job; when no cluster exceeds the ceiling the
-    two modes are EXACTLY equivalent (the split is a no-op), which is
+    """SemDeDup body shared by the registered query (auto-split mode,
+    the default since r11) and the opt-in abort-only mode. With
+    ``split_oversized=True`` an oversized cluster is sub-clustered
+    before pairing instead of aborting a multi-hour job; when no
+    cluster exceeds the ceiling the two modes are EXACTLY equivalent
+    (the split is a no-op returning the parent assignment), which is
     what keeps the split mode hash-green against the registered
     oracle at any healthy operating point."""
     from ..operators.similarity import _dot, _norm
@@ -521,16 +522,21 @@ def semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). Fully hash-oracled: the oracle replays the entire k-means
     fit plus the intra-cluster pair scan.
 
-    Guarded: guard_cluster_sizes probes the assignment (one eager
-    k-row job over the persisted frame) and raises before building the
-    pair join if any cluster exceeds _SEMDEDUP_CLUSTER_CEILING — the
-    quadratic bound only holds while clusters stay bounded. For the
-    operational path that REMEDIATES instead of aborting, call
-    _semdedup(spark, sf_dir, split_oversized=True): oversized clusters
-    are sub-clustered (split_oversized_assignments) before pairing;
-    with every cluster under the ceiling the two modes are exactly
-    equivalent."""
-    return _semdedup(spark, sf_dir)
+    Remediation is the DEFAULT (r10 verdict #2): any cluster past
+    _SEMDEDUP_CLUSTER_CEILING is sub-clustered in place
+    (split_oversized_assignments) before the pair join — the r10 scale
+    sweep measured the fixed-k abort path at exponent 1.43 (49.5s at
+    10x) vs 12.2s with the split, so the registered/benched query now
+    runs the configuration a production job would. While every cluster
+    is under the ceiling the split is a structural no-op (the refined
+    frame IS the parent assignment), so the oracle parity and the plan
+    hash are unchanged at healthy operating points. The abort guard
+    survives as the post-split last resort: a sub-cluster still over
+    the ceiling means sub_k cannot contain the degeneracy, and
+    split_oversized_assignments raises with the evidence. The
+    abort-only mode remains available via
+    _semdedup(spark, sf_dir, split_oversized=False)."""
+    return _semdedup(spark, sf_dir, split_oversized=True)
 
 
 # --- topic clustering of raw text (no embeddings required) ---------------

@@ -1462,7 +1462,16 @@ def multimodal_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PHASH_N = 256
 _PHASH_HAMMING_MAX = 4
-_PHASH_BANDS = 4  # 16-bit pigeonhole chunks of the 63-bit hash
+# Pigeonhole guarantee needs hamming_max + 1 bands: with B bands, a pair
+# differing in <= B-1 bits must share at least one untouched band. Four
+# 16-bit bands only guaranteed hamming <= 3 while the gate admits <= 4 —
+# a pair differing in exactly 4 bits spread one per band was silently
+# missed on BOTH engines (parity held, recall didn't; r10 advice #1).
+# Five 13-bit chunks cover the 63-bit hash (last band carries 11 bits).
+_PHASH_BANDS = _PHASH_HAMMING_MAX + 1
+_PHASH_BAND_BITS = 13
+_PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
+assert _PHASH_BANDS * _PHASH_BAND_BITS >= 63, "bands must cover the hash"
 
 
 def _phash_oracle() -> str:
@@ -1513,7 +1522,8 @@ def _phash_oracle() -> str:
     ),
     bands AS (
       SELECT asset_id, w, h, ch, phash, b.k AS band_idx,
-             (phash >> (16 * b.k)) & 65535 AS band
+             (phash >> ({_PHASH_BAND_BITS} * b.k)) & {_PHASH_BAND_MASK}
+               AS band
       FROM hashes, (SELECT unnest(range(0, {_PHASH_BANDS})) AS k) b
     ),
     cand AS (
@@ -1545,12 +1555,14 @@ def multimodal_phash_near_dup(
 ) -> DataFrame:
     """Image near-duplicate pairs by decoded-raster average-hash:
     hash in an Arrow stage (operators/multimodal.perceptual_hashes),
-    pigeonhole-band the 63-bit hash into four 16-bit chunks, self-join
-    on (dims, band) — same-shape rasters only; cross-dims pairs are
-    meaningless — and verify candidates with exact hamming
-    (bit_count(xor)). Planted exact dups land at hamming 0, planted
-    one-pixel perturbations land a few bits away, and unrelated assets
-    sit ~n_pixels/2 away so the <= {4} gate never admits them.
+    pigeonhole-band the 63-bit hash into five 13-bit chunks (bands =
+    hamming_max + 1, the exact pigeonhole recall guarantee for the
+    <= 4 gate), self-join on (dims, band) — same-shape rasters only;
+    cross-dims pairs are meaningless — and verify candidates with
+    exact hamming (bit_count(xor)). Planted exact dups land at hamming
+    0, planted one-pixel perturbations land a few bits away, and
+    unrelated assets sit ~n_pixels/2 away so the <= {4} gate never
+    admits them.
 
     Scale: for real rasters the hash is a fixed 64-bit signature
     (resize-to-8x8 upstream), bands are selective, and the join is a
@@ -1568,9 +1580,8 @@ def multimodal_phash_near_dup(
         "asset_id", "w", "h", "ch", "phash",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("phash"), 16 * k).bitwiseAND(
-                    F.lit(65535)
-                )
+                F.shiftright(F.col("phash"), _PHASH_BAND_BITS * k)
+                .bitwiseAND(F.lit(_PHASH_BAND_MASK))
                 for k in range(_PHASH_BANDS)
             ])
         ).alias("band_idx", "band"),

@@ -1115,7 +1115,13 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators import multimodal as mm
-    from .multimodal import _PHASH_BANDS, _PHASH_HAMMING_MAX, _PHASH_N
+    from .multimodal import (
+        _PHASH_BAND_BITS,
+        _PHASH_BAND_MASK,
+        _PHASH_BANDS,
+        _PHASH_HAMMING_MAX,
+        _PHASH_N,
+    )
 
     def _write(d: str) -> None:
         mm.synth_phash_assets(spark, n=_PHASH_N).coalesce(4).write.mode(
@@ -1141,9 +1147,8 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("phash").alias(f"ph_{idc}"),
             F.posexplode(
                 F.array(*[
-                    F.shiftright(F.col("phash"), 16 * k).bitwiseAND(
-                        F.lit(65535)
-                    )
+                    F.shiftright(F.col("phash"), _PHASH_BAND_BITS * k)
+                    .bitwiseAND(F.lit(_PHASH_BAND_MASK))
                     for k in range(_PHASH_BANDS)
                 ])
             ).alias("band_idx", "band"),
