@@ -228,6 +228,7 @@ def pagerank_integer(
     init_micro: int = 1_000_000,
     base_micro: int = 150_000,
     damping_pct: int = 85,
+    truncate_every: int | None = None,
 ) -> DataFrame:
     """Deterministic integer-lattice PageRank: ranks live in micro-units
     and every step is exact int64 arithmetic —
@@ -244,6 +245,21 @@ def pagerank_integer(
     src + one groupBy(dst) shuffle — the rank table is node-sized, the
     join is edge-sized, nothing is quadratic. Magnitudes stay far below
     2^53, so even a DOUBLE-based oracle reproduces the integers exactly.
+
+    Lineage truncation (r10 verdict #4): the lazy plan grows linearly
+    with n_iterations (~90 physical nodes / 11 exchanges per round), so
+    past a handful of rounds the OPTIMIZER becomes the bottleneck long
+    before the data does. With ``truncate_every=k`` the rank frame is
+    localCheckpoint(eager=True)-ed every k rounds: the plan resets to a
+    scan of the materialized node-sized blocks, bounding plan size at
+    ~k rounds regardless of n_iterations, and the edge/degree/node
+    frames are persisted once since every round rescans them.
+    localCheckpoint trades fault-tolerance for speed (blocks die with
+    an executor; Spark recomputes from the truncated lineage only on a
+    LOCAL miss) — a long-running cluster job that must survive executor
+    loss should swap in reliable .checkpoint() with a checkpoint dir;
+    the arithmetic is unchanged either way. Default None keeps the
+    registered 3-round query's one-lazy-plan shape byte-identical.
     """
     out_deg = edges.groupBy(src_col).agg(
         F.count(F.lit(1)).alias("out_degree")
@@ -253,10 +269,16 @@ def pagerank_integer(
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
+    if truncate_every:
+        # every iteration rescans all three: persist once, node-/edge-
+        # sized MEMORY_ONLY blocks (evictable, recompute on miss)
+        edges = edges.persist(StorageLevel.MEMORY_ONLY)
+        out_deg = out_deg.persist(StorageLevel.MEMORY_ONLY)
+        nodes = nodes.persist(StorageLevel.MEMORY_ONLY)
     ranks = nodes.withColumn(
         "rank_micro", F.lit(init_micro).cast("bigint")
     )
-    for _ in range(n_iterations):
+    for i in range(n_iterations):
         contrib = (
             edges.join(
                 ranks.withColumnRenamed("node", src_col), src_col
@@ -281,4 +303,8 @@ def pagerank_integer(
             .cast("bigint")
             .alias("rank_micro"),
         )
+        if truncate_every and (i + 1) % truncate_every == 0 and (
+            i + 1
+        ) < n_iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -1128,7 +1128,95 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are exactly BPE's greedy merge application.
 
 _BPE_ROUNDS_TOP = 10
-_BPE_SURROGATES = ("Q", "R", "S")
+# Surrogate alphabet for merged symbols: single chars outside [a-z] so
+# 2-char-substring pair extraction keeps meaning "adjacent symbols".
+# Q/R/S stay first — the registered 3-round query's oracle is written
+# against them; rounds past 26 would need a wider symbol encoding.
+_BPE_SURROGATE_ALPHABET = "QRSTUVWXYZABCDEFGHIJKLMNOP"
+_BPE_SURROGATES = tuple(_BPE_SURROGATE_ALPHABET[:3])
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    n_rounds: int = 3,
+    top: int = _BPE_ROUNDS_TOP,
+    truncate_every: int | None = None,
+) -> DataFrame:
+    """N-round BPE trainer over a (word, freq) vocabulary frame: each
+    round counts frequency-weighted adjacent symbol pairs, picks the
+    top merge (count DESC, pair tie-break), applies it via
+    replace(word, merge_pair, surrogate) — left-to-right
+    non-overlapping, exactly BPE's greedy merge application — and
+    recounts. Returns (round, pair, pair_count, rank) for each round's
+    top-``top`` pairs. The winning merge flows into the next round as
+    a BROADCAST single-row frame — no driver-side collect.
+
+    Lineage truncation (r10 verdict #4): each round adds a fixed slab
+    of plan (pair explode + groupBy + window + broadcast replace), so
+    an untruncated N-round train is ONE lazy plan with N slabs — fine
+    at 3, optimizer-bound at 30. With ``truncate_every=k`` both the
+    evolving vocabulary and the accumulated per-round output are
+    localCheckpoint(eager=True)-ed every k rounds, bounding plan size
+    at ~k slabs regardless of N (the frames are vocabulary-sized /
+    top*N-sized — cheap to materialize). Swap in reliable
+    .checkpoint() for cluster jobs that must survive executor loss.
+    Default None keeps the registered 3-round query's one-lazy-plan
+    shape byte-identical."""
+    from pyspark.sql import Window
+
+    if n_rounds > len(_BPE_SURROGATE_ALPHABET):
+        raise ValueError(
+            f"bpe_train_merges supports at most "
+            f"{len(_BPE_SURROGATE_ALPHABET)} rounds with single-char "
+            f"surrogates; got n_rounds={n_rounds}"
+        )
+
+    def pair_counts(w: DataFrame) -> DataFrame:
+        return (
+            w.where(F.length("word") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word) - 1),"
+                        " i -> substring(word, i, 2))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+
+    rank_w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    out: DataFrame | None = None
+    w = words
+    for r in range(1, n_rounds + 1):
+        surrogate = _BPE_SURROGATE_ALPHABET[r - 1]
+        counts = pair_counts(w)
+        ranked = counts.withColumn(
+            "rank", F.row_number().over(rank_w).cast("bigint")
+        )
+        leg = ranked.where(F.col("rank") <= top).select(
+            F.lit(r).cast("bigint").alias("round"),
+            "pair",
+            "pair_count",
+            "rank",
+        )
+        out = leg if out is None else out.unionByName(leg)
+        top1 = ranked.where(F.col("rank") == 1).select(
+            F.col("pair").alias("merge_pair")
+        )
+        w = w.crossJoin(F.broadcast(top1)).select(
+            F.expr(f"replace(word, merge_pair, '{surrogate}')").alias(
+                "word"
+            ),
+            "freq",
+        )
+        if truncate_every and r % truncate_every == 0 and r < n_rounds:
+            w = w.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=True)
+    assert out is not None
+    return out
 
 
 def _bpe_words_sql() -> str:
@@ -1195,9 +1283,11 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every round's recount runs over the VOCABULARY (unique-word)
     table, not the corpus — the corpus-sized shuffle happens exactly
     once, in the initial word count. That is also how production BPE
-    trainers scale: iterate on the aggregate, never on the raw text."""
-    from pyspark.sql import Window
-
+    trainers scale: iterate on the aggregate, never on the raw text.
+    The N-round generalization with lineage truncation is
+    bpe_train_merges; this registered query is its n_rounds=3,
+    untruncated (one lazy plan) configuration, pinned to the unrolled
+    3-round oracle."""
     from ..operators import dedup as dedup_ops
 
     docs = tables.load_table(spark, sf_dir, "documents")
@@ -1207,49 +1297,7 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-
-    def pair_counts(w: DataFrame) -> DataFrame:
-        return (
-            w.where(F.length("word") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, length(word) - 1),"
-                        " i -> substring(word, i, 2))"
-                    )
-                ).alias("pair"),
-                "freq",
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
-        )
-
-    rank_w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
-    out: DataFrame | None = None
-    w = words
-    for r, surrogate in enumerate(_BPE_SURROGATES, start=1):
-        counts = pair_counts(w)
-        ranked = counts.withColumn(
-            "rank", F.row_number().over(rank_w).cast("bigint")
-        )
-        leg = ranked.where(F.col("rank") <= _BPE_ROUNDS_TOP).select(
-            F.lit(r).cast("bigint").alias("round"),
-            "pair",
-            "pair_count",
-            "rank",
-        )
-        out = leg if out is None else out.unionByName(leg)
-        top1 = ranked.where(F.col("rank") == 1).select(
-            F.col("pair").alias("merge_pair")
-        )
-        w = w.crossJoin(F.broadcast(top1)).select(
-            F.expr(f"replace(word, merge_pair, '{surrogate}')").alias(
-                "word"
-            ),
-            "freq",
-        )
-    assert out is not None
-    return out
+    return bpe_train_merges(words, n_rounds=len(_BPE_SURROGATES))
 
 
 # ---------------------------------------------------------------------------
