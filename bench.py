@@ -130,6 +130,9 @@ HEADLINE_QUERIES = [
     "bpe_merge_pair_counts",
     "bpe_merge_iterations",
     "language_id_confusion",
+    # r11: the end-to-end crawl->corpus funnel (WARC -> extract ->
+    # lang-ID -> MinHash dedup -> quality -> train split, one query)
+    "crawl_to_corpus_pipeline",
     "sessionize_gap_sensitivity",
     "pagerank_transaction_graph",
     "multimodal_phash_near_dup",

@@ -295,6 +295,11 @@ _SHUFFLE_CEILINGS = {
     # r10c: banded phash self-join (candidate distinct + final rollup;
     # the band join broadcasts at smoke scale)
     "multimodal_phash_near_dup": 4,
+    # r11: the end-to-end crawl->corpus funnel — minhash signature
+    # groupBy + banded self-join + candidate rollup on the doc-grain
+    # survivors, plus the doc-grain flag joins (broadcast at smoke
+    # scale) and the two 1-row aggregates; never all-pairs
+    "crawl_to_corpus_pipeline": 6,
     "histogram_quantile_estimate": 18,
     "incremental_histogram_rollup": 2,
     "text_entropy_scores": 3,

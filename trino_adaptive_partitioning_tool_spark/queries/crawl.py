@@ -321,3 +321,273 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard count — the write side shards accordingly)."""
     parsed = jops.read_jsonl_quarantine(spark, _jsonl_shards(spark, sf_dir))
     return jsonl_quarantine_rollup(parsed)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end crawl-to-corpus pipeline (r11, verdict #5): WARC parse ->
+# HTML extract -> language-ID -> MinHash-LSH dedup -> quality filter ->
+# train split, ONE oracled funnel with per-stage retention counts — the
+# C4/RefinedWeb shape. Every stage is individually oracled elsewhere;
+# this composition certifies the INTERFACES: the oracle reconstructs
+# each document's extracted text purely arithmetically from the shard
+# convention and then replays the language classifier, the full
+# 64-hash MinHash-LSH sketch, the quality composite, and the split
+# hash over that reconstruction — so a green row proves the Spark side
+# extracted exactly the right text AND every downstream operator
+# consumed it exactly as specified.
+
+_PIPE_MIN_WORDS = 24
+_PIPE_MIN_QUALITY = 36.0
+_PIPE_JACCARD = 0.5
+_PIPE_TRAIN_BUCKETS = 8000  # of sampling.SPLIT_BUCKETS = 10000 (80%)
+
+
+def _pipeline_oracle() -> str:
+    from ..operators import dedup as dops
+    from ..operators.sampling import split_bucket_sql
+    from ..operators.text import LANGUAGE_MARKERS
+    from .dedup import _TOKS, _minhash_banded_cte, _minhash_sig_ctes
+
+    n = dops.DEFAULT_NUM_HASHES
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    # extracted text reconstructed from the synthesis convention: h1
+    # words ('doc', zero-padded key), P paragraphs x 8 hex-pair words
+    # (digest positions cycled mod 16), then per link 'link' + its word
+    text_expr = f"""
+      concat(
+        'doc ', lpad(CAST(key AS VARCHAR), 5, '0'), ' ',
+        array_to_string(list_transform(range(0, 8 * {_P_EXPR}),
+          j -> substr(hx, (CAST(j AS INT) % 16) * 2 + 1, 2)), ' '),
+        CASE WHEN {_L_EXPR} > 0
+             THEN ' ' || array_to_string(list_transform(
+                    range(0, {_L_EXPR}),
+                    k -> 'link ' || substr(hx, (8 + CAST(k AS INT)) * 2 + 1, 2)),
+                  ' ')
+             ELSE '' END
+      )
+    """
+    lang_legs = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"CAST(len(list_intersect(dtoks, "
+        f"[{', '.join(repr(m) for m in markers)}])) AS BIGINT) AS hits "
+        f"FROM dtok"
+        for lang, markers in sorted(LANGUAGE_MARKERS.items())
+    )
+    toks_of_text = _TOKS
+    return f"""
+    WITH {_R_BASE},
+    texts AS (
+      SELECT rid AS doc_id,
+             2 + 8 * {_P_EXPR} + 2 * {_L_EXPR} AS n_words,
+             {text_expr} AS text
+      FROM (SELECT rid, key, md5(CAST(key AS VARCHAR)) AS hx
+            FROM r WHERE status = 200) d
+    ),
+    words_ok AS (
+      SELECT doc_id, text FROM texts WHERE n_words >= {_PIPE_MIN_WORDS}
+    ),
+    dtok AS (
+      SELECT doc_id, list_distinct({toks_of_text}) AS dtoks FROM words_ok
+    ),
+    lhits AS (
+      {lang_legs}
+    ),
+    pred AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, hits,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY hits DESC, lang
+               ) AS rn
+        FROM lhits
+      ) t WHERE rn = 1
+    ),
+    lang_ok AS (
+      SELECT w.doc_id, w.text FROM words_ok w
+      JOIN pred p USING (doc_id) WHERE p.lang = 'de'
+    ),
+    {_minhash_sig_ctes(source="lang_ok")},
+    {_minhash_banded_cte()},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST({eq_sum} AS DOUBLE) / {n} >= {_PIPE_JACCARD}
+    ),
+    uniq AS (
+      SELECT l.doc_id, l.text FROM lang_ok l
+      WHERE l.doc_id NOT IN (SELECT doc_id FROM dom)
+    ),
+    qsig AS (
+      SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(toks,
+          t -> list_contains(['the','and','of','to','a','in','is','that'], t)
+        )) AS DOUBLE) AS n_stop,
+        CAST(length(text)
+             - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+        CAST(length(text) AS DOUBLE) AS n_char,
+        CAST(len(list_distinct(toks)) AS DOUBLE)
+          / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio,
+        LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
+      FROM (SELECT doc_id, text, {toks_of_text} AS toks FROM uniq) qtok
+    ),
+    qual AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+          ROUND(ROUND(n_stop / GREATEST(n_tok, 1.0), 4) * 40
+            + (1.0 - ROUND(n_punct / GREATEST(n_char, 1.0), 4)) * 20
+            + (1.0 - ROUND(1.0 - distinct_ratio, 4)) * 20
+            + ROUND(length_score, 4) * 20, 2) AS quality_score
+        FROM qsig
+      ) q WHERE quality_score >= {_PIPE_MIN_QUALITY}
+    ),
+    train AS (
+      SELECT doc_id FROM qual
+      WHERE {split_bucket_sql("doc_id")} < {_PIPE_TRAIN_BUCKETS}
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_records AS BIGINT) AS n_records
+    FROM (
+      SELECT 0 AS stage_idx, 'fetched' AS stage, COUNT(*) AS n_records
+      FROM r
+      UNION ALL
+      SELECT 1, 'http_ok', COUNT(*) FROM r WHERE status = 200
+      UNION ALL
+      SELECT 2, 'min_words', COUNT(*) FROM words_ok
+      UNION ALL
+      SELECT 3, 'lang_ok', COUNT(*) FROM lang_ok
+      UNION ALL
+      SELECT 4, 'minhash_unique', COUNT(*) FROM uniq
+      UNION ALL
+      SELECT 5, 'quality_ok', COUNT(*) FROM qual
+      UNION ALL
+      SELECT 6, 'train_split', COUNT(*) FROM train
+    ) s
+    """
+
+
+@register("crawl_to_corpus_pipeline", oracle=_pipeline_oracle())
+def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-to-training-corpus funnel in one query: fetched
+    records -> HTTP 200s -> minimum extracted word count -> language
+    gate -> MinHash-LSH dedup (keep-lowest-id) -> quality-composite
+    floor -> train-split membership, with per-stage retention counts.
+
+    Language stage semantics on this corpus: the synthetic text is hex
+    words, so documents have ZERO language-marker hits and the
+    classifier's deterministic tie-break labels them 'de' — EXCEPT
+    documents whose digest contains the hex pair 'de', which is also a
+    Spanish marker word ('de') and flips them to 'es'. The gate keeps
+    the 'de' majority; the ~6% flip-outs are real, varying attrition
+    that certifies the marker matching + tie-break through the
+    composition (the oracle replays both over its text reconstruction).
+
+    Scale shape: the extraction output is persisted ONCE (the natural
+    pipeline barrier — language-ID, the MinHash sketch, the quality
+    scorer and the final rollup all consume it; Spark's CacheManager
+    dedups repeat invocations by canonicalized plan). Every stage is
+    doc-grain: the only non-map stages are the MinHash groupBy, the
+    banded self-join (equi-join on band hash, never all-pairs) and the
+    doc-grain flag joins. Nothing corpus-wide ever collects."""
+    from pyspark import StorageLevel
+
+    from ..operators import dedup as dedup_ops
+    from ..operators import sampling
+    from ..operators import text as text_ops
+
+    records = cops.parse_warc_records(
+        cops.synth_warc_shards(spark, n_shards=_N_SHARDS)
+    )
+    base = (
+        cops.extract_html_text(records, include_non_html=True)
+        .select(
+            (
+                F.col("shard_id") * cops.RECORDS_PER_SHARD
+                + F.col("record_idx")
+            ).alias("doc_id"),
+            "status",
+            "text",
+            "n_words",
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    docs200 = base.where(F.col("status") == 200)
+    lang = text_ops.language_id(docs200)
+    flagged = (
+        docs200.join(lang, "doc_id")
+        .withColumn("f_words", F.col("n_words") >= _PIPE_MIN_WORDS)
+        .withColumn(
+            "f_lang",
+            F.col("f_words") & (F.col("predicted_lang") == "de"),
+        )
+    )
+    s_lang = flagged.where(F.col("f_lang")).select("doc_id", "text")
+    dominated = (
+        dedup_ops.minhash_lsh_pairs(
+            s_lang, jaccard_threshold=_PIPE_JACCARD
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dom", F.lit(True))
+    )
+    qual = text_ops.quality_scores(s_lang).select(
+        "doc_id", "quality_score"
+    )
+    enriched = (
+        flagged.join(dominated, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .withColumn("f_uniq", F.col("f_lang") & F.col("is_dom").isNull())
+        .withColumn(
+            "f_qual",
+            F.col("f_uniq")
+            & (F.col("quality_score") >= _PIPE_MIN_QUALITY),
+        )
+        .withColumn(
+            "f_train",
+            F.col("f_qual")
+            & (
+                sampling.split_bucket(F.col("doc_id"))
+                < _PIPE_TRAIN_BUCKETS
+            ),
+        )
+    )
+
+    def _n(flag: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col(flag), 1).otherwise(0))
+            .cast("bigint")
+            .alias(flag)
+        )
+
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("fetched"))
+    agg = enriched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("http_ok"),
+        _n("f_words"),
+        _n("f_lang"),
+        _n("f_uniq"),
+        _n("f_qual"),
+        _n("f_train"),
+    )
+    return tot.crossJoin(agg).selectExpr(
+        "stack(7, "
+        "0L, 'fetched', fetched, "
+        "1L, 'http_ok', http_ok, "
+        "2L, 'min_words', f_words, "
+        "3L, 'lang_ok', f_lang, "
+        "4L, 'minhash_unique', f_uniq, "
+        "5L, 'quality_ok', f_qual, "
+        "6L, 'train_split', f_train"
+        ") AS (stage_idx, stage, n_records)"
+    )

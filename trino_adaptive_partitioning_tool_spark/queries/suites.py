@@ -307,6 +307,8 @@ _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("corpus_zipf_stats",
      ["n_vocab", "total_tokens", "head_n"], ["zipf_slope", "zipf_r2"]),
     ("crawl_corpus_funnel", ["stage", "n_records"], []),
+    ("crawl_to_corpus_pipeline",
+     ["stage_idx", "stage", "n_records"], []),
     ("dataset_quality_audit",
      ["table_name", "column_name", "total_rows", "non_null",
       "distinct_values"],
