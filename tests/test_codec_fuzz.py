@@ -47,6 +47,28 @@ def test_png_round_trip_exact(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_webp_round_trip_exact(data):
+    """VP8L is lossless: any RGB/RGBA raster round-trips bit-exactly
+    through the canonical-Huffman literal pipeline, including shapes
+    that force every code form (constant rasters -> 1-symbol simple
+    codes; two-valued rasters -> 2-symbol simple codes; full-entropy
+    rasters -> normal codes through the code-length code)."""
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    ch = data.draw(st.sampled_from([3, 4]))
+    mode = data.draw(st.sampled_from(["full", "const", "two"]))
+    px = _img(data.draw, h, w, ch)
+    if mode == "const":
+        px = np.full_like(px, px.flat[0])
+    elif mode == "two":
+        px = np.where(px % 2 == 0, px.flat[0], px.flat[-1]).astype(np.uint8)
+    dw, dh, got = _pc._parse_webp(PixmapCodec._encode_webp(px))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_jpeg_round_trip_bounded_error(data):
     """Unit quant tables: the only loss is FDCT/IDCT rounding, so every
     sample returns within a few levels; dims include non-MCU multiples
@@ -204,12 +226,16 @@ def test_truncation_always_raises_valueerror(data):
     is pure padding) decodes identically — never a different result,
     never a foreign exception type."""
     kind = data.draw(
-        st.sampled_from(["png", "jpeg", "gif", "wav", "flac", "avi"])
+        st.sampled_from(["png", "jpeg", "gif", "wav", "flac", "avi", "webp"])
     )
     seed = data.draw(st.integers(0, 2**32 - 1))
     rng = np.random.default_rng(seed)
     if kind == "png":
         payload = PixmapCodec._encode_png(
+            rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        )
+    elif kind == "webp":
+        payload = PixmapCodec._encode_webp(
             rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
         )
     elif kind == "jpeg":

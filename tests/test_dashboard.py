@@ -228,3 +228,37 @@ def test_bench_health_renders_warm_and_cold_regressions(tmp_path):
     assert html.count("q_both") == 2  # warm row + cold row
     assert "3.17" in html and "2.0" in html
     assert "None" not in html
+
+
+def test_scale_sweep_section_renders_exponents_and_remediation(tmp_path):
+    """r11: the scale-sweep evidence (per-flagship exponents, extra
+    factors, the SemDeDup split remediation) renders from
+    SCALE_SWEEP.json; absent or malformed artifacts render nothing."""
+    import json
+
+    assert dashboard.scale_sweep_section(str(tmp_path)) == ""
+    (tmp_path / "SCALE_SWEEP.json").write_text(json.dumps({
+        "base": "/x", "factor": 10,
+        "host_noise_caveat": "+/-40%",
+        "results": {
+            "q_lin": {"t_1x": 1.0, "t_10x": 2.0, "time_exponent": 0.3,
+                      "note": ""},
+            "semdedup_keep_canonical": {
+                "t_1x": 1.8, "t_10x": 49.5, "time_exponent": 1.43,
+                "note": "fixed-k",
+                "split_remediation": {"t_10x_split_end_to_end": 12.2,
+                                      "speedup_vs_fixed_k": 4.06},
+            },
+        },
+        "extra_factors": {"30": {"q_lin": {
+            "t_1x": 1.0, "t_30x": 3.1, "time_exponent": 0.33}}},
+    }))
+    html = dashboard.scale_sweep_section(str(tmp_path))
+    assert "Scale sweep" in html
+    assert "1.43" in html and "0.3" in html           # exponents
+    assert "Extra factor: 30x" in html and "0.33" in html
+    assert "SemDeDup split remediation" in html and "4.06" in html
+    # worst exponent sorts first
+    assert html.index("semdedup_keep_canonical") < html.index("q_lin")
+    (tmp_path / "SCALE_SWEEP.json").write_text("{not json")
+    assert dashboard.scale_sweep_section(str(tmp_path)) == ""

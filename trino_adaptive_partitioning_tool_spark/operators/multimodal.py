@@ -198,6 +198,55 @@ def synth_png_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_webp_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL WebP-lossless asset table: each payload is a
+    valid RIFF/WEBP container with a VP8L chunk (canonical Huffman-coded
+    ARGB literals) whose pixel samples cycle the 16 md5 digest bytes of
+    the asset id — the synth_png_assets convention, so the same
+    digest-arithmetic oracle applies. VP8L is always RGB(A): channel
+    count alternates 3/4 via asset_id % 2 and rides the header's
+    alpha-hint bit, so both paths are separately certified."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 6 + 2).cast("int").alias("w"),
+        (F.col("id") % 4 + 2).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit(3), F.lit(4)), (F.col("id") % 2 + 1).cast("int")
+        ).alias("ch"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h, ch in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["ch"]
+            ):
+                aid, w, h, ch = int(aid), int(w), int(h), int(ch)
+                digest = hashlib.md5(str(aid).encode()).digest()
+                need = w * h * ch
+                px = np.frombuffer(
+                    (digest * (need // 16 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w, ch)
+                rows.append(
+                    (
+                        aid,
+                        "image",
+                        PixmapCodec._encode_webp(px),
+                        (w, h, None, None, "webp"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_wav_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -837,15 +886,16 @@ def synth_tiff_assets(
 
 def synth_mixed_assets(spark: SparkSession) -> DataFrame:
     """Mixed-modality corpus: one asset table carrying REAL PNG, JPEG,
-    WAV, Y4M, TIFF, FLAC and MJPEG-AVI payloads side by side — the
-    shape a real crawl table arrives in. Asset ids are offset per
-    modality (PNG +0, JPEG +1000, WAV +2000, Y4M +3000, TIFF +4000,
-    FLAC +5000, AVI +6000 — each generator's id space is its own, so
-    every payload equals the single-modality generator's output for
-    id % 1000 and the oracles' positional re-derivations carry over
-    unchanged). Consumed by ONE decode stage whose codec dispatches on
-    payload magic bytes per row — per-type dispatch inside a single
-    Arrow mapInPandas pass, not a per-type job."""
+    WAV, Y4M, TIFF, FLAC, MJPEG-AVI and WebP-lossless payloads side by
+    side — the shape a real crawl table arrives in. Asset ids are
+    offset per modality (PNG +0, JPEG +1000, WAV +2000, Y4M +3000,
+    TIFF +4000, FLAC +5000, AVI +6000, WEBP +7000 — each generator's id
+    space is its own, so every payload equals the single-modality
+    generator's output for id % 1000 and the oracles' positional
+    re-derivations carry over unchanged). Consumed by ONE decode stage
+    whose codec dispatches on payload magic bytes per row — per-type
+    dispatch inside a single Arrow mapInPandas pass, not a per-type
+    job."""
     parts = [
         synth_png_assets(spark, n=64, partitions=4),
         synth_jpeg_assets(spark, n=64, partitions=4).withColumn(
@@ -865,6 +915,9 @@ def synth_mixed_assets(spark: SparkSession) -> DataFrame:
         ),
         synth_avi_assets(spark, n=64, partitions=4).withColumn(
             "asset_id", F.col("asset_id") + 6000
+        ),
+        synth_webp_assets(spark, n=64, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + 7000
         ),
     ]
     out = parts[0]
@@ -959,6 +1012,127 @@ class _MsbBitReader:
     @property
     def aligned(self) -> bool:
         return self._bit == 0
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (VP8L's bit order: values fill each output
+    byte from its least significant bit upward — the opposite of FLAC's
+    MSB packing above)."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc |= (value & ((1 << nbits) - 1)) << self._n
+        self._n += nbits
+        while self._n >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def getvalue(self) -> bytes:
+        out = bytes(self._out)
+        if self._n:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+class _LsbBitReader:
+    """LSB-first bit reader; out-of-data reads raise ValueError."""
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0  # absolute bit position
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for i in range(nbits):
+            byte = self._pos >> 3
+            if byte >= len(self._data):
+                raise ValueError("truncated VP8L bitstream")
+            v |= ((self._data[byte] >> (self._pos & 7)) & 1) << i
+            self._pos += 1
+        return v
+
+
+def _limited_huffman_lengths(
+    freqs: dict[int, int], max_len: int
+) -> dict[int, int]:
+    """Length-limited Huffman code lengths via boundary package-merge —
+    optimal under the max_len constraint, deterministic (ties broken by
+    symbol id). Returns {symbol: length} for every symbol in freqs."""
+    items = sorted((f, s) for s, f in freqs.items())
+    if not items:
+        return {}
+    if len(items) == 1:
+        return {items[0][1]: 1}
+    if len(items) > (1 << max_len):
+        raise ValueError("alphabet too large for the length limit")
+    prev: list[tuple[int, tuple[int, ...]]] = []
+    for _level in range(max_len):
+        cur = [(f, (s,)) for f, s in items]
+        for i in range(0, len(prev) - 1, 2):
+            cur.append(
+                (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
+            )
+        prev = sorted(cur)
+    lengths = {s: 0 for _, s in items}
+    for _f, syms in prev[: 2 * (len(items) - 1)]:
+        for s in syms:
+            lengths[s] += 1
+    assert sum(2 ** -l for l in lengths.values()) == 1.0, "kraft violated"
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """DEFLATE-style canonical code assignment: symbols sorted by
+    (length, symbol id), codes count upward with left-shifts at each
+    length increase. Returns {symbol: (code, length)} — code bits are
+    MSB-first (reverse before writing through an LSB-first packer)."""
+    ordered = sorted((l, s) for s, l in lengths.items() if l > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for l, s in ordered:
+        code <<= l - prev_len
+        prev_len = l
+        codes[s] = (code, l)
+        code += 1
+    return codes
+
+
+def _reverse_bits(value: int, nbits: int) -> int:
+    out = 0
+    for _ in range(nbits):
+        out = (out << 1) | (value & 1)
+        value >>= 1
+    return out
+
+
+def _huff_decode_table(
+    lengths: dict[int, int]
+) -> tuple[dict[tuple[int, int], int], int]:
+    """(len, code)->symbol lookup + max length, for bit-serial canonical
+    decoding (code accumulates MSB-first as bits arrive)."""
+    codes = _canonical_codes(lengths)
+    table = {(l, c): s for s, (c, l) in codes.items()}
+    max_len = max((l for _s, (_c, l) in codes.items()), default=0)
+    return table, max_len
+
+
+def _read_huff_symbol(
+    br: _LsbBitReader, table: dict[tuple[int, int], int], max_len: int
+) -> int:
+    if max_len == 0:  # trivial single-symbol code: zero bits per symbol
+        return table[(0, 0)]
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code << 1) | br.read(1)
+        if (l, code) in table:
+            return table[(l, code)]
+    raise ValueError("invalid VP8L huffman code")
 
 
 @runtime_checkable
@@ -1224,6 +1398,225 @@ class PixmapCodec:
             + chunk(b"IDAT", zlib.compress(bytes(out), 6))
             + chunk(b"IEND", b"")
         )
+
+    # -- WebP-lossless (VP8L) ---------------------------------------------
+    # Public format: RIFF/WEBP container, VP8L chunk, LSB-first
+    # bitstream, canonical length-limited Huffman codes per ARGB channel
+    # (WebP Lossless Bitstream Specification). The encoder emits
+    # literal-coded pixels (no transforms / color cache / LZ77 backrefs
+    # / meta-huffman — all legal to omit); the decoder handles the full
+    # prefix-code machinery including simple codes, the 19-symbol
+    # code-length code and its 16/17/18 repeat operators, and raises
+    # contract guards on the optional features the encoder never emits.
+
+    # code-length symbols appear in this fixed spec order
+    _VP8L_CL_ORDER = (
+        17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+    )
+    # alphabet sizes: green+length (no cache), red, blue, alpha, distance
+    _VP8L_ALPHABETS = (256 + 24, 256, 256, 256, 40)
+
+    @classmethod
+    def _write_vp8l_code(
+        cls, bw: "_LsbBitWriter", freqs: dict[int, int], alphabet_size: int
+    ) -> dict[int, tuple[int, int]]:
+        """Write one prefix code; return {symbol: (code_msb_first, len)}
+        for the emit loop. <=2 distinct symbols use the simple-code form
+        (positional codes 0/1); otherwise canonical lengths go through
+        the code-length code, literal-only (use_length=0 means the
+        reader consumes one code-length entry per ALPHABET slot, so the
+        zero tail past the last used symbol is written explicitly)."""
+        syms = sorted(freqs)
+        if len(syms) <= 2:
+            bw.write(1, 1)  # simple
+            bw.write(len(syms) - 1, 1)
+            first = syms[0]
+            if first <= 1:
+                bw.write(0, 1)
+                bw.write(first, 1)
+            else:
+                bw.write(1, 1)
+                bw.write(first, 8)
+            if len(syms) == 2:
+                bw.write(syms[1], 8)
+                return {syms[0]: (0, 1), syms[1]: (1, 1)}
+            return {syms[0]: (0, 0)}
+        bw.write(0, 1)  # normal
+        lengths = _limited_huffman_lengths(freqs, 15)
+        per_symbol = [lengths.get(s, 0) for s in range(alphabet_size)]
+        cl_freqs: dict[int, int] = {}
+        for l in per_symbol:
+            cl_freqs[l] = cl_freqs.get(l, 0) + 1
+        cl_lengths = _limited_huffman_lengths(cl_freqs, 7)
+        bw.write(len(cls._VP8L_CL_ORDER) - 4, 4)  # num_code_lengths = 19
+        for sym in cls._VP8L_CL_ORDER:
+            bw.write(cl_lengths.get(sym, 0), 3)
+        bw.write(0, 1)  # use_length = 0
+        cl_codes = _canonical_codes(cl_lengths)
+        for l in per_symbol:
+            code, n = cl_codes[l]
+            bw.write(_reverse_bits(code, n), n)
+        return _canonical_codes(lengths)
+
+    @classmethod
+    def _encode_webp(cls, px: "np.ndarray") -> bytes:
+        """REAL WebP-lossless bytes for an [h, w, 3|4] uint8 raster."""
+        h, w, ch = px.shape
+        if ch not in (3, 4) or w > 1 << 14 or h > 1 << 14:
+            raise ValueError("VP8L encoder needs RGB/RGBA, dims <= 16384")
+        flat = px.reshape(-1, ch).astype(np.int64)
+        reds, greens, blues = flat[:, 0], flat[:, 1], flat[:, 2]
+        alphas = (
+            flat[:, 3] if ch == 4 else np.full(len(flat), 255, np.int64)
+        )
+        bw = _LsbBitWriter()
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(1 if ch == 4 else 0, 1)  # alpha hint
+        bw.write(0, 3)  # version
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no meta-huffman
+        emit = []
+        for vals, size in zip(
+            (greens, reds, blues, alphas, np.zeros(0, np.int64)),
+            cls._VP8L_ALPHABETS,
+        ):
+            freqs: dict[int, int] = {}
+            for v in vals.tolist():
+                freqs[v] = freqs.get(v, 0) + 1
+            if not freqs:
+                freqs = {0: 1}  # unused distance code: 1-symbol simple
+            emit.append(cls._write_vp8l_code(bw, freqs, size))
+        g_map, r_map, b_map, a_map, _d_map = emit
+        for g, r, b, a in zip(
+            greens.tolist(), reds.tolist(), blues.tolist(), alphas.tolist()
+        ):
+            for code, n in (g_map[g], r_map[r], b_map[b], a_map[a]):
+                bw.write(_reverse_bits(code, n), n)
+        vp8l = b"\x2f" + bw.getvalue()
+        chunk = (
+            b"VP8L"
+            + len(vp8l).to_bytes(4, "little")
+            + vp8l
+            + (b"\x00" if len(vp8l) & 1 else b"")
+        )
+        riff = b"WEBP" + chunk
+        return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    @classmethod
+    def _read_vp8l_code(
+        cls, br: "_LsbBitReader", alphabet_size: int
+    ) -> tuple[dict[tuple[int, int], int], int]:
+        """Read one prefix code -> bit-serial decode table."""
+        if br.read(1):  # simple
+            num_symbols = br.read(1) + 1
+            first = br.read(8) if br.read(1) else br.read(1)
+            if num_symbols == 2:
+                second = br.read(8)
+                # positional, NOT canonical-by-id: symbols[0] -> 0
+                return {(1, 0): first, (1, 1): second}, 1
+            return {(0, 0): first}, 0
+        num_cl = 4 + br.read(4)
+        cl_lengths: dict[int, int] = {}
+        for i in range(num_cl):
+            l = br.read(3)
+            if l:
+                cl_lengths[cls._VP8L_CL_ORDER[i]] = l
+        cl_table, cl_max = _huff_decode_table(cl_lengths)
+        if br.read(1):  # use_length: explicit cap on coded entries
+            length_nbits = 2 + 2 * br.read(3)
+            max_symbol = 2 + br.read(length_nbits)
+        else:
+            max_symbol = alphabet_size
+        lengths: dict[int, int] = {}
+        sym = 0
+        prev = 8  # spec default for repeat-previous before any literal
+        while sym < alphabet_size and max_symbol > 0:
+            max_symbol -= 1
+            cl = _read_huff_symbol(br, cl_table, cl_max)
+            if cl < 16:
+                if cl:
+                    lengths[sym] = cl
+                    prev = cl
+                sym += 1
+            elif cl == 16:
+                rep = 3 + br.read(2)
+                for _ in range(rep):
+                    if sym < alphabet_size:
+                        lengths[sym] = prev
+                    sym += 1
+            elif cl == 17:
+                sym += 3 + br.read(3)
+            else:
+                sym += 11 + br.read(7)
+        return _huff_decode_table(lengths)
+
+    @classmethod
+    def _parse_webp(cls, payload: bytes):
+        """(width, height, pixel_array[h, w, 3|4]) from WebP-lossless
+        bytes; 3 channels when the header's alpha-hint is clear."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+            raise ValueError("not a WEBP container")
+        pos = 12
+        vp8l = None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if tag == b"VP8L":
+                vp8l = payload[pos + 8 : pos + 8 + size]
+                break
+            if tag in (b"VP8 ", b"VP8X"):
+                raise NotImplementedError(
+                    "only WebP-lossless (VP8L) is supported by PixmapCodec"
+                )
+            pos += 8 + size + (size & 1)
+        if vp8l is None:
+            raise ValueError("no VP8L chunk in WEBP container")
+        if vp8l[:1] != b"\x2f":
+            raise ValueError("bad VP8L signature byte")
+        br = _LsbBitReader(vp8l[1:])
+        w = br.read(14) + 1
+        h = br.read(14) + 1
+        alpha_used = br.read(1)
+        if br.read(3):
+            raise ValueError("unsupported VP8L version")
+        if br.read(1):
+            raise NotImplementedError(
+                "VP8L transforms not supported by PixmapCodec"
+            )
+        if br.read(1):
+            raise NotImplementedError(
+                "VP8L color cache not supported by PixmapCodec"
+            )
+        if br.read(1):
+            raise NotImplementedError(
+                "VP8L meta-huffman not supported by PixmapCodec"
+            )
+        tables = [
+            cls._read_vp8l_code(br, a) for a in cls._VP8L_ALPHABETS
+        ]
+        n = w * h
+        out = np.zeros((n, 4), dtype=np.uint8)
+        i = 0
+        while i < n:
+            gsym = _read_huff_symbol(br, *tables[0])
+            if gsym < 256:
+                r = _read_huff_symbol(br, *tables[1])
+                b = _read_huff_symbol(br, *tables[2])
+                a = _read_huff_symbol(br, *tables[3])
+                out[i] = (r, gsym, b, a)
+                i += 1
+            elif gsym < 280:
+                raise NotImplementedError(
+                    "VP8L backward references not supported by PixmapCodec"
+                )
+            else:  # pragma: no cover - cache absent, symbol impossible
+                raise ValueError("color-cache symbol without a cache")
+        px = out.reshape(h, w, 4)
+        if not alpha_used:
+            px = px[:, :, :3]
+        return w, h, px
 
     # -- parsing helpers -------------------------------------------------
     @staticmethod
@@ -3128,11 +3521,16 @@ class PixmapCodec:
             return pal[idx]  # palette lookup -> [h, w, 3]
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return self._parse_tiff(payload)[2]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return self._parse_webp(payload)[2]
         raise ValueError("unsupported raster format for PixmapCodec")
 
     # -- Codec protocol --------------------------------------------------
     def decode(self, payload: bytes, media_type: str) -> tuple[int, int, float]:
         del media_type
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            w, h, px = self._parse_webp(payload)
+            return w, h, float(px.mean())
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             frames, channels, samples = self._parse_wav(payload)
             return frames, channels, float(
@@ -3632,13 +4030,20 @@ PHASH_MAX_BITS = 63  # signed-int64 lattice: bits beyond 63 are dropped
 def synth_phash_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
-    """PNG asset table with PLANTED duplicate structure: every
+    """PNG/WebP asset table with PLANTED duplicate structure: every
     asset_id % 4 == 3 reuses asset_id-3's content key (dims AND pixels
     derive from the KEY, so duplicates are true rasters-equal pairs),
     and the % 8 == 7 half of those additionally bumps pixel (0,0,0) by
     +16 mod 256 — a planted NEAR-duplicate whose hash differs in a few
     bits. Dims are 6-11 x 6-9 (>= 36 pixels) so unrelated assets sit
-    ~N/2 hamming apart and can never masquerade as near-dups."""
+    ~N/2 hamming apart and can never masquerade as near-dups.
+
+    Container alternates: odd asset ids with RGB/RGBA rasters encode as
+    WebP-lossless, the rest as PNG (VP8L has no grayscale). Since the
+    dup key offset (3) is odd, every planted pair spans BOTH containers
+    when its raster is non-gray — the dedup gate is certified
+    cross-format, the realistic shape (the same image saved as .png by
+    one site and .webp by another must still collapse)."""
     import hashlib
 
     base = spark.range(0, n, 1, partitions).select(
@@ -3668,9 +4073,14 @@ def synth_phash_assets(
                 ).reshape(h, w, ch).copy()
                 if aid % 8 == 7:
                     px[0, 0, 0] = (int(px[0, 0, 0]) + 16) % 256
+                if ch != 1 and aid % 2 == 1:
+                    payload = PixmapCodec._encode_webp(px)
+                    fmt = "webp"
+                else:
+                    payload = PixmapCodec._encode_png(px)
+                    fmt = "png"
                 rows.append(
-                    (aid, "image", PixmapCodec._encode_png(px),
-                     (w, h, None, None, "png"))
+                    (aid, "image", payload, (w, h, None, None, fmt))
                 )
             yield pd.DataFrame(
                 rows,

@@ -333,6 +333,81 @@ def bench_health_section(bench_dir: str | None = None) -> str:
     return "".join(parts)
 
 
+def scale_sweep_section(base_dir: str | None = None) -> str:
+    """Empirical scale evidence rendered from SCALE_SWEEP.json (r10
+    verdict #8): per-flagship time-scaling exponents at the primary
+    inflation factor, the extra-factor (second/third decade) points,
+    and the SemDeDup split-remediation comparison — the strongest
+    would-it-survive-100TB numbers the repo has, surfaced next to the
+    bench-health panel instead of buried in an artifact. Best-effort:
+    no artifact renders nothing."""
+    import json as _json
+    import os as _os
+
+    base = base_dir or _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "..", ".."
+    )
+    try:
+        with open(_os.path.join(base, "SCALE_SWEEP.json")) as fh:
+            sweep = _json.load(fh)
+    except (OSError, ValueError):
+        return ""
+    results = sweep.get("results") or {}
+    if not results:
+        return ""
+    factor = sweep.get("factor")
+    parts = [
+        "<h2>Scale sweep</h2>",
+        f"<p class='note'>wall-time scaling exponent at {factor}x "
+        "verbatim-replicated data: exponent 1.0 = linear, &lt; 1 = "
+        "sub-linear (fixed costs amortizing), &gt; 1 = super-linear "
+        "(quadratic OUTPUT under replication, or — once, remediated — "
+        "a fixed-k plan flaw). "
+        f"{_esc(sweep.get('host_noise_caveat') or '')}</p>",
+    ]
+    rows = [
+        {
+            "query": n,
+            "exponent": r.get("time_exponent"),
+            f"t_1x": r.get("t_1x"),
+            f"t_{factor}x": r.get(f"t_{factor}x"),
+            "note": (r.get("note") or "")[:80],
+        }
+        for n, r in sorted(
+            results.items(),
+            key=lambda kv: -(kv[1].get("time_exponent") or 0),
+        )
+    ]
+    parts.append(
+        _table(rows, ["query", "exponent", "t_1x", f"t_{factor}x", "note"])
+    )
+    extra = sweep.get("extra_factors") or {}
+    for f, res in sorted(extra.items(), key=lambda kv: int(kv[0])):
+        rows = [
+            {
+                "query": n,
+                "exponent": r.get("time_exponent"),
+                "t_1x": r.get("t_1x"),
+                f"t_{f}x": r.get(f"t_{f}x"),
+            }
+            for n, r in sorted(res.items())
+        ]
+        parts.append(f"<h3>Extra factor: {int(f)}x</h3>")
+        parts.append(_table(rows, ["query", "exponent", "t_1x", f"t_{f}x"]))
+    split = (results.get("semdedup_keep_canonical") or {}).get(
+        "split_remediation"
+    )
+    if split:
+        parts.append("<h3>SemDeDup split remediation</h3>")
+        parts.append(
+            "<p class='note'>fixed-k vs the split-oversized path (the "
+            "registered query's default since r11) on the inflated "
+            "corpus.</p>"
+        )
+        parts.append(_json_pre(split))
+    return "".join(parts)
+
+
 def render_dashboard(
     results: dict[str, DataFrame],
     extras: dict[str, DataFrame] | None = None,
@@ -590,6 +665,9 @@ def render_dashboard(
     bench_html = bench_health_section(bench_dir)
     if bench_html:
         sections.append(bench_html)
+    sweep_html = scale_sweep_section(bench_dir)
+    if sweep_html:
+        sections.append(sweep_html)
     if extras:
         sections.append("<h2>Layout advisor extensions</h2>")
         sections.append(
