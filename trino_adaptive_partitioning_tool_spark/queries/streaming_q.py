@@ -1031,17 +1031,17 @@ def streaming_drift_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_multimodal_ingest", oracle=MIXED_CORPUS_ORACLE)
 def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality decode as a Structured Streaming pipeline: the
-    PNG+JPEG+WAV+Y4M+TIFF+FLAC+AVI corpus (synth_mixed_assets — binary, so
-    the feed is parquet, not JSON) streams from files, the production
-    Arrow decode stage applies UNCHANGED on the streaming frame
-    (mapInPandas is stateless), and the per-format rollup drains in
-    complete mode with availableNow — the ingest shape of a crawl
+    PNG+JPEG+WAV+Y4M+TIFF+FLAC+AVI+WEBP corpus (synth_mixed_assets —
+    binary, so the feed is parquet, not JSON) streams from files, the
+    production Arrow decode stage applies UNCHANGED on the streaming
+    frame (mapInPandas is stateless), and the per-format rollup drains
+    in complete mode with availableNow — the ingest shape of a crawl
     pipeline decoding media as it lands.
 
     Same full DuckDB oracle as the batch twin
     (multimodal_mixed_corpus_stats): the decode arithmetic is
     positional in the md5 conventions, so hash-green here proves
-    stream == SQL across all seven real decoders, not just
+    stream == SQL across all eight real decoders, not just
     stream == batch."""
     from ..operators import multimodal as mm
     from .multimodal import mixed_corpus_rollup
@@ -1093,6 +1093,59 @@ def streaming_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = jsonl_quarantine_rollup(stream)
     name = f"stream_jsonl_{uuid.uuid4().hex[:8]}"
     return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy("lang")
+
+
+from .registry import _ORACLES as _oracle_registry
+
+
+@register(
+    "streaming_warc_ingest", oracle=None  # attached below from the twin
+)
+def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingestion as a Structured Streaming pipeline: the
+    same .warc.gz shard table the batch twin parses
+    (crawl.warc_ingest_stats) streams from parquet files, the gzip
+    member walk + WARC/HTTP header parse applies UNCHANGED on the
+    streaming frame (parse_warc_records is a stateless mapInPandas),
+    and the per-status rollup drains in complete mode with
+    availableNow — a crawl pipeline ingesting shards as the fetcher
+    lands them.
+
+    Oracle: the batch twin's shard-convention arithmetic — hash-green
+    proves stream == batch == synthesis arithmetic through a REAL
+    multi-member gzip walk on the streaming side, including that
+    record framing is slicing-invariant (a shard parses identically
+    in whatever micro-batch it lands)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import crawl as cops
+
+    def _write(d: str) -> None:
+        cops.synth_warc_shards(spark, n_shards=64).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/shards")
+
+    tmp = _memo_feed(spark, "warc_shards", "synth", _write)
+    stream = spark.readStream.schema(cops.SHARD_SCHEMA).parquet(
+        f"{tmp}/shards"
+    )
+    records = cops.parse_warc_records(stream)
+    rollup = records.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("body_bytes").cast("bigint").alias("total_body_bytes"),
+        F.round(F.avg("body_bytes"), 4).alias("avg_body_bytes"),
+    )
+    name = f"stream_warc_{uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy(
+        "status"
+    )
+
+
+# the twin's oracle string is registered under the batch name; reuse it
+# verbatim so the two can never drift
+_oracle_registry["streaming_warc_ingest"] = _oracle_registry[
+    "warc_ingest_stats"
+]
 
 
 from .multimodal import _phash_oracle as _phash_oracle_sql

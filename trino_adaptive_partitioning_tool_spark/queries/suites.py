@@ -621,6 +621,8 @@ _STREAMING: list[tuple[str, list[str], list[str]]] = [
      ["user_id", "n_events"], ["total_value"]),
     ("streaming_static_enrichment",
      ["c_mktsegment", "event_type", "n_events"], ["total_value"]),
+    ("streaming_warc_ingest",
+     ["status", "n_records", "total_body_bytes"], ["avg_body_bytes"]),
     ("streaming_window_rollup",
      ["window_start", "window_end", "query_count", "total_exec_ms",
       "max_exec_ms", "total_input_bytes"], []),
