@@ -133,8 +133,10 @@ HEADLINE_QUERIES = [
     # r11: the end-to-end crawl->corpus funnel (WARC -> extract ->
     # lang-ID -> MinHash dedup -> quality -> train split, one query)
     "crawl_to_corpus_pipeline",
-    # r11: WebP-lossless (VP8L canonical-Huffman) decode leg
+    # r11: WebP-lossless (VP8L canonical-Huffman) decode leg +
+    # progressive JPEG (SOF2 successive approximation) decode leg
     "multimodal_webp_decode_stats",
+    "multimodal_progressive_jpeg_stats",
     "sessionize_gap_sensitivity",
     "pagerank_transaction_graph",
     "multimodal_phash_near_dup",

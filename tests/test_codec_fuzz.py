@@ -94,6 +94,34 @@ def test_jpeg_round_trip_bounded_error(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_progressive_jpeg_decodes_identically_to_baseline(data):
+    """The strongest progressive certificate available without an
+    external decoder: for ANY raster, the SOF2 successive-approximation
+    scan script must reassemble the exact coefficients the baseline
+    SOF0 encoding carries, so both payloads decode to IDENTICAL pixels
+    (they share quant tables and the IDCT). Exercises DC first/refine,
+    AC first/refine, EOBn runs and buffered correction bits."""
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    gray = _img(data.draw, h, w, 1)
+    _, _, prog = _pc._parse_jpeg(
+        PixmapCodec._encode_jpeg_progressive(gray)
+    )
+    _, _, base = _pc._parse_jpeg(PixmapCodec._encode_jpeg(gray))
+    assert np.array_equal(prog, base)
+    cb = _img(data.draw, h, w, 1)
+    cr = _img(data.draw, h, w, 1)
+    _, _, prog = _pc._parse_jpeg(
+        PixmapCodec._encode_jpeg_progressive(gray, cb, cr)
+    )
+    _, _, base = _pc._parse_jpeg(
+        PixmapCodec._encode_jpeg(gray, cb, cr, "444")
+    )
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_jpeg_constant_blocks_exact(data):
     """The certified-oracle property itself, fuzzed: ANY constant-block
     YCbCr image round-trips bit-exactly through the lossy pipeline."""

@@ -608,6 +608,67 @@ def synth_jpeg_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_progressive_jpeg_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL progressive-JPEG asset table (SOF2, the
+    standard web scan script: interleaved DC first + DC refine, then
+    per-component AC first + AC refine with EOBn runs). Same
+    constant-block md5 value convention as synth_jpeg_assets' 4:4:4
+    modes — Y block j = d[j % 16], block-m chroma Cb = d[(3m+5) % 16],
+    Cr = d[(3m+11) % 16] — so the oracle re-derives decoded statistics
+    with the same arithmetic; mode alternates gray / YCbCr 4:4:4 via
+    asset_id % 2, grid is (id//2) % 3 + 1 by (id//6) % 2 + 1 blocks."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 2).cast("int").alias("mode"),
+        ((F.col("id") / 2).cast("long") % 3 + 1).cast("int").alias("mw"),
+        ((F.col("id") / 6).cast("long") % 2 + 1).cast("int").alias("mh"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mode, mw, mh in zip(
+                pdf["asset_id"], pdf["mode"], pdf["mw"], pdf["mh"]
+            ):
+                aid, mode, mw, mh = int(aid), int(mode), int(mw), int(mh)
+                d = hashlib.md5(str(aid).encode()).digest()
+                n_blocks = mw * mh
+                yb = np.array(
+                    [d[m % 16] for m in range(n_blocks)], np.uint8
+                ).reshape(mh, mw)
+                yp = np.repeat(np.repeat(yb, 8, 0), 8, 1)
+                if mode == 0:
+                    payload = PixmapCodec._encode_jpeg_progressive(yp)
+                else:
+                    cb_b = np.array(
+                        [d[(3 * m + 5) % 16] for m in range(n_blocks)],
+                        np.uint8,
+                    ).reshape(mh, mw)
+                    cr_b = np.array(
+                        [d[(3 * m + 11) % 16] for m in range(n_blocks)],
+                        np.uint8,
+                    ).reshape(mh, mw)
+                    payload = PixmapCodec._encode_jpeg_progressive(
+                        yp,
+                        np.repeat(np.repeat(cb_b, 8, 0), 8, 1),
+                        np.repeat(np.repeat(cr_b, 8, 0), 8, 1),
+                    )
+                rows.append(
+                    (aid, "image", payload,
+                     (8 * mw, 8 * mh, None, None, "jpeg"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_avi_assets(
     spark: SparkSession, n: int = 192, partitions: int = 8
 ) -> DataFrame:
@@ -3079,6 +3140,27 @@ class PixmapCodec:
         ac_bits[8] = len(ac_vals)  # all at code length 9
         return (dc_bits, dc_vals), (ac_bits, ac_vals)
 
+    # progressive AC table additionally needs the EOBn symbols
+    # ((r << 4) | 0 for r = 1..14): progressive scans code runs of
+    # all-zero-band blocks as one EOBn + r extra bits. 192 symbols all
+    # at 9 bits — max canonical code 191 < 511, so the reserved
+    # all-ones pattern never occurs.
+    @staticmethod
+    def _huff_specs_progressive() -> tuple[
+        tuple[list[int], list[int]], tuple[list[int], list[int]]
+    ]:
+        dc_bits = [0] * 16
+        dc_bits[4] = 12
+        dc_vals = list(range(12))
+        ac_vals = sorted(
+            [r << 4 for r in range(15)]  # EOB0..EOB14
+            + [0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 12)]
+        )
+        ac_bits = [0] * 16
+        ac_bits[8] = len(ac_vals)
+        return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
     @staticmethod
     def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
         """Canonical assignment: symbol -> (code, length)."""
@@ -3284,14 +3366,263 @@ class PixmapCodec:
         )
 
     @classmethod
+    def _encode_jpeg_progressive(
+        cls,
+        y_plane: np.ndarray,
+        cb_plane: np.ndarray | None = None,
+        cr_plane: np.ndarray | None = None,
+    ) -> bytes:
+        """Progressive JPEG encoder (SOF2, spectral selection +
+        successive approximation — the standard web scan script shape):
+        one interleaved DC-first scan (Al=1), a DC refinement scan,
+        then per-component AC-first (Ss=1..63, Al=1) and AC-refinement
+        scans with EOBn run coding and buffered correction bits. Gray
+        or YCbCr 4:4:4 (all sampling factors 1); unit quant tables, so
+        constant blocks survive the full 4/8-scan pipeline bit-exactly
+        (the certified-oracle property, same as the baseline twin)."""
+        import struct
+
+        zz = cls._zigzag_order()
+        m = cls._dct_matrix()
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = (
+            cls._huff_specs_progressive()
+        )
+        dc_code = cls._huff_codes(dc_bits, dc_vals)
+        ac_code = cls._huff_codes(ac_bits, ac_vals)
+        gray = cb_plane is None
+        h, w = y_plane.shape
+
+        def pad8(a: np.ndarray) -> np.ndarray:
+            ph, pw = (-a.shape[0]) % 8, (-a.shape[1]) % 8
+            return (
+                np.pad(a, ((0, ph), (0, pw)), mode="edge")
+                if ph or pw
+                else a
+            )
+
+        planes = [pad8(np.asarray(y_plane, np.uint8))]
+        if not gray:
+            planes.append(pad8(np.asarray(cb_plane, np.uint8)))
+            planes.append(pad8(np.asarray(cr_plane, np.uint8)))
+            if not all(p.shape == planes[0].shape for p in planes):
+                raise ValueError("4:4:4 planes must share dimensions")
+        bh, bw = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+        coefs = []
+        for p in planes:
+            c = np.zeros((bh, bw, 64), np.int64)
+            for by in range(bh):
+                for bx in range(bw):
+                    f = (
+                        m
+                        @ (
+                            p[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                            .astype(np.float64)
+                            - 128.0
+                        )
+                        @ m.T
+                    )
+                    q = np.round(f).astype(np.int64)
+                    c[by, bx] = [q.flat[zz[k]] for k in range(64)]
+            coefs.append(c)
+        ncomp = len(planes)
+
+        class _Scan:
+            """Per-scan bit emitter with 0xFF stuffing + 1-padding."""
+
+            def __init__(self) -> None:
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code: int, length: int) -> None:
+                self.acc = (self.acc << length) | (
+                    code & ((1 << length) - 1)
+                )
+                self.n += length
+                while self.n >= 8:
+                    self.n -= 8
+                    byte = (self.acc >> self.n) & 0xFF
+                    self.out.append(byte)
+                    if byte == 0xFF:
+                        self.out.append(0x00)
+
+            def done(self) -> bytes:
+                if self.n:
+                    self.put(0xFF, 8 - self.n)
+                return bytes(self.out)
+
+        def put_sized(s: _Scan, code_map, prefix_sym: int, v: int) -> None:
+            size = (v if v > 0 else -v).bit_length()
+            c, ln = code_map[prefix_sym | size]
+            s.put(c, ln)
+            if size:
+                s.put(v + (1 << size) - 1 if v < 0 else v, size)
+
+        scans: list[tuple[bytes, bytes]] = []  # (sos body, entropy)
+
+        def sos_body(comp_ids, ss, se, ah, al) -> bytes:
+            return (
+                bytes([len(comp_ids)])
+                + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+                + bytes([ss, se, (ah << 4) | al])
+            )
+
+        # scan 1: interleaved DC first pass, Al=1 (arithmetic shift)
+        s = _Scan()
+        pred = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    v = int(coefs[ci][by, bx, 0]) >> 1
+                    put_sized(s, dc_code, 0, v - pred[ci])
+                    pred[ci] = v
+        scans.append((sos_body(range(1, ncomp + 1), 0, 0, 0, 1), s.done()))
+
+        # scan 2: DC refinement, bit 0, raw bits (no huffman)
+        s = _Scan()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    s.put(int(coefs[ci][by, bx, 0]) & 1, 1)
+        scans.append((sos_body(range(1, ncomp + 1), 0, 0, 1, 0), s.done()))
+
+        # per component: AC first pass (Al=1), then AC refinement
+        for ci in range(ncomp):
+            s = _Scan()
+            eobrun = 0
+
+            def flush_eob() -> None:
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    c, ln = ac_code[r << 4]
+                    s.put(c, ln)
+                    if r:
+                        s.put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw):
+                    band = coefs[ci][by, bx]
+                    vals = [
+                        (abs(int(band[k])) >> 1)
+                        * (1 if band[k] >= 0 else -1)
+                        for k in range(64)
+                    ]
+                    nz = [k for k in range(1, 64) if vals[k]]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    for k in range(1, nz[-1] + 1):
+                        if vals[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac_code[0xF0]
+                            s.put(c, ln)
+                            run -= 16
+                        put_sized(s, ac_code, run << 4, vals[k])
+                        run = 0
+                    if nz[-1] < 63:
+                        eobrun += 1
+            flush_eob()
+            scans.append((sos_body([ci + 1], 1, 63, 0, 1), s.done()))
+
+        for ci in range(ncomp):
+            s = _Scan()
+            eobrun = 0
+            eob_bits: list[int] = []  # corrections buffered across EOBs
+
+            def flush_eob_refine() -> None:
+                nonlocal eobrun, eob_bits
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    c, ln = ac_code[r << 4]
+                    s.put(c, ln)
+                    if r:
+                        s.put(eobrun - (1 << r), r)
+                    eobrun = 0
+                for b in eob_bits:
+                    s.put(b, 1)
+                eob_bits = []
+
+            for by in range(bh):
+                for bx in range(bw):
+                    band = coefs[ci][by, bx]
+                    absv = [abs(int(band[k])) for k in range(64)]
+                    eob_k = 0
+                    for k in range(1, 64):
+                        if absv[k] == 1:
+                            eob_k = k
+                    run = 0
+                    pend: list[int] = []  # corrections since last symbol
+                    for k in range(1, 64):
+                        t = absv[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob_k:
+                            flush_eob_refine()
+                            c, ln = ac_code[0xF0]
+                            s.put(c, ln)
+                            run -= 16
+                            for b in pend:
+                                s.put(b, 1)
+                            pend = []
+                        if t > 1:  # history-nonzero: buffer correction
+                            pend.append(t & 1)
+                            continue
+                        flush_eob_refine()
+                        c, ln = ac_code[(run << 4) | 1]
+                        s.put(c, ln)
+                        s.put(1 if band[k] > 0 else 0, 1)
+                        for b in pend:
+                            s.put(b, 1)
+                        pend = []
+                        run = 0
+                    if run > 0 or pend:
+                        eobrun += 1
+                        eob_bits.extend(pend)
+                        if eobrun == 0x7FFF or len(eob_bits) > 900:
+                            flush_eob_refine()
+            flush_eob_refine()
+            scans.append((sos_body([ci + 1], 1, 63, 1, 0), s.done()))
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        sof_comps = b"".join(
+            bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+        )
+        sof = seg(
+            0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps
+        )
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+            + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+        )
+        body = b"".join(
+            seg(0xFFDA, sb) + ent for sb, ent in scans
+        )
+        return b"\xff\xd8" + dqt + sof + dht + body + b"\xff\xd9"
+
+    @classmethod
     def _parse_jpeg(cls, payload: bytes):
         """(width, height, pixel_array[h, w, ch]) for baseline
         sequential JPEG (SOF0): marker walk, up to 4 quant / 8 Huffman
         tables from DQT/DHT, restart-interval support, per-MCU Huffman
         decode, dequantize + de-zigzag, separable float IDCT, nearest
         chroma upsample, fixed-point YCbCr->RGB for 3-component scans.
-        Progressive (SOF2) and arithmetic coding are rejected loudly —
-        this codec never fakes a result."""
+        Progressive (SOF2) decodes through the multi-scan coefficient
+        accumulator (_jpeg_progressive_scan). Arithmetic coding and the
+        other SOFn variants are rejected loudly — this codec never
+        fakes a result."""
         import struct
 
         if payload[:2] != b"\xff\xd8":
@@ -3301,14 +3632,22 @@ class PixmapCodec:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         frame = None  # (h, w, [(comp_id, hf, vf, tq)])
+        progressive = False
+        coef_store: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64)
         restart_interval = 0
         pos = 2
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker sync lost")
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI
+                if progressive and coef_store:
+                    return cls._jpeg_progressive_reconstruct(
+                        frame, coef_store, qt, zz, m
+                    )
                 break
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG segment header")
             length = struct.unpack_from(">H", payload, pos + 2)[0]
             body = payload[pos + 4 : pos + 2 + length]
             if len(body) != length - 2:
@@ -3340,7 +3679,7 @@ class PixmapCodec:
                         code <<= 1
                     huff[(tc, th)] = table
                     i += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
                     raise ValueError("only 8-bit JPEG supported")
@@ -3349,28 +3688,255 @@ class PixmapCodec:
                     cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
                 frame = (fh, fw, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+                if progressive and any(
+                    c[1] != 1 or c[2] != 1 for c in comps
+                ):
+                    raise NotImplementedError(
+                        "progressive JPEG with subsampling not supported"
+                    )
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "only baseline sequential JPEG (SOF0) supported"
+                    "only baseline (SOF0) and progressive (SOF2) "
+                    "JPEG supported"
                 )
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack_from(">H", body, 0)[0]
             elif marker == 0xDA:  # SOS — entropy data follows
                 if frame is None:
-                    raise ValueError("JPEG SOS before SOF0")
+                    raise ValueError("JPEG SOS before SOF")
                 ns = body[0]
                 scan_tables = {}
+                scan_comp_ids = []
                 for c in range(ns):
                     cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                     scan_tables[cid] = (tt >> 4, tt & 0xF)
-                return cls._jpeg_scan(
-                    payload, pos + 2 + length, frame, qt, huff,
-                    scan_tables, restart_interval, zz, m,
+                    scan_comp_ids.append(cid)
+                if not progressive:
+                    return cls._jpeg_scan(
+                        payload, pos + 2 + length, frame, qt, huff,
+                        scan_tables, restart_interval, zz, m,
+                    )
+                if restart_interval:
+                    raise NotImplementedError(
+                        "progressive JPEG with restart markers not "
+                        "supported"
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                aa = body[3 + 2 * ns]
+                pos = cls._jpeg_progressive_scan(
+                    payload, pos + 2 + length, frame, coef_store,
+                    huff, scan_tables, scan_comp_ids, ss, se,
+                    aa >> 4, aa & 0xF,
                 )
+                continue
             # APPn / COM / other known-length segments: skip
             pos += 2 + length
         raise ValueError("JPEG missing SOS scan")
+
+    @classmethod
+    def _jpeg_progressive_scan(
+        cls, payload, start, frame, coef_store, huff, scan_tables,
+        scan_comp_ids, ss, se, ah, al,
+    ) -> int:
+        """Decode ONE progressive scan into the per-component
+        coefficient store (T.81 G.2: spectral selection + successive
+        approximation, DC first/refine + AC first/refine with EOBn
+        runs and correction bits). All sampling factors are 1 (guarded
+        at SOF2), so interleaved MCUs and non-interleaved block walks
+        share the frame-wide block grid. Returns the byte position of
+        the next marker."""
+        fh, fw, comps = frame
+        bh, bw = -(-fh // 8), -(-fw // 8)
+        for cid, *_ in comps:
+            if cid not in coef_store:
+                coef_store[cid] = np.zeros((bh, bw, 64), np.int64)
+
+        # entropy segment ends at the first non-stuffed marker byte
+        end = start
+        while end + 1 < len(payload):
+            if payload[end] == 0xFF and payload[end + 1] != 0x00:
+                break
+            end += 1
+        else:
+            raise ValueError("truncated progressive JPEG scan")
+
+        pos = start
+        acc, nbits = 0, 0
+
+        def read_bit() -> int:
+            nonlocal pos, acc, nbits
+            if nbits == 0:
+                if pos >= end:
+                    raise ValueError("truncated JPEG entropy stream")
+                byte = payload[pos]
+                pos += 1
+                if byte == 0xFF:
+                    pos += 1  # the stuffed 0x00 (markers end the slice)
+                acc, nbits = byte, 8
+            nbits -= 1
+            return (acc >> nbits) & 1
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def decode_sym(table) -> int:
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | read_bit()
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+
+        def extend(v: int, size: int) -> int:
+            return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+        if ss == 0:  # DC scan (interleaved over the scan's components)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if ah == 0:  # first pass
+                pred = {cid: 0 for cid in scan_comp_ids}
+                for by in range(bh):
+                    for bx in range(bw):
+                        for cid in scan_comp_ids:
+                            tab = huff.get((0, scan_tables[cid][0]))
+                            if tab is None:
+                                raise ValueError("missing DC DHT")
+                            size = decode_sym(tab)
+                            diff = (
+                                extend(read_bits(size), size)
+                                if size
+                                else 0
+                            )
+                            pred[cid] += diff
+                            coef_store[cid][by, bx, 0] = pred[cid] << al
+            else:  # refinement: one raw bit per block
+                for by in range(bh):
+                    for bx in range(bw):
+                        for cid in scan_comp_ids:
+                            if read_bit():
+                                coef_store[cid][by, bx, 0] |= 1 << al
+            return end
+
+        # AC scans are non-interleaved: exactly one component
+        if len(scan_comp_ids) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid = scan_comp_ids[0]
+        tab = huff.get((1, scan_tables[cid][1]))
+        if tab is None:
+            raise ValueError("missing AC DHT")
+        coef = coef_store[cid]
+        if ah == 0:  # AC first pass
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = decode_sym(tab)
+                        r, s_ = sym >> 4, sym & 0xF
+                        if s_ == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[by, bx, k] = (
+                            extend(read_bits(s_), s_) << al
+                        )
+                        k += 1
+            return end
+
+        # AC refinement pass
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        for by in range(bh):
+            for bx in range(bw):
+                band = coef[by, bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = decode_sym(tab)
+                        r, s_ = sym >> 4, sym & 0xF
+                        if s_ == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += read_bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            if s_ != 1:
+                                raise ValueError(
+                                    "invalid refinement magnitude"
+                                )
+                            val = p1 if read_bit() else m1
+                        while k <= se:
+                            if band[k] != 0:
+                                if read_bit() and not (band[k] & p1):
+                                    band[k] += p1 if band[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            band[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if band[k] != 0 and read_bit() and not (
+                            band[k] & p1
+                        ):
+                            band[k] += p1 if band[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+        return end
+
+    @classmethod
+    def _jpeg_progressive_reconstruct(cls, frame, coef_store, qt, zz, m):
+        """IDCT the accumulated coefficient store after the final scan
+        (all factors 1: one plane per component at frame resolution)."""
+        fh, fw, comps = frame
+        bh, bw = -(-fh // 8), -(-fw // 8)
+        full = []
+        for cid, _hf, _vf, tq in comps:
+            q = qt[tq]
+            coef = coef_store.get(cid)
+            if coef is None:
+                raise ValueError("progressive JPEG missing component scan")
+            plane = np.zeros((bh * 8, bw * 8), np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    deq = coef[by, bx] * q
+                    block = np.zeros((8, 8))
+                    for j in range(64):
+                        block.flat[zz[j]] = deq[j]
+                    px = m.T @ block @ m
+                    plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        np.clip(np.round(px) + 128, 0, 255).astype(
+                            np.uint8
+                        )
+                    )
+            full.append(plane[:fh, :fw])
+        if len(full) == 1:
+            return fw, fh, full[0][:, :, None]
+        if len(full) == 3:
+            return fw, fh, cls._ycbcr_to_rgb(*full)
+        raise ValueError("unsupported JPEG component count")
 
     @classmethod
     def _jpeg_scan(

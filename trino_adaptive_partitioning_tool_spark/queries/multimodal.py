@@ -688,6 +688,76 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_progressive_jpeg_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 2 AS INT) AS mode,
+             CAST((t.asset_id // 2) % 3 + 1 AS INT) AS mw,
+             CAST((t.asset_id // 6) % 2 + 1 AS INT) AS mh,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- progressive decodes to the SAME constant-block values as the
+      -- baseline 4:4:4 twin: successive approximation reassembles the
+      -- exact coefficients, unit quant makes the IDCT integer-exact
+      SELECT asset_id, mode, 8 * mw AS w, 8 * mh AS h,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> {_J_Y444})) AS mean_intensity
+      FROM a WHERE mode = 0
+      UNION ALL
+      SELECT asset_id, mode, 8 * mw AS w, 8 * mh AS h,
+        list_avg(list_transform(range(0, mw * mh),
+          m -> {_rgb_mean(_J_Y444, _J_CB, _J_CR)})) AS mean_intensity
+      FROM a WHERE mode = 1
+    )
+    SELECT CASE mode WHEN 0 THEN 'gray' ELSE 'ycbcr444' END AS jpeg_mode,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM d
+    GROUP BY mode
+    """,
+)
+def multimodal_progressive_jpeg_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive JPEG (SOF2) decode path (r10 verdict "what's
+    missing" #2, second leg after WebP): the standard web scan script —
+    interleaved DC first pass (Al=1), DC refinement, per-component AC
+    first (Ss=1..63) and AC refinement with EOBn run coding and
+    correction bits — encoded by synth_progressive_jpeg_assets and
+    decoded by the multi-scan coefficient accumulator in
+    PixmapCodec._parse_jpeg through the production Arrow stage.
+    Constant blocks + unit quant make the whole 4/8-scan pipeline
+    bit-exact, so the oracle re-derives every decoded statistic from
+    the md5 block convention (including the fixed-point color
+    transform for the 4:4:4 mode); additionally, every progressive
+    payload decodes IDENTICALLY to its baseline-encoded twin on
+    arbitrary rasters (fuzz-pinned in test_codec_fuzz)."""
+    decoded = mm.decode_assets(
+        mm.synth_progressive_jpeg_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    jpeg_mode = F.element_at(
+        F.array(F.lit("gray"), F.lit("ycbcr444")),
+        (F.col("asset_id") % 2 + 1).cast("int"),
+    )
+    return (
+        decoded.withColumn("jpeg_mode", jpeg_mode)
+        .groupBy("jpeg_mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
+@register(
     "multimodal_jpeg_channel_stats",
     oracle=f"""
     WITH a AS ({_JPEG_BASE}), d AS (

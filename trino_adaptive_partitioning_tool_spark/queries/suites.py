@@ -482,6 +482,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_png_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
+    ("multimodal_progressive_jpeg_stats",
+     ["jpeg_mode", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
     ("multimodal_real_decode_stats",
      ["n_assets", "sum_width", "sum_height", "total_bytes"],
      ["avg_intensity"]),
