@@ -137,6 +137,9 @@ HEADLINE_QUERIES = [
     # progressive JPEG (SOF2 successive approximation) decode leg
     "multimodal_webp_decode_stats",
     "multimodal_progressive_jpeg_stats",
+    # r11: apply the trained BPE merges to the corpus (per-lang
+    # symbol-compression report)
+    "bpe_corpus_compression",
     "sessionize_gap_sensitivity",
     "pagerank_transaction_graph",
     "multimodal_phash_near_dup",

@@ -280,6 +280,8 @@ _SHUFFLE_CEILINGS = {
     "jsonl_ingest_stats": 1,
     "bpe_merge_pair_counts": 2,
     "bpe_merge_iterations": 14,
+    # training chain (14) + the per-lang vocab groupBy + its rollup
+    "bpe_corpus_compression": 16,
     "warc_ingest_stats": 1,
     "html_text_extraction_stats": 2,
     "crawl_corpus_funnel": 1,

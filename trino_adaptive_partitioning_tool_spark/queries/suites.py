@@ -287,6 +287,8 @@ _CDC_TIMESERIES: list[tuple[str, list[str], list[str]]] = [
 
 _TEXT_EXTENDED: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search_topk", ["doc_id", "lang"], ["bm25"]),
+    ("bpe_corpus_compression",
+     ["lang", "n_words", "symbols_before", "symbols_after"], []),
     ("bpe_merge_iterations",
      ["round", "pair", "pair_count", "rank"], []),
     ("bpe_merge_pair_counts", ["pair", "pair_count", "rank"], []),

@@ -1361,3 +1361,103 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_total",
         F.sum("n_docs").over(Window.partitionBy("true_lang")).cast("bigint"),
     )
+
+
+def _bpe_compression_oracle() -> str:
+    """Replays the 3-round GLOBAL training (the w/p/t CTE chain from
+    _bpe_iterations_oracle) and then APPLIES the trained merges to a
+    per-language vocabulary — symbol totals are exact integers."""
+    ctes = [f"w1 AS ({_bpe_words_sql()})"]
+    for r, surrogate in enumerate(_BPE_SURROGATES, start=1):
+        ctes.append(f"p{r} AS ({_bpe_pairs_sql(f'w{r}')})")
+        ctes.append(
+            f"t{r} AS (SELECT pair AS merge_pair FROM p{r}"
+            f" ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r + 1} AS (SELECT replace(word,"
+            f" (SELECT merge_pair FROM t{r}), '{surrogate}') AS word, freq"
+            f" FROM w{r})"
+        )
+    apply_chain = "word"
+    for r, surrogate in enumerate(_BPE_SURROGATES, start=1):
+        apply_chain = (
+            f"replace({apply_chain}, (SELECT merge_pair FROM t{r}),"
+            f" '{surrogate}')"
+        )
+    ctes.append(
+        f"""lv AS (
+      SELECT lang, word, COUNT(*) AS freq FROM (
+        SELECT lang, unnest({_TOKS}) AS word FROM documents
+      ) toks
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      GROUP BY lang, word
+    ),
+    applied AS (
+      SELECT lang, freq,
+             length(word) AS len_before,
+             length({apply_chain}) AS len_after
+      FROM lv
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * len_before) AS BIGINT) AS symbols_before,
+           CAST(SUM(freq * len_after) AS BIGINT) AS symbols_after
+    FROM applied GROUP BY lang"""
+    )
+
+
+@register("bpe_corpus_compression", oracle=_bpe_compression_oracle())
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges to the corpus — the half of the
+    tokenizer lifecycle the trainer queries don't cover: the 3 merges
+    learned on the GLOBAL vocabulary (the bpe_merge_iterations chain)
+    rewrite every word instance, and the report is per-language symbol
+    compression (each character of a rewritten word = one symbol), the
+    evidence a tokenizer team reads to decide whether a merge table
+    transfers across languages. All exact integers.
+
+    Scale shape: training iterates on the unique-word table (one
+    corpus-sized shuffle for the global count, one for the per-lang
+    vocabulary); the apply step is three broadcast single-row joins +
+    replace over the (lang, word) VOCAB — the corpus-sized token
+    stream is never rewritten row-by-row, mirroring how production
+    tokenizers apply merge tables to vocabularies, not raw text."""
+    from ..operators import dedup as dedup_ops
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    stream = docs.select(
+        "lang", F.explode(dedup_ops.tokens_expr("text")).alias("word")
+    ).where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+    global_vocab = stream.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    merges = bpe_train_merges(
+        global_vocab, n_rounds=len(_BPE_SURROGATES)
+    ).where(F.col("rank") == 1)
+    lang_vocab = stream.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    applied = lang_vocab.withColumn("after", F.col("word"))
+    for r, surrogate in enumerate(_BPE_SURROGATES, start=1):
+        top_r = merges.where(F.col("round") == r).select(
+            F.col("pair").alias(f"merge_{r}")
+        )
+        applied = applied.crossJoin(F.broadcast(top_r)).withColumn(
+            "after",
+            F.expr(f"replace(after, merge_{r}, '{surrogate}')"),
+        )
+    return applied.groupBy("lang").agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.length("word"))
+        .cast("bigint")
+        .alias("symbols_before"),
+        F.sum(F.col("freq") * F.length("after"))
+        .cast("bigint")
+        .alias("symbols_after"),
+    )
