@@ -92,6 +92,9 @@ _SWEEP = {
     "pagerank_transaction_graph":
         "3 unrolled power iterations; per-iteration cost is one edge "
         "join + one groupBy(dst) — expect ~linear in edges",
+    # r11: trains on the global vocab, applies to the per-lang vocab —
+    # both vocab-bound after the two corpus-sized word counts
+    "bpe_corpus_compression": "",
 }
 
 
