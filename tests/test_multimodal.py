@@ -652,11 +652,18 @@ def test_jpeg_rejects_malformed_payloads():
     # truncated entropy stream
     with pytest.raises(ValueError):
         pc._parse_jpeg(payload[:-8])
-    # progressive SOF2 rejected loudly
+    # SOF2 is SUPPORTED since r11, but a baseline entropy stream under
+    # a flipped SOF2 marker is still malformed: the baseline SOS header
+    # declares spectral selection 0..63, which progressive forbids for
+    # a DC scan — rejected loudly, never a silent partial decode
     sof0 = payload.index(b"\xff\xc0")
     prog = payload[:sof0] + b"\xff\xc2" + payload[sof0 + 2 :]
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se != 0"):
         pc._parse_jpeg(prog)
+    # lossless (SOF3) stays rejected
+    sof3 = payload[:sof0] + b"\xff\xc3" + payload[sof0 + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        pc._parse_jpeg(sof3)
 
 
 def test_jpeg_y4m_decode_branch_matches_frame_walk():
