@@ -792,7 +792,9 @@ def main() -> None:
         sf=sf,
         watch=watch,
         anchor_ratio_r1=anchor_ratio_r1,
-        load_1m=load_avg.get("max_1m"),
+        # START load: the end load is self-inflicted by the bench's own
+        # 32 threads (same reasoning as the baseline generator's gate)
+        load_1m=load_avg.get("start_1m"),
     ):
         print(line)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
