@@ -66,10 +66,15 @@ def main() -> None:
     # Load gate (r10 verdict #1): the append-only discipline is only as
     # good as the samples it appends — a median captured under load-avg
     # ~8 would flag phantom regressions (or mask real ones) forever.
-    # Any run whose recorded 1-min load (max of start/end, from
-    # bench.py's load_avg telemetry) exceeds the gate is DISCARDED; if
-    # every run is loaded the script refuses to touch the baseline and
-    # exits non-zero.
+    # Any run whose recorded START 1-min load (bench.py's load_avg
+    # telemetry) exceeds the gate is DISCARDED; if every run is loaded
+    # the script refuses to touch the baseline and exits non-zero.
+    # START, not max-of-start/end: the bench itself saturates the 32
+    # executor threads, so the END load is self-inflicted by design —
+    # only the load already present when the run begins measures
+    # EXTERNAL contention. Back-to-back runs inherit the previous
+    # run's decaying 1-min average, so the loop also WAITS for the
+    # host to quiesce below the gate before launching each run.
     max_load = float(os.environ.get("SPARK_GRAFT_BASELINE_MAX_LOAD", "4.0"))
     per_query: dict[str, list[float]] = {}
     per_query_cold: dict[str, list[float]] = {}
@@ -78,6 +83,20 @@ def main() -> None:
     kept_runs = 0
     env = dict(os.environ, SPARK_GRAFT_BENCH_SKIP_EXTRAS="1")
     for run in range(n_runs):
+        # quiesce wait: up to 4 min for the 1-min load (ours from the
+        # previous run, or anyone else's) to decay under the gate; if
+        # it never does, launch anyway — the per-run start-load gate
+        # below is the actual arbiter
+        import time as _time
+
+        deadline = _time.monotonic() + 240
+        while _time.monotonic() < deadline:
+            try:
+                if os.getloadavg()[0] <= max_load:
+                    break
+            except OSError:  # pragma: no cover
+                break
+            _time.sleep(15)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, env=env, cwd=REPO,
@@ -96,11 +115,11 @@ def main() -> None:
                 side = json.load(fh)
         except (OSError, ValueError):
             pass
-        run_load = (side.get("load_avg") or {}).get("max_1m")
+        run_load = (side.get("load_avg") or {}).get("start_1m")
         run_loads.append(run_load)
         if run_load is not None and run_load > max_load:
             print(
-                f"# run {run + 1}/{n_runs}: DISCARDED (load_1m "
+                f"# run {run + 1}/{n_runs}: DISCARDED (start load_1m "
                 f"{run_load} > gate {max_load}) — total was "
                 f"{parsed['value']}s",
                 file=sys.stderr,
