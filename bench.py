@@ -130,19 +130,20 @@ HEADLINE_QUERIES = [
     "bpe_merge_pair_counts",
     "bpe_merge_iterations",
     "language_id_confusion",
-    # r11: the end-to-end crawl->corpus funnel (WARC -> extract ->
-    # lang-ID -> MinHash dedup -> quality -> train split, one query)
-    "crawl_to_corpus_pipeline",
-    # r11: WebP-lossless (VP8L canonical-Huffman) decode leg +
-    # progressive JPEG (SOF2 successive approximation) decode leg
-    "multimodal_webp_decode_stats",
-    "multimodal_progressive_jpeg_stats",
-    # r11: apply the trained BPE merges to the corpus (per-lang
-    # symbol-compression report)
-    "bpe_corpus_compression",
     "sessionize_gap_sensitivity",
     "pagerank_transaction_graph",
     "multimodal_phash_near_dup",
+    # r11 — new queries go at the END (bench-baseline discipline: the
+    # kept append-only medians were measured with the queries above in
+    # exactly this order; inserting mid-list would shift the warm-state
+    # context the carried medians were captured under):
+    # the end-to-end crawl->corpus funnel, the WebP-lossless (VP8L)
+    # and progressive-JPEG (SOF2) decode legs, and the BPE merge-table
+    # apply report
+    "crawl_to_corpus_pipeline",
+    "multimodal_webp_decode_stats",
+    "multimodal_progressive_jpeg_stats",
+    "bpe_corpus_compression",
 ]
 
 

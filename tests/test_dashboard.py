@@ -262,3 +262,17 @@ def test_scale_sweep_section_renders_exponents_and_remediation(tmp_path):
     assert html.index("semdedup_keep_canonical") < html.index("q_lin")
     (tmp_path / "SCALE_SWEEP.json").write_text("{not json")
     assert dashboard.scale_sweep_section(str(tmp_path)) == ""
+
+
+def test_scale_sweep_section_survives_partial_malformation(tmp_path):
+    """r11 review: a structurally malformed artifact (null result
+    entries, non-integer extra-factor keys) must skip the section —
+    best-effort means never killing the whole dashboard render."""
+    import json
+
+    (tmp_path / "SCALE_SWEEP.json").write_text(json.dumps({
+        "base": "/x", "factor": 10,
+        "results": {"q_bad": None},
+        "extra_factors": {"not_a_number": {}},
+    }))
+    assert dashboard.scale_sweep_section(str(tmp_path)) == ""

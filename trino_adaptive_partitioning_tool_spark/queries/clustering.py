@@ -99,6 +99,10 @@ def evict_fit_caches(
     are ANDed; with both None everything is evicted. Returns the number
     of cache entries dropped; unpersist failures (e.g. a stopped
     SparkContext) are swallowed — eviction must always succeed."""
+    # the decontamination bench matrix lives in queries/similarity but
+    # is keyed identically — evicted through the same seam (r11 review)
+    from . import similarity as _sim
+
     dropped = 0
     with _FIT_LOCK:
         for cache in (
@@ -108,6 +112,7 @@ def evict_fit_caches(
             _DOC_ASSIGN_CACHE,
             _GREEDY_ASSIGN_CACHE,
             _DRIFT_REPORT_CACHE,
+            _sim._EMBENCH_CACHE,
         ):
             for key in [
                 k

@@ -345,8 +345,8 @@ _PIPE_TRAIN_BUCKETS = 8000  # of sampling.SPLIT_BUCKETS = 10000 (80%)
 def _pipeline_oracle() -> str:
     from ..operators import dedup as dops
     from ..operators.sampling import split_bucket_sql
-    from ..operators.text import LANGUAGE_MARKERS
     from .dedup import _TOKS, _minhash_banded_cte, _minhash_sig_ctes
+    from .text import _LANG_PRED_SQL, _lang_hits_legs, quality_scores_sql
 
     n = dops.DEFAULT_NUM_HASHES
     eq_sum = " + ".join(
@@ -368,14 +368,11 @@ def _pipeline_oracle() -> str:
              ELSE '' END
       )
     """
-    lang_legs = "\nUNION ALL\n".join(
-        f"SELECT doc_id, '{lang}' AS lang, "
-        f"CAST(len(list_intersect(dtoks, "
-        f"[{', '.join(repr(m) for m in markers)}])) AS BIGINT) AS hits "
-        f"FROM dtok"
-        for lang, markers in sorted(LANGUAGE_MARKERS.items())
-    )
-    toks_of_text = _TOKS
+    # classifier ranking + quality composite come from the SHARED
+    # builders the standalone text oracles use (r11 review: a marker /
+    # weight / rounding change must have ONE SQL copy to edit); the
+    # lang CTEs are named tok/hits because that is the contract those
+    # builders expect, so the minhash CTEs take the "m" prefix
     return f"""
     WITH {_R_BASE},
     texts AS (
@@ -388,27 +385,21 @@ def _pipeline_oracle() -> str:
     words_ok AS (
       SELECT doc_id, text FROM texts WHERE n_words >= {_PIPE_MIN_WORDS}
     ),
-    dtok AS (
-      SELECT doc_id, list_distinct({toks_of_text}) AS dtoks FROM words_ok
+    tok AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM words_ok
     ),
-    lhits AS (
-      {lang_legs}
+    hits AS (
+      {_lang_hits_legs()}
     ),
     pred AS (
-      SELECT doc_id, lang FROM (
-        SELECT doc_id, lang, hits,
-               ROW_NUMBER() OVER (
-                 PARTITION BY doc_id ORDER BY hits DESC, lang
-               ) AS rn
-        FROM lhits
-      ) t WHERE rn = 1
+      {_LANG_PRED_SQL}
     ),
     lang_ok AS (
       SELECT w.doc_id, w.text FROM words_ok w
-      JOIN pred p USING (doc_id) WHERE p.lang = 'de'
+      JOIN pred p USING (doc_id) WHERE p.predicted_lang = 'de'
     ),
-    {_minhash_sig_ctes(source="lang_ok")},
-    {_minhash_banded_cte()},
+    {_minhash_sig_ctes(source="lang_ok", prefix="m")},
+    {_minhash_banded_cte(source="msig")},
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a
@@ -420,38 +411,17 @@ def _pipeline_oracle() -> str:
     dom AS (
       SELECT DISTINCT c.id_b AS doc_id
       FROM cand c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
+      JOIN msig sa ON sa.doc_id = c.id_a
+      JOIN msig sb ON sb.doc_id = c.id_b
       WHERE CAST({eq_sum} AS DOUBLE) / {n} >= {_PIPE_JACCARD}
     ),
     uniq AS (
       SELECT l.doc_id, l.text FROM lang_ok l
       WHERE l.doc_id NOT IN (SELECT doc_id FROM dom)
     ),
-    qsig AS (
-      SELECT doc_id,
-        CAST(len(toks) AS DOUBLE) AS n_tok,
-        CAST(len(list_filter(toks,
-          t -> list_contains(['the','and','of','to','a','in','is','that'], t)
-        )) AS DOUBLE) AS n_stop,
-        CAST(length(text)
-             - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-        CAST(length(text) AS DOUBLE) AS n_char,
-        CAST(len(list_distinct(toks)) AS DOUBLE)
-          / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio,
-        LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
-      FROM (SELECT doc_id, text, {toks_of_text} AS toks FROM uniq) qtok
-    ),
     qual AS (
-      SELECT doc_id FROM (
-        SELECT doc_id,
-          ROUND(ROUND(n_stop / GREATEST(n_tok, 1.0), 4) * 40
-            + (1.0 - ROUND(n_punct / GREATEST(n_char, 1.0), 4)) * 20
-            + (1.0 - ROUND(1.0 - distinct_ratio, 4)) * 20
-            + ROUND(length_score, 4) * 20, 2) AS quality_score
-        FROM qsig
-      ) q WHERE quality_score >= {_PIPE_MIN_QUALITY}
+      SELECT doc_id FROM ({quality_scores_sql("uniq")}) q
+      WHERE quality_score >= {_PIPE_MIN_QUALITY}
     ),
     train AS (
       SELECT doc_id FROM qual

@@ -39,45 +39,48 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.token_stats(docs)
 
 
-@register(
-    "text_quality_scores",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, text, {_TOKS} AS toks FROM documents
-    ),
-    sig AS (
-      SELECT
-        doc_id,
-        CAST(len(toks) AS DOUBLE) AS n_tok,
-        CAST(len(list_filter(toks,
-          t -> list_contains(['the','and','of','to','a','in','is','that'], t)
-        )) AS DOUBLE) AS n_stop,
-        CAST(length(text)
-             - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-        CAST(length(text) AS DOUBLE) AS n_char,
-        CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0)
-          AS distinct_ratio,
-        LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
-      FROM tok
-    ),
-    r AS (
+def quality_scores_sql(source: str = "documents") -> str:
+    """DuckDB replay of operators/text.quality_scores over a
+    (doc_id, text) relation — the ONE copy of the quality-composite
+    formula (weights, stop list, rounding discipline), shared by the
+    text_quality_scores oracle and any pipeline oracle that filters on
+    the composite (r11 review: no hand-kept duplicates)."""
+    stop = ", ".join(f"'{s}'" for s in ops.STOPWORDS)
+    return f"""
+    SELECT
+      doc_id, stopword_ratio, punct_ratio, repetition_ratio, length_score,
+      ROUND(stopword_ratio * 40 + (1.0 - punct_ratio) * 20
+            + (1.0 - repetition_ratio) * 20 + length_score * 20, 2)
+        AS quality_score
+    FROM (
       SELECT
         doc_id,
         ROUND(n_stop / GREATEST(n_tok, 1.0), 4) AS stopword_ratio,
         ROUND(n_punct / GREATEST(n_char, 1.0), 4) AS punct_ratio,
         ROUND(1.0 - distinct_ratio, 4) AS repetition_ratio,
         ROUND(length_score, 4) AS length_score
-      FROM sig
-    )
-    SELECT
-      doc_id, stopword_ratio, punct_ratio, repetition_ratio, length_score,
-      ROUND(stopword_ratio * 40 + (1.0 - punct_ratio) * 20
-            + (1.0 - repetition_ratio) * 20 + length_score * 20, 2)
-        AS quality_score
-    FROM r
-    """,
-)
+      FROM (
+        SELECT
+          doc_id,
+          CAST(len(toks) AS DOUBLE) AS n_tok,
+          CAST(len(list_filter(toks,
+            t -> list_contains([{stop}], t)
+          )) AS DOUBLE) AS n_stop,
+          CAST(length(text)
+               - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS DOUBLE) AS n_punct,
+          CAST(length(text) AS DOUBLE) AS n_char,
+          CAST(len(list_distinct(toks)) AS DOUBLE)
+            / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio,
+          LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM {source})
+          quality_tok
+      ) quality_sig
+    ) quality_ratios
+    """
+
+
+@register("text_quality_scores", oracle=quality_scores_sql())
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_table(spark, sf_dir, "documents")
     return ops.quality_scores(docs)

@@ -350,8 +350,16 @@ def scale_sweep_section(base_dir: str | None = None) -> str:
     try:
         with open(_os.path.join(base, "SCALE_SWEEP.json")) as fh:
             sweep = _json.load(fh)
-    except (OSError, ValueError):
+        return _scale_sweep_html(sweep)
+    except Exception:
+        # best-effort contract: a partially-written or structurally
+        # malformed artifact (null result entries, non-integer factor
+        # keys from an interrupted sweep) must skip the section, never
+        # kill the whole dashboard render (r11 review)
         return ""
+
+
+def _scale_sweep_html(sweep: dict) -> str:
     results = sweep.get("results") or {}
     if not results:
         return ""
