@@ -410,3 +410,23 @@ def _is_corrupt(doc_id: int) -> bool:
 
     h = hashlib.md5(f"jsonl|{doc_id}".encode()).hexdigest()[:15]
     return int(h, 16) % CORRUPT_MOD == 0
+
+
+def test_embench_cache_evicts_through_fit_cache_seam(spark):
+    """r11 review: the decontamination bench matrix is session-cached
+    like the k-means fits and must release through the SAME seam."""
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        clustering as qc,
+    )
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        similarity as qs,
+    )
+    from trino_adaptive_partitioning_tool_spark.queries.similarity import (
+        decontamination_embedding_scan,
+    )
+
+    decontamination_embedding_scan(spark, PARITY_SF_DIR).count()
+    app = spark.sparkContext.applicationId
+    assert (app, PARITY_SF_DIR) in qs._EMBENCH_CACHE
+    qc.evict_fit_caches(app_id=app, sf_dir=PARITY_SF_DIR)
+    assert (app, PARITY_SF_DIR) not in qs._EMBENCH_CACHE
