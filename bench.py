@@ -144,6 +144,8 @@ HEADLINE_QUERIES = [
     "multimodal_webp_decode_stats",
     "multimodal_progressive_jpeg_stats",
     "bpe_corpus_compression",
+    # IMA-ADPCM compressed-audio decode leg (recursive-CTE oracle)
+    "multimodal_adpcm_decode_stats",
 ]
 
 

@@ -188,6 +188,55 @@ def test_lzw_arbitrary_streams_round_trip(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_adpcm_decode_matches_independent_state_machine(data):
+    """The production IMA-ADPCM decoder vs a from-the-spec dict/loop
+    reimplementation over arbitrary (predictor, index, nibble-stream)
+    blocks — including the int16 and step-index clamp paths."""
+    step_t = PixmapCodec._IMA_STEP_TABLE
+    idx_t = PixmapCodec._IMA_INDEX_TABLE
+
+    def ref(blocks):
+        out = []
+        for pred, idx, nibs in blocks:
+            out.append(pred)
+            for n in nibs:
+                step = step_t[idx]
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                pred = pred - diff if n & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + idx_t[n & 7]))
+                out.append(pred)
+        return out
+
+    n_blocks = data.draw(st.integers(1, 3))
+    n_nib = 2 * data.draw(st.integers(1, 8))
+    blocks = [
+        (
+            data.draw(st.integers(-32768, 32767)),
+            data.draw(st.integers(0, 88)),
+            data.draw(
+                st.lists(
+                    st.integers(0, 15), min_size=n_nib, max_size=n_nib
+                )
+            ),
+        )
+        for _ in range(n_blocks)
+    ]
+    frames, ch, samples = _pc._parse_wav(
+        PixmapCodec._encode_wav_adpcm(blocks)
+    )
+    assert ch == 1 and frames == n_blocks * (n_nib + 1)
+    assert list(samples) == ref(blocks)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_wav_round_trip_exact(data):
     frames = data.draw(st.integers(1, 500))
     channels = data.draw(st.integers(1, 4))
@@ -254,7 +303,9 @@ def test_truncation_always_raises_valueerror(data):
     is pure padding) decodes identically — never a different result,
     never a foreign exception type."""
     kind = data.draw(
-        st.sampled_from(["png", "jpeg", "gif", "wav", "flac", "avi", "webp"])
+        st.sampled_from(
+            ["png", "jpeg", "gif", "wav", "flac", "avi", "webp", "adpcm"]
+        )
     )
     seed = data.draw(st.integers(0, 2**32 - 1))
     rng = np.random.default_rng(seed)
@@ -265,6 +316,10 @@ def test_truncation_always_raises_valueerror(data):
     elif kind == "webp":
         payload = PixmapCodec._encode_webp(
             rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        )
+    elif kind == "adpcm":
+        payload = PixmapCodec._encode_wav_adpcm(
+            [(100, 5, [int(x) for x in rng.integers(0, 16, 8)])] * 2
         )
     elif kind == "jpeg":
         payload = PixmapCodec._encode_jpeg(

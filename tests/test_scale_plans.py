@@ -286,6 +286,8 @@ _SHUFFLE_CEILINGS = {
     "html_text_extraction_stats": 2,
     "crawl_corpus_funnel": 1,
     "multimodal_flac_decode_stats": 1,
+    # Arrow decode stage + the samples-per-block rollup
+    "multimodal_adpcm_decode_stats": 1,
     "multimodal_avi_frame_stats": 2,
     # r10b: confusion = predictor joins + two-level count; gap sweep =
     # one session_window shuffle per gap config; pagerank = 3 unrolled

@@ -292,6 +292,56 @@ def synth_wav_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_adpcm_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL IMA-ADPCM WAV asset table (format 0x11, the
+    classic 4:1 compressed telephony/game-audio format): per-block
+    state (int16 predictor, step index) and the 4-bit code stream all
+    derive from md5(f"{asset_id}|{block}") — predictor = signed LE
+    bytes 0:2, index = byte 2 % 89, nibble j = half of byte
+    (3 + j // 2) % 16 (low nibble first). The oracle replays the FULL
+    quantizer state machine from the same digest arithmetic with a
+    recursive CTE, so a green row certifies every predictor update,
+    step-ladder move and clamp across every sample."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 3 + 1).cast("int").alias("n_blocks"),
+        (F.col("id") % 5 + 3).cast("int").alias("half_nibs"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, n_blocks, half in zip(
+                pdf["asset_id"], pdf["n_blocks"], pdf["half_nibs"]
+            ):
+                aid, n_blocks, half = int(aid), int(n_blocks), int(half)
+                n_nib = 2 * half
+                blocks = []
+                for b in range(n_blocks):
+                    hb = hashlib.md5(f"{aid}|{b}".encode()).digest()
+                    pred = int.from_bytes(hb[0:2], "little", signed=True)
+                    idx = hb[2] % 89
+                    nibs = [
+                        (hb[(3 + j // 2) % 16] >> (4 * (j % 2))) & 0xF
+                        for j in range(n_nib)
+                    ]
+                    blocks.append((pred, idx, nibs))
+                payload = PixmapCodec._encode_wav_adpcm(blocks)
+                rows.append(
+                    (aid, "audio", payload, (None, None, 8000, None, "wav"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_aiff_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -2262,8 +2312,32 @@ class PixmapCodec:
                 np.int16
             )
             return len(data) // block_align, channels, samples
+        if audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+            if channels != 1:
+                raise NotImplementedError(
+                    "only mono IMA-ADPCM WAV is supported"
+                )
+            if block_align < 5 or len(data) % block_align:
+                raise ValueError("WAV data size not a block multiple")
+            out: list[int] = []
+            for off in range(0, len(data), block_align):
+                block = data[off : off + block_align]
+                pred = struct.unpack_from("<h", block, 0)[0]
+                idx = block[2]
+                if block[3] != 0 or idx > 88:
+                    raise ValueError("malformed IMA-ADPCM block header")
+                out.append(pred)
+                for j in range((block_align - 4) * 2):
+                    byte = block[4 + j // 2]
+                    nib = (byte >> (4 * (j % 2))) & 0xF
+                    pred, idx = PixmapCodec._adpcm_step(pred, idx, nib)
+                    out.append(pred)
+            samples = np.array(out, np.int16)
+            return len(samples), 1, samples
         if audio_format != 1 or bits != 16:
-            raise ValueError("only 16-bit PCM or 8-bit mu-law WAV supported")
+            raise ValueError(
+                "only 16-bit PCM, 8-bit mu-law or IMA-ADPCM WAV supported"
+            )
         if channels < 1 or block_align != channels * 2:
             raise ValueError("malformed WAV fmt chunk")
         if len(data) % block_align:
@@ -2388,6 +2462,89 @@ class PixmapCodec:
             + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # -- IMA/DVI ADPCM (WAV format 0x11): 4-bit compressed audio ----------
+    # Public IMA standard tables (index adjustment by nibble magnitude;
+    # 89-entry quantizer step ladder).
+    _IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+    _IMA_STEP_TABLE = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    )
+
+    @classmethod
+    def _adpcm_step(cls, pred: int, idx: int, nibble: int) -> tuple[int, int]:
+        """One IMA-ADPCM state-machine step: (predictor, step index) ->
+        next state for one 4-bit code. Pure integer arithmetic — a
+        DuckDB recursive CTE replays it bit-for-bit (the oracle)."""
+        step = cls._IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        if nibble & 4:
+            diff += step
+        if nibble & 2:
+            diff += step >> 1
+        if nibble & 1:
+            diff += step >> 2
+        pred = pred - diff if nibble & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + cls._IMA_INDEX_TABLE[nibble & 7]))
+        return pred, idx
+
+    @staticmethod
+    def _encode_wav_adpcm(
+        blocks: list[tuple[int, int, list[int]]],
+        sample_rate: int = 8000,
+    ) -> bytes:
+        """Mono IMA-ADPCM WAV from synthesis-level blocks of
+        (predictor, step_index, nibbles): fmt chunk with the cbSize=2
+        extension (wSamplesPerBlock), the fact chunk compressed WAV
+        requires, block headers (int16 predictor, step index, reserved
+        0) and low-nibble-first code bytes. Every block must carry the
+        same nibble count (fixed nBlockAlign). The DECODE side is the
+        production leg (corpora arrive encoded); this writer exists so
+        the decoder can be driven with exactly-known state sequences
+        that the SQL oracle re-derives."""
+        import struct
+
+        n_nibbles = len(blocks[0][2])
+        if n_nibbles % 2:
+            raise ValueError("nibble count per block must be even")
+        if any(len(b[2]) != n_nibbles for b in blocks):
+            raise ValueError("all blocks must carry the same nibble count")
+        block_align = 4 + n_nibbles // 2
+        samples_per_block = n_nibbles + 1
+        data = bytearray()
+        for pred, idx, nibs in blocks:
+            if not (0 <= idx <= 88):
+                raise ValueError("step index out of range")
+            data += struct.pack("<hBB", pred, idx, 0)
+            for j in range(0, n_nibbles, 2):
+                data.append(
+                    (nibs[j] & 0xF) | ((nibs[j + 1] & 0xF) << 4)
+                )
+        n_samples = len(blocks) * samples_per_block
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, sample_rate,
+            sample_rate * block_align // samples_per_block,
+            block_align, 4, 2, samples_per_block,
+        )
+        fact = struct.pack("<I", n_samples)
+        return (
+            b"RIFF"
+            + struct.pack(
+                "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data)
+            )
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + bytes(data)
         )
 
     # -- FLAC helpers (free lossless audio codec, RFC 9639) ----------------

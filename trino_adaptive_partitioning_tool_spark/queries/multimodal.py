@@ -1304,6 +1304,130 @@ def multimodal_mulaw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _adpcm_oracle() -> str:
+    """Recursive-CTE replay of the FULL IMA-ADPCM quantizer state
+    machine: every predictor update, step-ladder move and int16/index
+    clamp re-derived sample by sample from the synthesis digests —
+    blocks are independent, so the recursion advances all (asset,
+    block) chains in lock-step, one level per sample."""
+    from ..operators.multimodal import PixmapCodec as _PC
+
+    steps = "[" + ", ".join(str(s) for s in _PC._IMA_STEP_TABLE) + "]"
+    idxt = "[" + ", ".join(str(i) for i in _PC._IMA_INDEX_TABLE) + "]"
+    # nibble k (0-based) of the block digest: half of byte (3 + k//2)%16
+    nib = (
+        "((('0x' || substr(hx, CAST(((3 + k // 2) % 16) * 2 + 1 AS INT),"
+        " 2))::INT >> CAST(4 * (k % 2) AS INT)) & 15)"
+    )
+    return f"""
+    WITH RECURSIVE a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 3 + 1 AS INT) AS n_blocks,
+             CAST(2 * (t.asset_id % 5 + 3) AS INT) AS n_nib
+      FROM range(0, 256) t(asset_id)
+    ),
+    blk AS (
+      SELECT asset_id, n_nib,
+             unnest(range(n_blocks)) AS b
+      FROM a
+    ),
+    blk_h AS (
+      SELECT asset_id, n_nib, b,
+        md5(CAST(asset_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS hx
+      FROM blk
+    ),
+    init AS (
+      SELECT asset_id, n_nib, b, hx,
+        CASE WHEN p_u >= 32768 THEN p_u - 65536 ELSE p_u END AS pred0,
+        (('0x' || substr(hx, 5, 2))::INT) % 89 AS idx0
+      FROM (
+        SELECT *,
+          ('0x' || substr(hx, 1, 2))::INT
+            + 256 * ('0x' || substr(hx, 3, 2))::INT AS p_u
+        FROM blk_h
+      ) u
+    ),
+    rec AS (
+      SELECT asset_id, n_nib, b, hx, 0 AS k,
+             CAST(pred0 AS BIGINT) AS pred,
+             CAST(idx0 AS BIGINT) AS idx,
+             CAST(ABS(pred0) AS BIGINT) AS abs_sum
+      FROM init
+      UNION ALL
+      SELECT asset_id, n_nib, b, hx, k + 1,
+             GREATEST(-32768, LEAST(32767,
+               CASE WHEN nib & 8 > 0 THEN pred - diff
+                    ELSE pred + diff END)) AS pred,
+             LEAST(88, GREATEST(0,
+               idx + list_extract({idxt}, (nib & 7) + 1))) AS idx,
+             abs_sum + ABS(GREATEST(-32768, LEAST(32767,
+               CASE WHEN nib & 8 > 0 THEN pred - diff
+                    ELSE pred + diff END)))
+      FROM (
+        SELECT *,
+          (step >> 3)
+          + CASE WHEN nib & 4 > 0 THEN step ELSE 0 END
+          + CASE WHEN nib & 2 > 0 THEN step >> 1 ELSE 0 END
+          + CASE WHEN nib & 1 > 0 THEN step >> 2 ELSE 0 END AS diff
+        FROM (
+          SELECT *, list_extract({steps}, idx + 1) AS step,
+                 {nib} AS nib
+          FROM rec WHERE k < n_nib
+        ) with_step
+      ) with_diff
+    ),
+    fin AS (
+      SELECT asset_id, n_nib, abs_sum FROM rec WHERE k = n_nib
+    ),
+    per_asset AS (
+      SELECT asset_id, CAST(n_nib + 1 AS BIGINT) AS samples_per_block,
+             CAST(SUM(abs_sum) AS BIGINT) AS abs_total,
+             CAST(COUNT(*) * (n_nib + 1) AS BIGINT) AS frames
+      FROM fin GROUP BY asset_id, n_nib
+    )
+    SELECT samples_per_block,
+           COUNT(*) AS n_assets,
+           CAST(SUM(frames) AS BIGINT) AS sum_frames,
+           ROUND(AVG(abs_total * 1.0 / frames), 4) AS avg_abs_amplitude
+    FROM per_asset
+    GROUP BY samples_per_block
+    """
+
+
+@register("multimodal_adpcm_decode_stats", oracle=_adpcm_oracle())
+def multimodal_adpcm_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED-audio decode path (IMA/DVI ADPCM, WAV format 0x11 —
+    the classic 4:1 telephony/game codec, the third WAV data path
+    after PCM and mu-law): per-block (predictor, step index) headers
+    and a 4-bit code stream walked through the real quantizer state
+    machine by the production Arrow decode stage. The oracle replays
+    the ENTIRE state machine — step ladder, predictor clamps, index
+    clamps, sample by sample — with a recursive CTE over the same
+    synthesis digests, so a green row is a bit-exact certificate of
+    every decoded sample, not a header check. Grouped by
+    samples-per-block so each block geometry is separately
+    certified."""
+    decoded = mm.decode_assets(
+        mm.synth_adpcm_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    spb = (2 * (F.col("asset_id") % 5 + 3) + 1).cast("bigint")
+    return (
+        decoded.withColumn("samples_per_block", spb)
+        .groupBy("samples_per_block")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_frames"),
+            F.round(F.avg("mean_intensity"), 4).alias(
+                "avg_abs_amplitude"
+            ),
+        )
+    )
+
+
 @register(
     "multimodal_bmp_decode_stats",
     oracle="""

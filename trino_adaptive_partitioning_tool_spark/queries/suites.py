@@ -451,6 +451,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("metadata_pushdown_aggregates",
      ["table_name", "column_name", "n_rows", "n_nulls"],
      ["min_v", "max_v"]),
+    ("multimodal_adpcm_decode_stats",
+     ["samples_per_block", "n_assets", "sum_frames"],
+     ["avg_abs_amplitude"]),
     ("multimodal_aiff_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
     ("multimodal_avi_frame_stats",
