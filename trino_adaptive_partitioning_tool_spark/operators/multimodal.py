@@ -4,12 +4,21 @@ pipelines (extensions layer).
 Media travels as an opaque `binary` payload column plus typed metadata —
 the layout a 100 TB multimodal corpus uses (payload bytes stay columnar
 in parquet; metadata prunes without touching payloads). Decode/resize/
-frame-sample are Arrow-batched `mapInPandas` stages: the Spark-side
-plumbing (schema, batch shape, partitioning) is real and tested; the
-actual codec call is STUBBED — image/audio libraries are not in this
-container, so each stage uses a clearly-marked deterministic fake decoder
-and raises NotImplementedError if a real codec is explicitly requested
-(`require_codec=True`).
+frame-sample are Arrow-batched `mapInPandas` stages, and TWO codec
+implementations exist behind one dispatch seam:
+
+- the default deterministic fake (`_fake_decode_*`) — hash-derived
+  pixels/samples, used where only the Spark-side plumbing (schema,
+  batch shape, partitioning) is under test; and
+- `PixmapCodec` — a REAL pure-python decoder (and for several formats
+  encoder) for the container's full format census: PPM/PGM, BMP, PNG
+  (all filter types), GIF (LZW), TIFF, baseline + progressive (SOF2)
+  JPEG, VP8L WebP-lossless, WAV PCM, IMA-ADPCM (WAV fmt 0x11), µ-law,
+  AIFF, FLAC, Y4M, MJPEG-AVI. Registered decode queries pass
+  `require_codec=True, codec=PixmapCodec()` and are oracle-checked
+  end-to-end; NotImplementedError sites are fail-loud guards naming
+  the specific unsupported codec VARIANT (e.g. interlaced PNG), not
+  stubs.
 """
 
 from __future__ import annotations
