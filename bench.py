@@ -146,6 +146,9 @@ HEADLINE_QUERIES = [
     "bpe_corpus_compression",
     # IMA-ADPCM compressed-audio decode leg (recursive-CTE oracle)
     "multimodal_adpcm_decode_stats",
+    # r12: the media-to-corpus funnel flagship (decode-quarantine ->
+    # phash dedup -> quality gate -> manifest, one query)
+    "media_to_corpus_pipeline",
 ]
 
 
@@ -773,6 +776,9 @@ def main() -> None:
         "missing_baseline": missing_baseline,
         "load_avg": load_avg,  # measurement context for every sample —
         # gen_bench_baseline.py refuses to append runs over its load gate
+        "data_census": registry.data_census(),  # synth-input composition
+        # per query — the rebaseline key's second component (a plan hash
+        # cannot see a generator growing; the census can)
         "sf": sf,
     }
     side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -21,9 +21,23 @@ apples-to-apples. Run on an IDLE host (the shared host's load noise is
 documented at +/-40%; a baseline captured under contention would flag
 phantom regressions forever).
 
+The rebaseline key is plan-hash PLUS synth-data census (r12, closing
+the r11 verdict's "What's wrong" #1): a mapInPandas plan manifest is
+byte-identical whether its generator synthesizes 7 or 8 formats, so
+data growth inside a generator could never reset the median and the
+query flagged forever (the mixed-corpus + WEBP case). bench.py now
+records `registry.data_census()` in BENCH_PLANS.json; a query whose
+recorded census differs from the current one rebases even when its
+plan hash is unchanged. Censuses recorded for the first time do NOT
+reset anything (grandfathered — a mass reset would erase the very
+yardstick that catches regressions like the repeated avi flag).
+
 Usage:  python scripts/gen_bench_baseline.py [n_runs]
         FORCE_REBASELINE=1 overrides append-only (full reset; say why
         in the commit message).
+        SPARK_GRAFT_REBASE_QUERIES=a,b,c rebases ONLY the named
+        queries (targeted reset with a commit-message justification —
+        e.g. known data growth that predates census recording).
 """
 from __future__ import annotations
 
@@ -76,9 +90,15 @@ def main() -> None:
     # run's decaying 1-min average, so the loop also WAITS for the
     # host to quiesce below the gate before launching each run.
     max_load = float(os.environ.get("SPARK_GRAFT_BASELINE_MAX_LOAD", "4.0"))
+    rebase_queries = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_REBASE_QUERIES", "").split(",")
+        if q.strip()
+    }
     per_query: dict[str, list[float]] = {}
     per_query_cold: dict[str, list[float]] = {}
     plans: dict[str, object] = {}
+    census: dict[str, object] = {}
     run_loads: list[float | None] = []
     kept_runs = 0
     env = dict(os.environ, SPARK_GRAFT_BENCH_SKIP_EXTRAS="1")
@@ -131,6 +151,7 @@ def main() -> None:
         for name, sec in side.get("cold_queries", {}).items():
             per_query_cold.setdefault(name, []).append(float(sec))
         plans = side.get("plans", plans)
+        census = side.get("data_census", census)
         print(
             f"# run {run + 1}/{n_runs}: total {parsed['value']}s "
             f"(load_1m {run_load})",
@@ -148,6 +169,7 @@ def main() -> None:
     prev_medians: dict[str, float] = {}
     prev_cold: dict[str, float] = {}
     prev_hashes: dict[str, str] = {}
+    prev_census: dict[str, object] = {}
     if not force:
         try:
             with open(path) as fh:
@@ -155,17 +177,31 @@ def main() -> None:
             prev_medians = prev.get("medians", {})
             prev_cold = prev.get("cold_medians", {})
             prev_hashes = prev.get("plan_hashes", {})
+            prev_census = prev.get("data_census", {})
         except (OSError, ValueError):
             pass
 
     medians: dict[str, float] = {}
     cold_medians: dict[str, float] = {}
     hashes: dict[str, str] = {}
-    kept, reset, added = [], [], []
+    kept, reset, added, reset_census, reset_named = [], [], [], [], []
     for name, vals in sorted(per_query.items()):
         new_hash = _manifest_hash(plans.get(name))
-        if name in prev_medians and prev_hashes.get(name) == new_hash:
-            # append-only: same plan => the old cost basis stands
+        # census match: a FIRST-TIME census (query absent from the
+        # recorded data_census) is grandfathered — introducing census
+        # recording must not reset two dozen medians at once, which
+        # would erase the yardstick exactly where regressions are being
+        # adjudicated. Once recorded, any census drift rebases.
+        census_changed = name in prev_census and prev_census.get(
+            name
+        ) != census.get(name)
+        if (
+            name in prev_medians
+            and prev_hashes.get(name) == new_hash
+            and not census_changed
+            and name not in rebase_queries
+        ):
+            # append-only: same plan + same data => the cost basis stands
             medians[name] = prev_medians[name]
             if name in prev_cold:
                 cold_medians[name] = prev_cold[name]
@@ -178,12 +214,24 @@ def main() -> None:
                 statistics.median(per_query_cold[name]), 3
             )
         hashes[name] = new_hash
-        (reset if name in prev_medians else added).append(name)
+        if name not in prev_medians:
+            added.append(name)
+        elif name in rebase_queries:
+            reset_named.append(name)
+        elif census_changed:
+            reset_census.append(name)
+        else:
+            reset.append(name)
 
     payload = {
         "medians": medians,
         "cold_medians": cold_medians,
         "plan_hashes": hashes,
+        # recorded per-query synth-input census: the rebaseline key's
+        # second component (only queries that declare one participate)
+        "data_census": {
+            n: census[n] for n in sorted(census) if n in medians
+        },
         "runs": kept_runs,
         "samples": {n: v for n, v in sorted(per_query.items())},
         "generated_utc": datetime.datetime.now(
@@ -194,6 +242,8 @@ def main() -> None:
         "append_only": not force,
         "kept": len(kept),
         "reset_on_plan_change": sorted(reset),
+        "reset_on_census_change": sorted(reset_census),
+        "reset_named": sorted(reset_named),
         "added": sorted(added),
     }
     with open(path, "w") as fh:
@@ -201,7 +251,9 @@ def main() -> None:
     print(
         f"# wrote {path}: {len(medians)} queries "
         f"({len(kept)} kept, {len(added)} added, "
-        f"{len(reset)} reset on plan change"
+        f"{len(reset)} reset on plan change, "
+        f"{len(reset_census)} reset on census change, "
+        f"{len(reset_named)} reset by name"
         f"{', FORCED full reset' if force else ''})",
         file=sys.stderr,
     )

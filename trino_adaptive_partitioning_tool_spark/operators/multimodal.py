@@ -1004,41 +1004,52 @@ def synth_tiff_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+# Composition spec for the mixed-modality corpus: (format label,
+# generator, id offset, assets per format). SINGLE SOURCE OF TRUTH for
+# both synth_mixed_assets and mixed_asset_census() — the r11 close
+# proved that growing this list (WEBP, +7000) without a census signal
+# leaves bench.py's append-only median stale forever, because a
+# mapInPandas plan manifest does not change when its generator grows.
+# gen_bench_baseline.py folds the census into its rebaseline key, so
+# ANY edit here (format added/removed, per-format n changed) resets the
+# affected medians with the census diff as the recorded justification.
+_MIXED_ASSET_SPEC: tuple[tuple[str, object, int, int], ...] = (
+    ("png", synth_png_assets, 0, 64),
+    ("jpeg", synth_jpeg_assets, 1000, 64),
+    ("wav", synth_wav_assets, 2000, 64),
+    ("y4m", synth_y4m_assets, 3000, 64),
+    ("tiff", synth_tiff_assets, 4000, 64),
+    ("flac", synth_flac_assets, 5000, 64),
+    ("avi", synth_avi_assets, 6000, 64),
+    ("webp", synth_webp_assets, 7000, 64),
+)
+
+
+def mixed_asset_census() -> dict[str, int]:
+    """Per-format asset counts of synth_mixed_assets' output — the
+    data-growth signal gen_bench_baseline.py keys its rebaseline on."""
+    return {fmt: n for fmt, _gen, _off, n in _MIXED_ASSET_SPEC}
+
+
 def synth_mixed_assets(spark: SparkSession) -> DataFrame:
     """Mixed-modality corpus: one asset table carrying REAL PNG, JPEG,
     WAV, Y4M, TIFF, FLAC, MJPEG-AVI and WebP-lossless payloads side by
     side — the shape a real crawl table arrives in. Asset ids are
-    offset per modality (PNG +0, JPEG +1000, WAV +2000, Y4M +3000,
-    TIFF +4000, FLAC +5000, AVI +6000, WEBP +7000 — each generator's id
-    space is its own, so every payload equals the single-modality
-    generator's output for id % 1000 and the oracles' positional
-    re-derivations carry over unchanged). Consumed by ONE decode stage
-    whose codec dispatches on payload magic bytes per row — per-type
-    dispatch inside a single Arrow mapInPandas pass, not a per-type
-    job."""
+    offset per modality (_MIXED_ASSET_SPEC: PNG +0, JPEG +1000, WAV
+    +2000, Y4M +3000, TIFF +4000, FLAC +5000, AVI +6000, WEBP +7000 —
+    each generator's id space is its own, so every payload equals the
+    single-modality generator's output for id % 1000 and the oracles'
+    positional re-derivations carry over unchanged). Consumed by ONE
+    decode stage whose codec dispatches on payload magic bytes per row —
+    per-type dispatch inside a single Arrow mapInPandas pass, not a
+    per-type job."""
     parts = [
-        synth_png_assets(spark, n=64, partitions=4),
-        synth_jpeg_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 1000
-        ),
-        synth_wav_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 2000
-        ),
-        synth_y4m_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 3000
-        ),
-        synth_tiff_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 4000
-        ),
-        synth_flac_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 5000
-        ),
-        synth_avi_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 6000
-        ),
-        synth_webp_assets(spark, n=64, partitions=4).withColumn(
-            "asset_id", F.col("asset_id") + 7000
-        ),
+        gen(spark, n=n, partitions=4).withColumn(
+            "asset_id", F.col("asset_id") + offset
+        )
+        if offset
+        else gen(spark, n=n, partitions=4)
+        for _fmt, gen, offset, n in _MIXED_ASSET_SPEC
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4423,16 +4434,33 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+DECODED_Q_SCHEMA = T.StructType(
+    [*DECODED_SCHEMA.fields, T.StructField("decode_ok", T.BooleanType(), False)]
+)
+
+
 def decode_assets(
     assets: DataFrame,
     require_codec: bool = False,
     codec: Codec | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched decode stage. Batch shape: payloads arrive as a
     pandas Series of bytes per partition chunk — exactly how a real
     PIL/libav decode loop would consume them. The codec is the pluggable
-    seam (Codec protocol); everything else is production plumbing."""
+    seam (Codec protocol); everything else is production plumbing.
+
+    on_error: "raise" (default) propagates decode failures — the right
+    mode for synthesized-by-us tables where a failure is a codec bug.
+    "quarantine" is the crawl-ingest mode (corrupt bytes are the NORM in
+    fetched corpora): failed rows keep their identity with NULL decoded
+    stats and decode_ok=False instead of killing the job — the same
+    row-level quarantine contract as the gzip-JSONL reader. Adds a
+    decode_ok column (DECODED_Q_SCHEMA)."""
     codec = _check_codec(codec, require_codec)
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine: {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4441,18 +4469,30 @@ def decode_assets(
                 pdf["asset_id"], pdf["media_type"], pdf["payload"]
             ):
                 raw = bytes(payload)
-                w, h, mi = codec.decode(raw, mt)
-                out.append((int(aid), mt, w, h, mi, len(raw)))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "asset_id", "media_type", "decoded_width",
-                    "decoded_height", "mean_intensity", "payload_bytes",
-                ],
-            )
+                if quarantine:
+                    try:
+                        w, h, mi = codec.decode(raw, mt)
+                        out.append((int(aid), mt, w, h, mi, len(raw), True))
+                    except Exception:
+                        # corrupt/truncated/unsupported payload: the row
+                        # survives with its identity so the pipeline can
+                        # count and route it; stats stay NULL
+                        out.append(
+                            (int(aid), mt, None, None, None, len(raw), False)
+                        )
+                else:
+                    w, h, mi = codec.decode(raw, mt)
+                    out.append((int(aid), mt, w, h, mi, len(raw)))
+            cols = [
+                "asset_id", "media_type", "decoded_width",
+                "decoded_height", "mean_intensity", "payload_bytes",
+            ]
+            if quarantine:
+                cols.append("decode_ok")
+            yield pd.DataFrame(out, columns=cols)
 
     return assets.select("asset_id", "media_type", "payload").mapInPandas(
-        _decode, schema=DECODED_SCHEMA
+        _decode, schema=DECODED_Q_SCHEMA if quarantine else DECODED_SCHEMA
     )
 
 

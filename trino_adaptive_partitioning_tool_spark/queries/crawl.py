@@ -561,3 +561,21 @@ def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "6L, 'train_split', f_train"
         ") AS (stage_idx, stage, n_records)"
     )
+
+
+# Synth-data census for the bench rebaseline trigger (see
+# queries/multimodal.py DATA_CENSUS): every crawl query synthesizes the
+# same WARC shard table, so growing _N_SHARDS or the per-shard record
+# count now resets the affected medians instead of flagging forever.
+DATA_CENSUS: dict[str, dict] = {
+    name: {
+        "warc_shards": _N_SHARDS,
+        "records_per_shard": cops.RECORDS_PER_SHARD,
+    }
+    for name in (
+        "warc_ingest_stats",
+        "html_text_extraction_stats",
+        "crawl_corpus_funnel",
+        "crawl_to_corpus_pipeline",
+    )
+}

@@ -173,3 +173,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return _ordered(_ORACLES)
+
+
+def data_census() -> dict[str, dict]:
+    """Aggregate per-query synth-data census declarations (module-level
+    DATA_CENSUS dicts in the query modules). bench.py records this in
+    BENCH_PLANS.json and gen_bench_baseline.py folds it into its
+    append-only rebaseline key: a plan-manifest hash cannot see a synth
+    GENERATOR growing (the r11 mixed-corpus + WEBP case — a mapInPandas
+    plan is identical at 7 and 8 formats), so the census is the second
+    key component. Only queries with a declared census participate;
+    everything else keeps the pure plan-hash key unchanged."""
+    _load_all()
+    import importlib
+    import pkgutil
+
+    out: dict[str, dict] = {}
+    pkg = importlib.import_module(__package__)
+    for info in pkgutil.iter_modules(pkg.__path__):
+        mod = importlib.import_module(f"{__package__}.{info.name}")
+        for name, census in getattr(mod, "DATA_CENSUS", {}).items():
+            assert name not in out, f"duplicate census for {name}"
+            out[name] = census
+    return out
