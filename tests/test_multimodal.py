@@ -1002,3 +1002,104 @@ def test_aiff_round_trip_and_extended_rate():
         except ValueError:
             continue
         raise AssertionError(f"cut {cut} did not raise")
+
+
+# --- synth-data census (bench rebaseline trigger, r12) -------------------
+
+
+def test_mixed_asset_census_matches_generator_output(spark):
+    """The census gen_bench_baseline.py keys its rebaseline on must be
+    the TRUTH about synth_mixed_assets — a hand-maintained count that
+    drifted from the generator would silently re-open the r11 stale-
+    median hole (WEBP added, pre-WEBP median kept forever)."""
+    census = mm.mixed_asset_census()
+    rows = mm.synth_mixed_assets(spark).select("asset_id").collect()
+    by_offset: dict[int, int] = {}
+    for r in rows:
+        by_offset[r["asset_id"] // 1000] = (
+            by_offset.get(r["asset_id"] // 1000, 0) + 1
+        )
+    spec_counts = {
+        off // 1000: n for _f, _g, off, n in mm._MIXED_ASSET_SPEC
+    }
+    assert by_offset == spec_counts
+    assert census == {
+        fmt: n for fmt, _g, _off, n in mm._MIXED_ASSET_SPEC
+    }
+    assert len(rows) == sum(census.values())
+
+
+def test_registry_data_census_covers_registered_queries_only():
+    from trino_adaptive_partitioning_tool_spark.queries import registry
+
+    census = registry.data_census()
+    qs = registry.queries()
+    assert set(census) <= set(qs)
+    # the query that motivated the trigger must carry a census, and its
+    # census must be the generator truth
+    assert census["multimodal_mixed_corpus_stats"] == {
+        "mixed_assets": mm.mixed_asset_census()
+    }
+    # censuses must be plain JSON-stable data (the baseline generator
+    # compares them by equality after a JSON round trip)
+    import json
+
+    assert json.loads(json.dumps(census)) == census
+
+
+# --- decode quarantine (r12: media_to_corpus_pipeline ingest mode) -------
+
+
+def test_decode_quarantine_routes_corrupt_payloads(spark):
+    """on_error='quarantine': corrupt payloads keep their row identity
+    with NULL stats and decode_ok=False; valid rows match the raise-mode
+    decode exactly. A corrupt row under on_error='raise' propagates."""
+    from pyspark.sql import functions as F
+
+    assets = mm.synth_phash_assets(spark, n=8, partitions=2)
+    corrupt = assets.withColumn(
+        "asset_id", F.col("asset_id") + 100
+    ).withColumn("payload", F.expr("substring(payload, 1, 40)"))
+    codec = mm.PixmapCodec()
+    out = {
+        r["asset_id"]: r
+        for r in mm.decode_assets(
+            assets.unionByName(corrupt),
+            require_codec=True,
+            codec=codec,
+            on_error="quarantine",
+        ).collect()
+    }
+    clean = {
+        r["asset_id"]: r
+        for r in mm.decode_assets(
+            assets, require_codec=True, codec=codec
+        ).collect()
+    }
+    assert len(out) == 16
+    for aid in range(8):
+        good, bad = out[aid], out[aid + 100]
+        assert good["decode_ok"] is True
+        # valid rows carry the exact raise-mode stats
+        ref = clean[aid]
+        assert (
+            good["decoded_width"],
+            good["decoded_height"],
+            good["mean_intensity"],
+        ) == (
+            ref["decoded_width"],
+            ref["decoded_height"],
+            ref["mean_intensity"],
+        )
+        assert bad["decode_ok"] is False
+        assert bad["decoded_width"] is None
+        assert bad["decoded_height"] is None
+        assert bad["mean_intensity"] is None
+        assert bad["payload_bytes"] == 40
+    # raise mode: the same corrupt payloads kill the job (fail-loud)
+    with pytest.raises(Exception):
+        mm.decode_assets(
+            corrupt, require_codec=True, codec=codec
+        ).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        mm.decode_assets(assets, codec=codec, on_error="bogus")

@@ -304,6 +304,11 @@ _SHUFFLE_CEILINGS = {
     # survivors, plus the doc-grain flag joins (broadcast at smoke
     # scale) and the two 1-row aggregates; never all-pairs
     "crawl_to_corpus_pipeline": 6,
+    # r12: the media funnel — banded phash self-join (candidate
+    # distinct) + dominated/semi doc-grain joins (broadcast at smoke
+    # scale) + the final 1-row aggregate; decode/hash are Arrow map
+    # stages over the persisted ingest scan, never all-pairs
+    "media_to_corpus_pipeline": 4,
     "histogram_quantile_estimate": 18,
     "incremental_histogram_rollup": 2,
     "text_entropy_scores": 3,

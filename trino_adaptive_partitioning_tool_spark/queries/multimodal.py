@@ -1752,10 +1752,15 @@ _PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
 assert _PHASH_BANDS * _PHASH_BAND_BITS >= 63, "bands must cover the hash"
 
 
-def _phash_oracle() -> str:
-    # gray(p) = sum over channels of digest byte ((p*ch + c) % 16), with
-    # the near-dup perturbation folded in arithmetically for % 8 == 7
-    # stream byte b lives at position (b % 16) of md5('<key>|<b//16>')
+def _phash_hash_ctes(n: int) -> str:
+    """CTE fragment (a/d/g/hashes) re-deriving synth_phash_assets(n)'s
+    rasters and cross-multiplied average-hashes for ids [0, n) — shared
+    by the phash near-dup oracle and the media-to-corpus pipeline
+    oracle (identical decode + hash semantics, different downstream).
+
+    gray(p) = sum over channels of digest byte ((p*ch + c) % 16), with
+    the near-dup perturbation folded in arithmetically for % 8 == 7;
+    stream byte b lives at position (b % 16) of md5('<key>|<b//16>')."""
     byte = (
         "CAST(('0x' || substr(md5(key_s || '|' ||"
         " CAST((p * ch + c) // 16 AS VARCHAR)),"
@@ -1768,12 +1773,11 @@ def _phash_oracle() -> str:
                THEN ({byte} + 16) % 256
                ELSE {byte} END)) AS BIGINT))
     """
-    return f"""
-    WITH a AS (
+    return f"""a AS (
       SELECT t.aid AS asset_id,
              CASE WHEN t.aid % 4 = 3 THEN t.aid - 3 ELSE t.aid END AS key,
              (t.aid % 8 = 7) AS perturbed
-      FROM range(0, {_PHASH_N}) t(aid)
+      FROM range(0, {n}) t(aid)
     ),
     d AS (
       SELECT asset_id,
@@ -1797,8 +1801,14 @@ def _phash_oracle() -> str:
                       THEN CAST(1 AS BIGINT) << (j - 1)
                       ELSE 0 END)), 0) AS BIGINT) AS phash
       FROM g
-    ),
-    bands AS (
+    )"""
+
+
+def _phash_band_ctes() -> str:
+    """CTE fragment (bands/cand/verified) banding `hashes` into the
+    pigeonhole chunks and verifying candidates with exact hamming —
+    the SQL twin of the banded self-join both phash queries run."""
+    return f"""bands AS (
       SELECT asset_id, w, h, ch, phash, b.k AS band_idx,
              (phash >> ({_PHASH_BAND_BITS} * b.k)) & {_PHASH_BAND_MASK}
                AS band
@@ -1818,7 +1828,13 @@ def _phash_oracle() -> str:
       FROM cand c
       JOIN hashes ha ON ha.asset_id = c.id_a
       JOIN hashes hb ON hb.asset_id = c.id_b
-    )
+    )"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH {_phash_hash_ctes(_PHASH_N)},
+    {_phash_band_ctes()}
     SELECT CAST(hamming AS BIGINT) AS hamming,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM verified
@@ -1847,13 +1863,24 @@ def multimodal_phash_near_dup(
     banded equi-join like MinHash-LSH — nothing all-pairs. On the tiny
     synth rasters the dims key is the primary bucket; the band legs
     degenerate to it, which the candidate DISTINCT absorbs."""
-    from ..operators import multimodal as mm
-
     hashes = mm.perceptual_hashes(
         mm.synth_phash_assets(spark, n=_PHASH_N),
         require_codec=True,
         codec=mm.PixmapCodec(),
     )
+    return (
+        _phash_near_dup_pairs(hashes)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming <= gate) from a
+    perceptual_hashes frame: pigeonhole-band the 63-bit hash, self-join
+    on (dims, band), verify candidates with exact bit_count hamming —
+    shared by multimodal_phash_near_dup and media_to_corpus_pipeline
+    (the banded equi-join is the scale path; never all-pairs)."""
     bands = hashes.select(
         "asset_id", "w", "h", "ch", "phash",
         F.posexplode(
@@ -1895,13 +1922,251 @@ def multimodal_phash_near_dup(
             "id_b",
         )
         .select(
+            "id_a",
+            "id_b",
             F.expr("bit_count(ph_a ^ ph_b)").cast("bigint").alias(
                 "hamming"
-            )
+            ),
         )
     )
-    return (
-        verified.where(F.col("hamming") <= _PHASH_HAMMING_MAX)
-        .groupBy("hamming")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    return verified.where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+
+
+# --- media-to-corpus pipeline (r12 flagship) -----------------------------
+# The multimodal twin of crawl_to_corpus_pipeline: mixed-container
+# assets -> magic-byte decode (corrupt rows quarantined, not fatal) ->
+# phash near-dup dedup -> per-modality quality gate -> train manifest,
+# as ONE funnel query with per-stage retention counts.
+
+_MEDIA_PIPE_IMG_N = 256  # synth_phash_assets: PNG+WebP, planted dups
+_MEDIA_PIPE_WAV_N = 64  # synth_wav_assets at id offset +10000
+_MEDIA_PIPE_CORRUPT_N = 32  # truncated payloads at id offset +20000
+_MEDIA_PIPE_WAV_OFF = 10_000
+_MEDIA_PIPE_CORRUPT_OFF = 20_000
+# quality floors, picked for real attrition on the synth distributions
+# (images: w*h spans 36..99, floor keeps ~half; audio: md5-cycled int16
+# mean |amplitude| spans ~6.7k..24.1k, floor keeps 40/64; nearest values
+# sit ~48 away from the floor and the means are exact integer-sum /
+# count in float64 on both engines, so the compare cannot flip)
+_MEDIA_PIPE_MIN_PIXELS = 60
+_MEDIA_PIPE_MIN_AMP = 15_000.0
+_MEDIA_PIPE_TRAIN_BUCKETS = 8_000  # 80% of sampling.SPLIT_BUCKETS
+
+
+def _media_pipeline_oracle() -> str:
+    from ..operators.sampling import split_bucket_sql
+
+    sample = _WAV_SAMPLE
+    return f"""
+    WITH {_phash_hash_ctes(_MEDIA_PIPE_IMG_N)},
+    {_phash_band_ctes()},
+    dom AS (
+      SELECT DISTINCT id_b AS asset_id FROM verified
+      WHERE hamming <= {_PHASH_HAMMING_MAX}
+    ),
+    wav AS (
+      SELECT t.aid AS wav_id,
+             CAST(t.aid % 50 + 10 AS INT) AS frames,
+             CAST(t.aid % 2 + 1 AS INT) AS ch,
+             md5(CAST(t.aid AS VARCHAR)) AS hx
+      FROM range(0, {_MEDIA_PIPE_WAV_N}) t(aid)
+    ),
+    wav_amp AS (
+      SELECT wav_id + {_MEDIA_PIPE_WAV_OFF} AS asset_id,
+             list_avg(list_transform(range(1, frames * ch + 1), j ->
+               ABS(CASE WHEN {sample} >= 32768
+                        THEN {sample} - 65536
+                        ELSE {sample} END))) AS mean_amp
+      FROM wav
+    ),
+    rows_all AS (
+      SELECT h.asset_id, TRUE AS f_decode,
+             h.asset_id IN (SELECT asset_id FROM dom) AS is_dom,
+             h.n_pixels >= {_MEDIA_PIPE_MIN_PIXELS} AS q_ok
+      FROM hashes h
+      UNION ALL
+      SELECT w.asset_id, TRUE, FALSE,
+             w.mean_amp >= {_MEDIA_PIPE_MIN_AMP}
+      FROM wav_amp w
+      UNION ALL
+      SELECT t.aid + {_MEDIA_PIPE_CORRUPT_OFF}, FALSE, FALSE, FALSE
+      FROM range(0, {_MEDIA_PIPE_CORRUPT_N}) t(aid)
+    ),
+    flags AS (
+      SELECT asset_id, f_decode,
+             f_decode AND NOT is_dom AS f_uniq,
+             f_decode AND NOT is_dom AND q_ok AS f_qual,
+             f_decode AND NOT is_dom AND q_ok
+               AND {split_bucket_sql("asset_id")}
+                   < {_MEDIA_PIPE_TRAIN_BUCKETS} AS f_train
+      FROM rows_all
     )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_records AS BIGINT) AS n_records
+    FROM (
+      SELECT 0 AS stage_idx, 'ingested' AS stage, COUNT(*) AS n_records
+      FROM flags
+      UNION ALL
+      SELECT 1, 'decode_ok', COUNT(*) FILTER (WHERE f_decode) FROM flags
+      UNION ALL
+      SELECT 2, 'near_dup_unique', COUNT(*) FILTER (WHERE f_uniq)
+      FROM flags
+      UNION ALL
+      SELECT 3, 'quality_ok', COUNT(*) FILTER (WHERE f_qual) FROM flags
+      UNION ALL
+      SELECT 4, 'train_split', COUNT(*) FILTER (WHERE f_train) FROM flags
+    ) s
+    """
+
+
+@register("media_to_corpus_pipeline", oracle=_media_pipeline_oracle())
+def media_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full media-to-training-corpus funnel in one query — the
+    multimodal twin of crawl_to_corpus_pipeline: mixed-container assets
+    (PNG + WebP images with planted exact/near duplicates, WAV audio,
+    plus deliberately TRUNCATED payloads) -> one magic-byte-dispatched
+    decode stage with row-level quarantine (corrupt bytes are counted
+    and dropped, never fatal — the crawl-reality contract) -> phash
+    near-dup dedup over the decodable images (keep-lowest-id, the exact
+    banded pipeline multimodal_phash_near_dup certifies) -> per-modality
+    quality gate (resolution floor for rasters, mean-|amplitude| floor
+    for audio) -> deterministic train-split manifest, with per-stage
+    retention counts.
+
+    Scale shape: the ingest scan is persisted ONCE (decode and phash
+    both consume it); decode and hashing are Arrow map stages; the only
+    non-map stages are the pigeonhole-banded self-join (equi-join on
+    (dims, band), never all-pairs), the doc-grain dominated/semi joins,
+    and the final 1-row aggregate. Nothing corpus-sized ever collects."""
+    from pyspark import StorageLevel
+
+    from ..operators import sampling
+
+    codec = mm.PixmapCodec()
+    images = mm.synth_phash_assets(spark, n=_MEDIA_PIPE_IMG_N)
+    audio = mm.synth_wav_assets(
+        spark, n=_MEDIA_PIPE_WAV_N, partitions=4
+    ).withColumn("asset_id", F.col("asset_id") + _MEDIA_PIPE_WAV_OFF)
+    # corrupt leg: a 40-byte prefix of a real PNG/WebP payload — the
+    # signature survives (magic-byte dispatch routes it) but the body is
+    # gone, so decode fails deterministically and quarantines
+    corrupt = (
+        mm.synth_phash_assets(spark, n=_MEDIA_PIPE_CORRUPT_N, partitions=4)
+        .withColumn("asset_id", F.col("asset_id") + _MEDIA_PIPE_CORRUPT_OFF)
+        .withColumn("payload", F.expr("substring(payload, 1, 40)"))
+    )
+    corpus = (
+        images.unionByName(audio)
+        .unionByName(corrupt)
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    decoded = mm.decode_assets(
+        corpus, require_codec=True, codec=codec, on_error="quarantine"
+    )
+    ok_images = corpus.where(F.col("media_type") == "image").join(
+        decoded.where(F.col("decode_ok")).select("asset_id"),
+        "asset_id",
+        "left_semi",
+    )
+    hashes = mm.perceptual_hashes(
+        ok_images, require_codec=True, codec=codec
+    )
+    dominated = (
+        _phash_near_dup_pairs(hashes)
+        .select(F.col("id_b").alias("asset_id"))
+        .distinct()
+        .withColumn("is_dom", F.lit(True))
+    )
+    q_ok = F.when(
+        F.col("media_type") == "image",
+        (F.col("decoded_width") * F.col("decoded_height"))
+        >= _MEDIA_PIPE_MIN_PIXELS,
+    ).otherwise(F.col("mean_intensity") >= _MEDIA_PIPE_MIN_AMP)
+    flagged = (
+        decoded.join(dominated, "asset_id", "left")
+        .withColumn(
+            "f_uniq", F.col("decode_ok") & F.col("is_dom").isNull()
+        )
+        .withColumn("f_qual", F.col("f_uniq") & q_ok)
+        .withColumn(
+            "f_train",
+            F.col("f_qual")
+            & (
+                sampling.split_bucket(F.col("asset_id"))
+                < _MEDIA_PIPE_TRAIN_BUCKETS
+            ),
+        )
+    )
+
+    def _n(flag: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col(flag), 1).otherwise(0))
+            .cast("bigint")
+            .alias(flag)
+        )
+
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ingested"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("f_decode"),
+        _n("f_uniq"),
+        _n("f_qual"),
+        _n("f_train"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "0L, 'ingested', ingested, "
+        "1L, 'decode_ok', f_decode, "
+        "2L, 'near_dup_unique', f_uniq, "
+        "3L, 'quality_ok', f_qual, "
+        "4L, 'train_split', f_train"
+        ") AS (stage_idx, stage, n_records)"
+    )
+
+
+# Synth-data census for the bench rebaseline trigger (r12, closing the
+# r11 verdict's "What's wrong" #1): each entry mirrors the literal
+# generator call(s) its query makes above, as {generator: asset_count}
+# (mixed expands to per-format counts from the shared spec).
+# gen_bench_baseline.py folds this into its append-only key, so growing
+# a generator — the r11 WEBP-into-mixed case, where the mapInPandas
+# PLAN hash cannot move — now resets the affected median with the
+# census diff as the recorded justification. test_multimodal.py pins
+# the mixed entry against the actual generator output.
+DATA_CENSUS: dict[str, dict] = {
+    "multimodal_decode_stats": {"assets": 256},
+    "multimodal_feature_search": {"assets": 128},
+    "multimodal_resize_stats": {"assets": 256},
+    "multimodal_frame_sample": {"assets": 128},
+    "multimodal_real_decode_stats": {"ppm_assets": 256},
+    "multimodal_resize_real_stats": {"ppm_assets": 256},
+    "multimodal_png_decode_stats": {"png_assets": 256},
+    "multimodal_webp_decode_stats": {"webp_assets": 256},
+    "multimodal_channel_stats": {"png_assets": 256},
+    "multimodal_y4m_frame_stats": {"y4m_assets": 128},
+    "multimodal_scene_changes": {"y4m_assets": 128},
+    "multimodal_jpeg_decode_stats": {"jpeg_assets": 256},
+    "multimodal_progressive_jpeg_stats": {
+        "progressive_jpeg_assets": 256
+    },
+    "multimodal_jpeg_channel_stats": {"jpeg_assets": 256},
+    "multimodal_mixed_corpus_stats": {
+        "mixed_assets": mm.mixed_asset_census()
+    },
+    "multimodal_gif_decode_stats": {"gif_assets": 256},
+    "multimodal_aiff_decode_stats": {"aiff_assets": 256},
+    "multimodal_mulaw_decode_stats": {"mulaw_assets": 256},
+    "multimodal_adpcm_decode_stats": {"adpcm_assets": 256},
+    "multimodal_bmp_decode_stats": {"bmp_assets": 256},
+    "multimodal_tiff_decode_stats": {"tiff_assets": 256},
+    "multimodal_wav_decode_stats": {"wav_assets": 256},
+    "multimodal_flac_decode_stats": {"flac_assets": 256},
+    "multimodal_avi_frame_stats": {"avi_assets": 192},
+    "multimodal_phash_near_dup": {"phash_assets": _PHASH_N},
+    "media_to_corpus_pipeline": {
+        "phash_assets": _MEDIA_PIPE_IMG_N,
+        "wav_assets": _MEDIA_PIPE_WAV_N,
+        "corrupt_assets": _MEDIA_PIPE_CORRUPT_N,
+    },
+}

@@ -448,6 +448,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("event_type_user_overlap",
      ["type_a", "type_b", "n_both", "n_a", "n_b"], ["user_jaccard"]),
     ("histogram_quantile_estimate", [], ["q", "quantile_checked"]),
+    ("media_to_corpus_pipeline",
+     ["stage_idx", "stage", "n_records"], []),
     ("metadata_pushdown_aggregates",
      ["table_name", "column_name", "n_rows", "n_nulls"],
      ["min_v", "max_v"]),
