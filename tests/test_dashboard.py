@@ -276,3 +276,42 @@ def test_scale_sweep_section_survives_partial_malformation(tmp_path):
         "extra_factors": {"not_a_number": {}},
     }))
     assert dashboard.scale_sweep_section(str(tmp_path)) == ""
+
+
+def test_colstats_table_filter_island_and_select(html_out):
+    """r12 (reference ui/app.py:164-180 parity): the column-statistics
+    page carries a per-table <select> wired to colStatsFilter plus a
+    parseable JSON island with the FULL per-table stats — the vanilla-JS
+    reproduction of the reference's Streamlit table selectbox."""
+    import json as _json
+
+    assert "id='colstats-select'" in html_out
+    assert "onchange='colStatsFilter(this)'" in html_out
+    assert "<option value='*'>All tables</option>" in html_out
+    m = re.search(
+        r"<script type='application/json' id='colstats-data'>(.*?)"
+        r"</script>",
+        html_out,
+        re.S,
+    )
+    assert m, "colstats data island missing"
+    island = _json.loads(m.group(1).replace("<\\/", "</"))
+    assert set(island) == {"cardinality", "usage"}
+    tables = {r["table"] for r in island["cardinality"]}
+    assert tables, "island carries no tables"
+    # every island table is offered as an option, and the island rows
+    # carry the exact fields the JS renderer indexes
+    for t in sorted(tables):
+        assert f"<option value='{t}'>" in html_out
+    assert all(
+        set(r) == {"table", "column", "type", "distinct"}
+        for r in island["cardinality"]
+    )
+    assert all(
+        set(r) == {"name", "source", "wf"} for r in island["usage"]
+    )
+    # the two filterable table roots exist for the client-side renderer
+    assert "<div id='colstats-usage'>" in html_out
+    assert "<div id='colstats-card'>" in html_out
+    # the JS function itself ships on the page
+    assert "function colStatsFilter" in html_out

@@ -21,6 +21,7 @@ for single-series charts (the title names the series).
 from __future__ import annotations
 
 import html
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -40,6 +41,44 @@ function tblFilter(inp) {
     rows[i].style.display =
       rows[i].textContent.toLowerCase().indexOf(q) >= 0 ? '' : 'none';
   }
+}
+function colStatsFilter(sel) {
+  // reference parity: ui/app.py:164-180 — a table selector that narrows
+  // the column-statistics surfaces to the chosen table's columns. Data
+  // comes from the embedded JSON island (#colstats-data); rows are
+  // re-rendered client-side, no server round trip.
+  var data = JSON.parse(
+    document.getElementById('colstats-data').textContent);
+  var t = sel.value;
+  var esc = function (s) {
+    return String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;');
+  };
+  var cols = null;  // null = all tables
+  if (t !== '*') {
+    cols = {};
+    data.cardinality.forEach(function (r) {
+      if (r.table === t) { cols[r.column] = 1; }
+    });
+  }
+  var card = data.cardinality.filter(function (r) {
+    return t === '*' || r.table === t;
+  });
+  var usage = data.usage.filter(function (r) {
+    return cols === null || cols[r.name] === 1;
+  });
+  var render = function (rootId, rows) {
+    var tbl = document.querySelector('#' + rootId + ' table');
+    while (tbl.rows.length > 1) { tbl.deleteRow(1); }
+    tbl.insertAdjacentHTML('beforeend', rows.join(''));
+  };
+  render('colstats-card', card.map(function (r) {
+    return '<tr><td>' + [r.table, r.column, r.type, r.distinct]
+      .map(esc).join('</td><td>') + '</td></tr>';
+  }));
+  render('colstats-usage', usage.map(function (r) {
+    return '<tr><td>' + [r.name, r.source, r.wf]
+      .map(esc).join('</td><td>') + '</td></tr>';
+  }));
 }
 function tblSort(th) {
   var table = th.closest('table');
@@ -486,6 +525,60 @@ def render_dashboard(
         .collect()
     ]
 
+    # Interactive table filter (reference parity: ui/app.py:164-180's
+    # selectbox): the FULL per-table column stats ship as an embedded
+    # JSON island; a vanilla-JS <select> re-renders the two tables
+    # client-side — the selected table's columns only, like the
+    # reference's Streamlit widget, with no server round trip. The
+    # frames here are advisor-metadata-sized (columns × tables), never
+    # corpus-sized, so embedding them whole is safe.
+    colstats_island = {
+        "cardinality": [
+            {
+                "table": r["table"],
+                "column": r["column"],
+                "type": r["data_type"],
+                "distinct": int(r["distinct_count"]),
+            }
+            for r in profiles.select(
+                "table", "column", "data_type", "distinct_count"
+            )
+            .orderBy(F.desc("distinct_count"), "table", "column")
+            .collect()
+        ],
+        "usage": [
+            {
+                "name": r["name"],
+                "source": r["source"],
+                "wf": round(float(r["wf"]), 2),
+            }
+            for r in usage.groupBy("name", "source")
+            .agg(F.sum("weighted_frequency").alias("wf"))
+            .orderBy(F.desc("wf"), "name", "source")
+            .collect()
+        ],
+    }
+    colstats_tables = sorted(
+        {r["table"] for r in colstats_island["cardinality"]}
+    )
+    colstats_select = (
+        "<label class='note'>Filter by table: "
+        "<select id='colstats-select' onchange='colStatsFilter(this)'>"
+        "<option value='*'>All tables</option>"
+        + "".join(
+            f"<option value='{_esc(t)}'>{_esc(t)}</option>"
+            for t in colstats_tables
+        )
+        + "</select></label>"
+    )
+    colstats_data = (
+        "<script type='application/json' id='colstats-data'>"
+        + json.dumps(colstats_island, separators=(",", ":")).replace(
+            "</", "<\\/"
+        )
+        + "</script>"
+    )
+
     # -- Resource usage ----------------------------------------------
     col_resource = [
         (r["column"], float(r["v"]))
@@ -648,10 +741,25 @@ def render_dashboard(
         _hbar_chart(top_usage, "Top columns by usage", "weighted frequency"),
         _table(benefits, ["table", "partition keys", "total score"]),
         "<h2>Column statistics</h2>",
+        colstats_select,
+        colstats_data,
         _hbar_chart(
             col_usage, "Column usage frequency by signal", "weighted frequency"
         ),
-        _table(cardinality, ["table", "column", "type", "distinct values"]),
+        "<h3>Column usage by signal</h3>",
+        "<div id='colstats-usage'>"
+        + _table(
+            [
+                {**r, "wf": r["wf"]}
+                for r in colstats_island["usage"][:12]
+            ],
+            ["name", "source", "wf"],
+        )
+        + "</div>",
+        "<h3>Column cardinality</h3>",
+        "<div id='colstats-card'>"
+        + _table(cardinality, ["table", "column", "type", "distinct values"])
+        + "</div>",
         "<h2>Resource usage</h2>",
         _hbar_chart(
             col_resource,
