@@ -801,7 +801,29 @@ def _ndv_legs() -> str:
     return "\nUNION ALL\n".join(legs)
 
 
-def _scored_sql() -> str:
+def _scored_sql(time_pred: str | None = None) -> str:
+    """Composite-score SQL over the fixture workload. `time_pred`
+    (optional, e.g. "l.create_time < TIMESTAMP '2025-06-01 00:00:00'")
+    windows the LOG-DERIVED signals — mined join/table usage and
+    per-column execution attribution — to the logs satisfying it,
+    exactly like run_analysis(time_filter=...): the mined fixture is
+    query_id-keyed, so windowing is a semi-join against the filtered
+    log. Catalog-derived usage (view query counts) and table NDV are
+    not log signals and stay unwindowed on both engines."""
+    if time_pred:
+        mined_leg = (
+            "SELECT m.name, CAST(SUM(m.cnt) AS BIGINT)\n"
+            "        FROM mined m JOIN query_logs l USING (query_id)\n"
+            f"        WHERE m.kind = '{{kind}}' AND {time_pred}"
+            " GROUP BY m.name"
+        )
+        colperf_pred = f" AND {time_pred}"
+    else:
+        mined_leg = (
+            "SELECT name, CAST(SUM(cnt) AS BIGINT)\n"
+            "        FROM mined WHERE kind = '{kind}' GROUP BY name"
+        )
+        colperf_pred = ""
     return f"""
     WITH {_LOGS_CTE},
     {_VIEWS_CTE},
@@ -821,11 +843,9 @@ def _scored_sql() -> str:
         SELECT name, CAST(SUM(cnt) AS BIGINT)
         FROM mined_ddl WHERE kind = 'join_column' GROUP BY name
         UNION ALL
-        SELECT name, CAST(SUM(cnt) AS BIGINT)
-        FROM mined WHERE kind = 'join_column' GROUP BY name
+        {mined_leg.format(kind="join_column")}
         UNION ALL
-        SELECT name, CAST(SUM(cnt) AS BIGINT)
-        FROM mined WHERE kind = 'table' GROUP BY name
+        {mined_leg.format(kind="table")}
       ) u GROUP BY name
     ),
     colperf AS (
@@ -833,7 +853,7 @@ def _scored_sql() -> str:
              CAST(SUM(l.execution_time_ms * m.cnt) AS BIGINT)
                AS col_execution_time_ms
       FROM mined m JOIN query_logs l USING (query_id)
-      WHERE m.kind IN ('join_column', 'where_column')
+      WHERE m.kind IN ('join_column', 'where_column'){colperf_pred}
       GROUP BY m.name
     ),
     ndv AS (
@@ -1213,6 +1233,130 @@ def partition_recommendation_drift(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return drift_triggers_from_usage(spark, sf_dir, usage)
+
+
+# ---------------------------------------------------------------------------
+# S7 (spec evolution) — the reference reads only the CURRENT partition
+# spec from Iceberg's $metadata tables (src/trino_client.py:95-107); a
+# deployed advisor re-runs on a growing log, leaving a spec-per-run
+# history — the metadata-log analog of Iceberg's metadata_log_entries.
+# Synthesized here from three cumulative as-of runs of the SAME
+# recommendation pipeline over the fixture log's natural month windows.
+# ---------------------------------------------------------------------------
+_SPEC_HISTORY_GENS: list[str | None] = [
+    "2025-06-01 00:00:00",  # gen 1: the May workload
+    "2025-07-01 00:00:00",  # gen 2: May + June
+    None,  # gen 3: the full log
+]
+
+
+def _spec_history_oracle() -> str:
+    legs = []
+    for gen, cut in enumerate(_SPEC_HISTORY_GENS, start=1):
+        pred = (
+            f"l.create_time < TIMESTAMP '{cut}'" if cut is not None else None
+        )
+        legs.append(f"""
+      SELECT CAST({gen} AS BIGINT) AS generation, view_name,
+             string_agg(column_name, ', ' ORDER BY candidate_rank)
+               AS partition_keys_csv
+      FROM (
+        SELECT view_name, column_name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY view_name ORDER BY score DESC, column_name
+               ) AS candidate_rank
+        FROM ({_scored_sql(pred)}) scored_g{gen}
+        WHERE score > 0
+      ) top3 WHERE candidate_rank <= 3
+      GROUP BY view_name""")
+        # scored_g{gen} carries its own WITH; DuckDB scopes each leg's
+        # CTEs inside the derived table, so the three legs cannot clash
+    unioned = "\nUNION ALL\n".join(legs)
+    return f"""
+    WITH hist AS (
+      {unioned}
+    ),
+    marked AS (
+      SELECT view_name, generation, partition_keys_csv,
+             (LAG(partition_keys_csv) OVER w IS DISTINCT FROM
+              partition_keys_csv) AS spec_changed
+      FROM hist
+      WINDOW w AS (PARTITION BY view_name ORDER BY generation)
+    )
+    SELECT view_name, generation, partition_keys_csv, spec_changed,
+           CAST(SUM(CASE WHEN spec_changed THEN 1 ELSE 0 END)
+                OVER (PARTITION BY view_name) AS BIGINT) AS n_spec_changes
+    FROM marked
+    """
+
+
+@register("partition_spec_history", oracle=_spec_history_oracle())
+def partition_spec_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution across repeated advisor runs: the full
+    recommendation pipeline (run_analysis, exact stats) executed as-of
+    three cumulative log windows, emitting one row per (view,
+    generation) with that run's recommended keys, whether the spec
+    CHANGED versus the previous generation (first appearance counts as
+    a change — spec creation, like Iceberg's first metadata_log entry),
+    and the view's total spec churn. The workload genuinely drifts
+    across the fixture's months, so generations disagree and the churn
+    signal is real, not synthetic decoration.
+
+    Scale shape: each generation's analysis is dimension-sized (one row
+    per candidate column) regardless of log size; the history union is
+    (views x generations) rows and the LAG window partitions by view —
+    nothing here grows with the data, only with schema width and run
+    count, exactly like a real metadata log."""
+    from pyspark.sql.window import Window
+
+    from ..operators import recommend
+
+    hist: DataFrame | None = None
+    for gen, cut in enumerate(_SPEC_HISTORY_GENS, start=1):
+        tf = (
+            F.col("create_time") < F.lit(cut).cast("timestamp")
+            if cut is not None
+            else None
+        )
+        res = recommend.run_analysis(
+            spark,
+            sf_dir,
+            time_filter=tf,
+            exact_stats=True,
+            profile_percentiles=False,
+        )
+        leg = (
+            res["recommendations"]
+            .where(F.size("partition_keys") > 0)
+            .select(
+                F.lit(gen).cast("bigint").alias("generation"),
+                F.col("view").alias("view_name"),
+                F.array_join("partition_keys", ", ").alias(
+                    "partition_keys_csv"
+                ),
+            )
+        )
+        hist = leg if hist is None else hist.unionByName(leg)
+    assert hist is not None
+    w = Window.partitionBy("view_name").orderBy("generation")
+    marked = hist.withColumn(
+        "spec_changed",
+        ~F.lag("partition_keys_csv")
+        .over(w)
+        .eqNullSafe(F.col("partition_keys_csv")),
+    )
+    return marked.withColumn(
+        "n_spec_changes",
+        F.sum(F.when(F.col("spec_changed"), 1).otherwise(0))
+        .over(Window.partitionBy("view_name"))
+        .cast("bigint"),
+    ).select(
+        "view_name",
+        "generation",
+        "partition_keys_csv",
+        "spec_changed",
+        "n_spec_changes",
+    )
 
 
 # ---------------------------------------------------------------------------

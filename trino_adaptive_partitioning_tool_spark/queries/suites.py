@@ -516,6 +516,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("partition_layout_whatif",
      ["candidate_key", "n_partitions", "n_rows", "max_partition_rows"],
      ["skew_ratio", "est_scan_fraction"]),
+    ("partition_spec_history",
+     ["view_name", "generation", "partition_keys_csv", "spec_changed",
+      "n_spec_changes"], []),
     ("rollup_advice",
      ["table_name", "column_name", "groupby_freq", "ndv", "table_rows"],
      ["est_rollup_fraction"]),
