@@ -337,13 +337,25 @@ def test_quoted_alias_spelling_keyword():
 import os
 from collections import Counter
 
-_F_TABLES = ["tbl_alpha", "tbl_beta", "tbl_gamma", "tbl_delta", "tbl_eps"]
+# (sql_token, mined_base) pairs; r12 adds the quoted-identifier edge
+# cases from Trino's grammar — embedded spaces, keyword spellings,
+# dots INSIDE quotes (part of the name, not a qualifier), doubled-quote
+# escapes, and schema-qualified quoted segments
+_F_TABLES = [
+    ("tbl_alpha", "tbl_alpha"),
+    ("tbl_beta", "tbl_beta"),
+    ("tbl_gamma", "tbl_gamma"),
+    ('"Tbl Eps"', "tbl eps"),
+    ('sch_one."Tbl.Zeta"', "tbl.zeta"),
+]
 _F_COLS = [
     ("col_one", "col_one"),
     ("col_two", "col_two"),
     ("col_three", "col_three"),
     ('"Quoted Col"', "quoted col"),
     ('"select"', "select"),  # keyword spelled as a quoted identifier
+    ('"Dot.Col"', "dot.col"),  # dot inside quotes is not a qualifier
+    ('"esc""col"', 'esc"col'),  # doubled-quote escape in the name
 ]
 # includes keywords spelled as QUOTED identifiers — legal alias names
 # that must not terminate clause collection or leak into column counts
@@ -395,8 +407,8 @@ def _fz_table_source(draw, depth, exp, ctes):
         # refs as where signals; pattern vars / MEASURES outputs /
         # navigation calls contribute nothing. MEASURES output names
         # come from a disjoint pool so suppression stays exact.
-        t = draw(st.sampled_from(_F_TABLES))
-        exp["tables"].add(t)
+        t_tok, t_base = draw(st.sampled_from(_F_TABLES))
+        exp["tables"].add(t_base)
         pcol = draw(st.sampled_from(_F_COLS))
         ocol = draw(st.sampled_from(_F_COLS))
         dcol = draw(st.sampled_from(_F_COLS))
@@ -406,7 +418,7 @@ def _fz_table_source(draw, depth, exp, ctes):
         alias = draw(st.sampled_from(_F_ALIASES))
         as_kw = "AS " if draw(st.booleans()) else ""
         return (
-            f"{t} MATCH_RECOGNIZE("
+            f"{t_tok} MATCH_RECOGNIZE("
             f" PARTITION BY {pcol[0]} ORDER BY {ocol[0]} DESC"
             f" MEASURES A.{dcol[0]} AS {mr_out}"
             f" ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
@@ -447,21 +459,22 @@ def _fz_table_source(draw, depth, exp, ctes):
         return (f"ROWS FROM ({fns}){ord_} {as_kw}{va}("
                 + ", ".join(vcols) + ")")
     if kind == "base":
-        t = draw(st.sampled_from(_F_TABLES))
-        exp["tables"].add(t)
+        t_tok, t_base = draw(st.sampled_from(_F_TABLES))
+        exp["tables"].add(t_base)
         alias = draw(st.sampled_from(_F_ALIASES + [""]))
         if alias:
-            return f"{t} AS {alias}" if draw(st.booleans()) else f"{t} {alias}"
-        return t
+            return (f"{t_tok} AS {alias}" if draw(st.booleans())
+                    else f"{t_tok} {alias}")
+        return t_tok
     if kind == "sampled":
         # Trino sampledRelation: tbl [alias] TABLESAMPLE kind (pct) —
         # the sample clause contributes no tables/columns and must not
         # derail a following comma/join source
-        t = draw(st.sampled_from(_F_TABLES))
-        exp["tables"].add(t)
+        t_tok, t_base = draw(st.sampled_from(_F_TABLES))
+        exp["tables"].add(t_base)
         alias = draw(st.sampled_from(_F_ALIASES + [""]))
         meth = draw(st.sampled_from(["BERNOULLI", "SYSTEM"]))
-        base = f"{t} {alias}".strip()
+        base = f"{t_tok} {alias}".strip()
         return f"{base} TABLESAMPLE {meth} (10)"
     if kind == "unnest":
         # relational UNNEST: no base-table scan; the AS t(cols) output

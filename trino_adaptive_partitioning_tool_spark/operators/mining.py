@@ -14,6 +14,54 @@ string in, many ``(kind, name, cnt)`` rows out), so mining a query log
 scales linearly with executors — no driver-side loop over log rows. At
 100 TB of logs this is the only Python hot path in the engine; everything
 downstream is JVM-side DataFrame algebra.
+
+Supported Trino grammar (tokenizer-level; each row certified by
+tests/test_mining.py — unit/golden cases plus the generative
+DIFFERENTIAL grammar fuzz, green at MINER_FUZZ_EXAMPLES=10000):
+
+==============================================  ===========================
+construct                                       handling
+==============================================  ===========================
+SELECT / WITH [RECURSIVE] CTEs                  names pre-scanned and
+                                                scoped; bodies mined;
+                                                CTE refs never count as
+                                                base-table scans
+joins: ON / USING(...) / comma / LATERAL /      join-column counts;
+outer variants                                  USING lists expanded
+WHERE + aggregate FILTER (WHERE ...)            where-column counts
+derived tables ``(SELECT ...) [AS] t(c, ...)``  recursed as own scope;
+and ``(VALUES ...) t(c, ...)``                  output names are derived
+                                                columns (qualified refs
+                                                suppressed)
+predicate subqueries (IN / EXISTS / scalar)     recursed as own scope
+UNNEST(...) [WITH ORDINALITY] [AS t(c, ...)]    no scan; outputs derived
+ROWS FROM (fn(...), ...) [WITH ORDINALITY]      no scan; outputs derived
+TABLESAMPLE BERNOULLI/SYSTEM (expr)             consumed, no signal
+lambdas ``x -> ...`` / ``(a, b) -> ...``        params suppressed for
+                                                exactly their body; free
+                                                variables still count
+quoted identifiers                              keyword spellings, spaces,
+                                                dots inside quotes (part
+                                                of the name), doubled-
+                                                quote escapes, qualified
+                                                quoted segments
+MATCH_RECOGNIZE (...)                           sectioned mining
+                                                (PARTITION BY → join,
+                                                ORDER BY/DEFINE → where,
+                                                MEASURES outputs derived)
+                                                AND logged in
+                                                ``skipped`` — the
+                                                partially-supported
+                                                marker
+set ops / GROUP / ORDER / HAVING / OFFSET       clause boundaries; LIMIT
+/ LIMIT                                         sets the has_limit marker
+==============================================  ===========================
+
+Anything the walk cannot attribute is dropped from counts, and
+partially-supported constructs are COUNTED in
+``mine_statement()['skipped']`` and emitted as
+``kind='skipped_construct'`` rows by the Spark integration — visible
+downstream, never a silent mis-attribution.
 """
 
 from __future__ import annotations
