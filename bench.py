@@ -149,6 +149,9 @@ HEADLINE_QUERIES = [
     # r12: the media-to-corpus funnel flagship (decode-quarantine ->
     # phash dedup -> quality gate -> manifest, one query)
     "media_to_corpus_pipeline",
+    # r12: spec evolution — the full advisor pipeline as-of three
+    # cumulative log windows (prices the repeated-run adaptive loop)
+    "partition_spec_history",
 ]
 
 

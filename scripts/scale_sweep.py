@@ -257,6 +257,70 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Synth-backed pipelines (r12): their corpora come from generators,
+    # not the sf tables, so directory inflation cannot grow them — the
+    # factor scales the GENERATOR size instead (shard count / asset
+    # counts), which is the same knob a larger crawl or media dump
+    # turns. Timed via the registered functions' explicit size params,
+    # fresh plan per rep like everything else.
+    synth_sweeps = {
+        "crawl_to_corpus_pipeline": {
+            "build": None,  # filled below
+            "note": (
+                "synth-backed: factor scales the WARC shard count "
+                "(64 -> 64*factor); extraction persist + banded "
+                "MinHash self-join are the non-map stages"
+            ),
+        },
+        "media_to_corpus_pipeline": {
+            "build": None,
+            "note": (
+                "synth-backed: factor scales the image/audio/corrupt "
+                "asset counts; planted duplicate DENSITY is constant "
+                "so pair output grows linearly, unlike the verbatim "
+                "table replication above"
+            ),
+        },
+    }
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        crawl as q_crawl,
+        multimodal as q_mm,
+    )
+
+    synth_sweeps["crawl_to_corpus_pipeline"]["build"] = (
+        lambda f: lambda s, d: q_crawl.crawl_to_corpus_pipeline(
+            s, d, n_shards=64 * f
+        )
+    )
+    synth_sweeps["media_to_corpus_pipeline"]["build"] = (
+        lambda f: lambda s, d: q_mm.media_to_corpus_pipeline(
+            s, d, img_n=256 * f, wav_n=64 * f, corrupt_n=32 * f
+        )
+    )
+    for name, spec in synth_sweeps.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        if name not in qs:
+            continue
+        t1, r1 = timed(
+            {name: spec["build"](1)}, name, spark, BASE
+        )
+        tf, rf = timed(
+            {name: spec["build"](factor)}, name, spark, BASE
+        )
+        time_exp = round(math.log(tf / t1) / math.log(factor), 2)
+        results[name] = {
+            "t_1x": t1, f"t_{factor}x": tf,
+            "rows_1x": r1, f"rows_{factor}x": rf,
+            "time_exponent": time_exp,
+            "row_exponent": 0.0,  # funnel output is a fixed stage list
+            "note": spec["note"],
+        }
+        print(
+            f"# {name}: {t1}s -> {tf}s (exp {time_exp}) [synth-backed]",
+            file=sys.stderr,
+        )
+
     path = os.path.join(REPO, "SCALE_SWEEP.json")
     prev = {}
     try:

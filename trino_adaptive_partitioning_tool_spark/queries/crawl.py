@@ -449,7 +449,9 @@ def _pipeline_oracle() -> str:
 
 
 @register("crawl_to_corpus_pipeline", oracle=_pipeline_oracle())
-def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def crawl_to_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, n_shards: int = _N_SHARDS
+) -> DataFrame:
     """The full crawl-to-training-corpus funnel in one query: fetched
     records -> HTTP 200s -> minimum extracted word count -> language
     gate -> MinHash-LSH dedup (keep-lowest-id) -> quality-composite
@@ -478,7 +480,7 @@ def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
 
     records = cops.parse_warc_records(
-        cops.synth_warc_shards(spark, n_shards=_N_SHARDS)
+        cops.synth_warc_shards(spark, n_shards=n_shards)
     )
     base = (
         cops.extract_html_text(records, include_non_html=True)

@@ -2020,7 +2020,13 @@ def _media_pipeline_oracle() -> str:
 
 
 @register("media_to_corpus_pipeline", oracle=_media_pipeline_oracle())
-def media_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_to_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    img_n: int = _MEDIA_PIPE_IMG_N,
+    wav_n: int = _MEDIA_PIPE_WAV_N,
+    corrupt_n: int = _MEDIA_PIPE_CORRUPT_N,
+) -> DataFrame:
     """The full media-to-training-corpus funnel in one query — the
     multimodal twin of crawl_to_corpus_pipeline: mixed-container assets
     (PNG + WebP images with planted exact/near duplicates, WAV audio,
@@ -2042,16 +2048,19 @@ def media_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import sampling
 
+    # the id-offset convention needs the legs' id spaces disjoint
+    assert img_n < _MEDIA_PIPE_WAV_OFF
+    assert wav_n < _MEDIA_PIPE_CORRUPT_OFF - _MEDIA_PIPE_WAV_OFF
     codec = mm.PixmapCodec()
-    images = mm.synth_phash_assets(spark, n=_MEDIA_PIPE_IMG_N)
+    images = mm.synth_phash_assets(spark, n=img_n)
     audio = mm.synth_wav_assets(
-        spark, n=_MEDIA_PIPE_WAV_N, partitions=4
+        spark, n=wav_n, partitions=4
     ).withColumn("asset_id", F.col("asset_id") + _MEDIA_PIPE_WAV_OFF)
     # corrupt leg: a 40-byte prefix of a real PNG/WebP payload — the
     # signature survives (magic-byte dispatch routes it) but the body is
     # gone, so decode fails deterministically and quarantines
     corrupt = (
-        mm.synth_phash_assets(spark, n=_MEDIA_PIPE_CORRUPT_N, partitions=4)
+        mm.synth_phash_assets(spark, n=corrupt_n, partitions=4)
         .withColumn("asset_id", F.col("asset_id") + _MEDIA_PIPE_CORRUPT_OFF)
         .withColumn("payload", F.expr("substring(payload, 1, 40)"))
     )
