@@ -175,7 +175,25 @@ def main() -> None:
     results = {}
     for name in names:
         t1, r1 = timed(qs, name, spark, BASE)
-        tf, rf = timed(qs, name, spark, inflated)
+        try:
+            tf, rf = timed(qs, name, spark, inflated)
+        except Exception as exc:
+            # a DESIGNED guard raising at scale is a result, not a
+            # crash: record the evidence (e.g. SemDeDup's mega-cluster
+            # guard under verbatim replication, where every vector's
+            # exact copies pile onto ONE lattice point — position-based
+            # splitting cannot separate identical vectors, so past
+            # ~ceiling copies the split path correctly refuses; a real
+            # corpus removes exact dups UPSTREAM via dedup_exact)
+            results[name] = {
+                "t_1x": t1, "rows_1x": r1,
+                f"t_{factor}x": None,
+                "guard_raised": str(exc).split("\n")[0][:300],
+                "note": _SWEEP[name],
+            }
+            print(f"# {name}: guard raised at {factor}x (recorded)",
+                  file=sys.stderr)
+            continue
         time_exp = round(math.log(tf / t1) / math.log(factor), 2)
         row_exp = (
             round(math.log(rf / r1) / math.log(factor), 2) if r1 else None
@@ -232,15 +250,23 @@ def main() -> None:
             spark, inflated, split_oversized=True, ceiling=ceiling
         ).count()
         t_cached = time.perf_counter() - start
-        fixed_k = results["semdedup_keep_canonical"][f"t_{factor}x"]
+        fixed_k = results["semdedup_keep_canonical"].get(f"t_{factor}x")
         results["semdedup_keep_canonical"]["split_remediation"] = {
             "ceiling": ceiling,
             f"t_{factor}x_split_end_to_end": round(t_end_to_end, 3),
             f"t_{factor}x_split_cached": round(t_cached, 3),
             "t_refinement_build": round(t_build, 3),
             "rows": n,
-            "speedup_vs_fixed_k": round(fixed_k / t_end_to_end, 2),
-            "pair_stage_speedup": round(fixed_k / t_cached, 2),
+            # fixed_k is None when the DEFAULT-ceiling run guard-raised
+            # (verbatim replication's exact-dup pileups are position-
+            # unsplittable past the ceiling) — the split numbers with a
+            # corpus-scaled ceiling are then the only valid measurement
+            "speedup_vs_fixed_k": (
+                round(fixed_k / t_end_to_end, 2) if fixed_k else None
+            ),
+            "pair_stage_speedup": (
+                round(fixed_k / t_cached, 2) if fixed_k else None
+            ),
             "note": (
                 "refinement build is a fixed count of model-sized "
                 "jobs (amortizes at corpus scale; session-memoized "
@@ -251,9 +277,7 @@ def main() -> None:
         print(
             f"# semdedup split remediation: {t_end_to_end:.3f}s "
             f"end-to-end (build {t_build:.3f}s), {t_cached:.3f}s "
-            f"cached vs fixed-k {fixed_k}s "
-            f"({fixed_k / t_end_to_end:.2f}x / "
-            f"{fixed_k / t_cached:.2f}x)",
+            f"cached vs fixed-k {fixed_k}s",
             file=sys.stderr,
         )
 
@@ -302,6 +326,10 @@ def main() -> None:
             continue
         if name not in qs:
             continue
+        # untimed warm-up: in a FILTERED run this can be the session's
+        # first query, and JVM/Arrow/session-model warm-up otherwise
+        # lands entirely in the 1x leg (observed: a negative exponent)
+        spec["build"](1)(spark, BASE).count()
         t1, r1 = timed(
             {name: spec["build"](1)}, name, spark, BASE
         )

@@ -1103,3 +1103,59 @@ def test_decode_quarantine_routes_corrupt_payloads(spark):
         ).collect()
     with pytest.raises(ValueError, match="on_error"):
         mm.decode_assets(assets, codec=codec, on_error="bogus")
+
+
+def test_fused_decode_phash_matches_unfused_paths(spark):
+    """decode_assets_with_phash must be bit-identical to the unfused
+    composition: decode stats == decode_assets(on_error='quarantine'),
+    raster hashes == perceptual_hashes — same _avg_hash, same pixels.
+    Mixed corpus: rasters (planted dups), WAV audio (no hash fields),
+    and a corrupt leg (quarantined, NULL everything)."""
+    from pyspark.sql import functions as F
+
+    codec = mm.PixmapCodec()
+    images = mm.synth_phash_assets(spark, n=16, partitions=2)
+    audio = mm.synth_wav_assets(spark, n=8, partitions=2).withColumn(
+        "asset_id", F.col("asset_id") + 1000
+    )
+    corrupt = (
+        mm.synth_phash_assets(spark, n=4, partitions=2)
+        .withColumn("asset_id", F.col("asset_id") + 2000)
+        .withColumn("payload", F.expr("substring(payload, 1, 40)"))
+    )
+    corpus = images.unionByName(audio).unionByName(corrupt)
+    fused = {
+        r["asset_id"]: r
+        for r in mm.decode_assets_with_phash(
+            corpus, require_codec=True, codec=codec
+        ).collect()
+    }
+    plain = {
+        r["asset_id"]: r
+        for r in mm.decode_assets(
+            corpus, require_codec=True, codec=codec, on_error="quarantine"
+        ).collect()
+    }
+    hashes = {
+        r["asset_id"]: r
+        for r in mm.perceptual_hashes(
+            images, require_codec=True, codec=codec
+        ).collect()
+    }
+    assert len(fused) == 28
+    for aid, f in fused.items():
+        p = plain[aid]
+        assert (
+            f["decoded_width"], f["decoded_height"], f["mean_intensity"],
+            f["payload_bytes"], f["decode_ok"],
+        ) == (
+            p["decoded_width"], p["decoded_height"], p["mean_intensity"],
+            p["payload_bytes"], p["decode_ok"],
+        ), aid
+        if aid < 1000:  # raster: hash fields match perceptual_hashes
+            h = hashes[aid]
+            assert (f["ch"], f["n_pixels"], f["phash"]) == (
+                h["ch"], h["n_pixels"], h["phash"]
+            ), aid
+        else:  # audio / corrupt: no hash fields
+            assert f["ch"] is None and f["phash"] is None, aid

@@ -4439,6 +4439,115 @@ DECODED_Q_SCHEMA = T.StructType(
 )
 
 
+DECODED_PHASH_SCHEMA = T.StructType(
+    [
+        *DECODED_Q_SCHEMA.fields,
+        T.StructField("ch", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+# magic-byte prefixes PixmapCodec.pixels() can rasterize — the fused
+# decode+hash stage dispatches on these instead of try/fallback so a
+# CORRUPT raster quarantines from its own parse, not a second one
+_RASTER_MAGIC = (
+    b"P5", b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+    b"GIF87a", b"GIF89a", b"II*\x00", b"MM\x00*",
+)
+
+
+def _is_raster(payload: bytes) -> bool:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return True
+    return payload.startswith(_RASTER_MAGIC)
+
+
+def _avg_hash(px: "np.ndarray") -> int:
+    """Cross-multiplied average-hash over a decoded raster — the single
+    implementation perceptual_hashes and the fused stage both call, so
+    the two paths cannot drift (bit j set iff gray(j) * n > sum(gray),
+    first min(n, 63) row-major pixels, no division, no floats)."""
+    gray = px.sum(axis=2).reshape(-1)
+    n = gray.shape[0]
+    s = int(gray.sum())
+    bits = gray[: min(n, PHASH_MAX_BITS)] * n > s
+    phash = 0
+    for j, b in enumerate(bits):
+        if b:
+            phash |= 1 << j
+    return phash
+
+
+def decode_assets_with_phash(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Fused decode + perceptual-hash stage (quarantine semantics):
+    ONE Arrow pass that rasterizes each payload ONCE and emits both the
+    decode stats (identical values to decode_assets — raster stats are
+    the same shape/mean the decode() raster branch computes from the
+    same pixels) and, for rasters, the average-hash perceptual_hashes
+    would compute (same _avg_hash implementation, bit-identical).
+
+    This is the scale seam for decode->dedup pipelines: the unfused
+    composition (decode_assets + perceptual_hashes + a semi-join to
+    restrict hashing to decodable rows) parses every image payload
+    TWICE and shuffles ids in between; at 100 TB the codec pass IS the
+    dominant cost, so fusing halves it and drops the join. Non-raster
+    rows (audio/video) fall back to codec.decode with NULL hash fields;
+    corrupt rows quarantine with identity + decode_ok=False."""
+    codec = _check_codec(codec, require_codec)
+    if not hasattr(codec, "pixels"):
+        raise NotImplementedError(
+            "decode_assets_with_phash needs a codec exposing "
+            "pixels(payload)"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                try:
+                    if _is_raster(raw):
+                        px = codec.pixels(raw).astype(np.int64)
+                        h_, w_, ch = px.shape
+                        # same value decode()'s raster branch returns:
+                        # mean of exact small ints in float64
+                        mean = float(px.mean())
+                        out.append(
+                            (int(aid), mt, w_, h_, mean, len(raw), True,
+                             ch, w_ * h_, _avg_hash(px))
+                        )
+                    else:
+                        w, h, mi = codec.decode(raw, mt)
+                        out.append(
+                            (int(aid), mt, w, h, mi, len(raw), True,
+                             None, None, None)
+                        )
+                except Exception:
+                    out.append(
+                        (int(aid), mt, None, None, None, len(raw), False,
+                         None, None, None)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "media_type", "decoded_width",
+                    "decoded_height", "mean_intensity", "payload_bytes",
+                    "decode_ok", "ch", "n_pixels", "phash",
+                ],
+            )
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        _decode, schema=DECODED_PHASH_SCHEMA
+    )
+
+
 def decode_assets(
     assets: DataFrame,
     require_codec: bool = False,
@@ -4885,15 +4994,7 @@ def perceptual_hashes(
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 px = codec.pixels(bytes(payload)).astype(np.int64)
                 h_, w_, ch = px.shape
-                gray = px.sum(axis=2).reshape(-1)
-                n = gray.shape[0]
-                s = int(gray.sum())
-                bits = gray[: min(n, PHASH_MAX_BITS)] * n > s
-                phash = 0
-                for j, b in enumerate(bits):
-                    if b:
-                        phash |= 1 << j
-                rows.append((int(aid), w_, h_, ch, n, phash))
+                rows.append((int(aid), w_, h_, ch, w_ * h_, _avg_hash(px)))
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "w", "h", "ch", "n_pixels", "phash"],

@@ -2039,11 +2039,13 @@ def media_to_corpus_pipeline(
     for audio) -> deterministic train-split manifest, with per-stage
     retention counts.
 
-    Scale shape: the ingest scan is persisted ONCE (decode and phash
-    both consume it); decode and hashing are Arrow map stages; the only
-    non-map stages are the pigeonhole-banded self-join (equi-join on
-    (dims, band), never all-pairs), the doc-grain dominated/semi joins,
-    and the final 1-row aggregate. Nothing corpus-sized ever collects."""
+    Scale shape: decode and hashing are FUSED into one Arrow map stage
+    (each payload rasterized once — operators/multimodal.
+    decode_assets_with_phash), whose payload-free stats output is the
+    persisted barrier both branches consume; the only non-map stages
+    are the pigeonhole-banded self-join (equi-join on (dims, band),
+    never all-pairs), the doc-grain dominated join, and the final 1-row
+    aggregate. Nothing corpus-sized ever collects."""
     from pyspark import StorageLevel
 
     from ..operators import sampling
@@ -2064,21 +2066,26 @@ def media_to_corpus_pipeline(
         .withColumn("asset_id", F.col("asset_id") + _MEDIA_PIPE_CORRUPT_OFF)
         .withColumn("payload", F.expr("substring(payload, 1, 40)"))
     )
-    corpus = (
-        images.unionByName(audio)
-        .unionByName(corrupt)
-        .persist(StorageLevel.MEMORY_ONLY)
-    )
-    decoded = mm.decode_assets(
-        corpus, require_codec=True, codec=codec, on_error="quarantine"
-    )
-    ok_images = corpus.where(F.col("media_type") == "image").join(
-        decoded.where(F.col("decode_ok")).select("asset_id"),
+    corpus = images.unionByName(audio).unionByName(corrupt)
+    # ONE fused Arrow pass rasterizes each payload once and emits both
+    # the quarantine-decode stats and the image perceptual hashes — the
+    # unfused composition (decode + separate hash stage + a semi-join
+    # restricting hashing to decodable rows) parses every image twice,
+    # and at scale the codec pass is the dominant cost. The decoded
+    # frame (stats only, no payloads) is the persisted barrier: the
+    # dedup branch and the flag rollup both consume it.
+    decoded = mm.decode_assets_with_phash(
+        corpus, require_codec=True, codec=codec
+    ).persist(StorageLevel.MEMORY_ONLY)
+    hashes = decoded.where(
+        F.col("decode_ok") & (F.col("media_type") == "image")
+    ).select(
         "asset_id",
-        "left_semi",
-    )
-    hashes = mm.perceptual_hashes(
-        ok_images, require_codec=True, codec=codec
+        F.col("decoded_width").alias("w"),
+        F.col("decoded_height").alias("h"),
+        "ch",
+        "n_pixels",
+        "phash",
     )
     dominated = (
         _phash_near_dup_pairs(hashes)
