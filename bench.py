@@ -152,6 +152,8 @@ HEADLINE_QUERIES = [
     # r12: spec evolution — the full advisor pipeline as-of three
     # cumulative log windows (prices the repeated-run adaptive loop)
     "partition_spec_history",
+    # r12: Adam7 progressive-PNG decode leg
+    "multimodal_progressive_png_stats",
 ]
 
 

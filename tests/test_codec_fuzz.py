@@ -47,6 +47,37 @@ def test_png_round_trip_exact(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_png_adam7_round_trip_exact(data):
+    """Progressive (Adam7) PNG is a LAYOUT change, not a value change:
+    any raster round-trips bit-exactly through the seven-pass
+    gather/filter/scatter, and decodes identically to its sequential
+    twin. Dims below 8 force empty and single-pixel passes — the edge
+    cases a wrong pass table corrupts silently (the r12 implementation
+    caught exactly such a table bug in its first fuzz run)."""
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+    px = _img(data.draw, h, w, ch)
+    arr = px if px.ndim == 3 else px[:, :, None]
+    pay = PixmapCodec._encode_png(arr, interlace=True)
+    got = _pc._parse_png(pay)[2]
+    assert np.array_equal(got, arr)
+    assert np.array_equal(
+        got, _pc._parse_png(PixmapCodec._encode_png(arr))[2]
+    )
+    # truncation that removes IHDR/IDAT bytes must raise the contract
+    # ValueError (cuts inside the 12-byte IEND trailer lose no data)
+    cut = data.draw(st.integers(10, len(pay) - 13))
+    try:
+        _pc._parse_png(pay[:cut])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError(f"cut {cut} did not raise")
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_webp_round_trip_exact(data):
     """VP8L is lossless: any RGB/RGBA raster round-trips bit-exactly
     through the canonical-Huffman literal pipeline, including shapes

@@ -164,9 +164,12 @@ def synth_png_assets(
     same no-RNG convention as synth_ppm_assets, so a DuckDB oracle can
     re-derive the decoded statistics without parsing PNG at all. Color
     type varies per asset (gray / RGB / RGBA via asset_id % 3) and the
-    filter cycle means decoding exercises every filter inverse.
-    Encoding runs in the SAME Arrow mapInPandas stage shape as the
-    production decode path (batched pandas over binary columns)."""
+    filter cycle means decoding exercises every filter inverse; the
+    asset_id % 5 == 2 subset is written PROGRESSIVE (Adam7 interlace,
+    r12) — same pixels, different file layout, so every PNG oracle
+    carries over unchanged while the decoder must reassemble the seven
+    passes. Encoding runs in the SAME Arrow mapInPandas stage shape as
+    the production decode path (batched pandas over binary columns)."""
     import hashlib
 
     base = spark.range(0, n, 1, partitions).select(
@@ -196,7 +199,9 @@ def synth_png_assets(
                     (
                         aid,
                         "image",
-                        PixmapCodec._encode_png(px),
+                        PixmapCodec._encode_png(
+                            px, interlace=aid % 5 == 2
+                        ),
                         (w, h, None, None, "png"),
                     )
                 )
@@ -1378,14 +1383,17 @@ class PixmapCodec:
     @classmethod
     def _parse_png(cls, payload: bytes):
         """(width, height, pixel_array[h, w, channels]) for 8-bit
-        non-interlaced gray/gray-alpha/RGB/RGBA PNGs. Inflates the IDAT
-        stream with stdlib zlib and reverses the per-scanline filter
-        (types 0-4). Sub reverses as a vectorized per-lane prefix sum
-        mod 256; Average/Paeth are inherently sequential along the row
-        (each byte needs the RECONSTRUCTED left neighbor) and run a
-        per-byte loop — fine for the thumbnail-scale assets this seam
-        processes; a production deployment would swap in a compiled
-        decoder behind the same Codec protocol."""
+        gray/gray-alpha/RGB/RGBA PNGs, progressive (Adam7 interlace,
+        r12) or not. Inflates the IDAT stream with stdlib zlib and
+        reverses the per-scanline filter (types 0-4) — per Adam7 PASS
+        when interlaced, since each pass is its own filtered sub-image
+        whose rows predict only from that pass. Sub reverses as a
+        vectorized per-lane prefix sum mod 256; Average/Paeth are
+        inherently sequential along the row (each byte needs the
+        RECONSTRUCTED left neighbor) and run a per-byte loop — fine for
+        the thumbnail-scale assets this seam processes; a production
+        deployment would swap in a compiled decoder behind the same
+        Codec protocol."""
         import struct
         import zlib
 
@@ -1419,11 +1427,43 @@ class PixmapCodec:
             raise ValueError(
                 "only 8-bit gray/gray-alpha/RGB/RGBA PNG supported"
             )
-        if comp != 0 or filt != 0 or interlace != 0:
-            raise ValueError("unsupported PNG compression/filter/interlace")
+        if comp != 0 or filt != 0:
+            raise ValueError("unsupported PNG compression/filter method")
         ch = cls._PNG_CHANNELS[color]
         stride = w * ch
         raw = zlib.decompress(bytes(idat))
+        if interlace == 1:  # Adam7: seven independently-filtered passes
+            out = np.zeros((h, w, ch), dtype=np.uint8)
+            pos = 0
+            for xs, ys, xstep, ystep in cls._ADAM7:
+                pw = (w - xs + xstep - 1) // xstep
+                ph = (h - ys + ystep - 1) // ystep
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass for tiny images — no bytes
+                need = ph * (pw * ch + 1)
+                sub = cls._png_defilter(raw[pos : pos + need], pw, ph, ch)
+                pos += need
+                out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, ch)
+            if pos != len(raw):
+                raise ValueError("PNG IDAT size mismatch")
+            return w, h, out
+        if interlace != 0:
+            raise ValueError("unsupported PNG interlace method")
+        return w, h, cls._png_defilter(raw, w, h, ch).reshape(h, w, ch)
+
+    # Adam7 pass table: (xstart, ystart, xstep, ystep) in spec order
+    # (PNG spec 8.2 / libpng png_pass_start constants)
+    _ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    @classmethod
+    def _png_defilter(cls, raw: bytes, w: int, h: int, ch: int):
+        """Reverse the per-scanline filters over one filtered image (or
+        one Adam7 pass — each pass filters against its OWN rows only);
+        returns recon[h, w*ch] uint8."""
+        stride = w * ch
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT size mismatch")
         recon = np.zeros((h, stride), dtype=np.uint8)
@@ -1466,24 +1506,18 @@ class PixmapCodec:
                     cur[x] = (ln[x] + pr) & 0xFF
             else:
                 raise ValueError(f"unknown PNG filter type {f}")
-        return w, h, recon.reshape(h, w, ch)
+        return recon
 
     @classmethod
-    def _encode_png(cls, px: np.ndarray) -> bytes:
-        """Encode [h, w, channels] uint8 pixels as a valid PNG. The
-        filter type CYCLES per scanline (row r uses filter r % 5) so a
-        round-trip through _parse_png exercises every filter's inverse,
-        not just the trivial one — encoder-side filtering works on the
-        ORIGINAL bytes, so all five are vectorized."""
-        import struct
-        import zlib
-
-        if px.ndim == 2:
-            px = px[:, :, None]
-        h, w, ch = px.shape
-        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-        stride = w * ch
-        flat = px.reshape(h, stride).astype(np.int32)
+    @classmethod
+    def _png_filter_rows(cls, flat: np.ndarray, ch: int) -> bytearray:
+        """Filter one image (or one Adam7 pass) given flat[h, w*ch]
+        int32 rows. The filter type CYCLES per scanline (row r uses
+        filter r % 5) so a round-trip through _parse_png exercises
+        every filter's inverse, not just the trivial one —
+        encoder-side filtering works on the ORIGINAL bytes, so all
+        five are vectorized."""
+        h, stride = flat.shape
         zero = np.zeros(stride, dtype=np.int32)
         out = bytearray()
         for r in range(h):
@@ -1513,6 +1547,38 @@ class PixmapCodec:
                 filt = raw - pr
             out.append(f)
             out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        return out
+
+    @classmethod
+    def _encode_png(cls, px: np.ndarray, interlace: bool = False) -> bytes:
+        """Encode [h, w, channels] uint8 pixels as a valid PNG —
+        sequential, or progressive (Adam7, r12) with each of the seven
+        passes gathered by the spec strides and filtered as its own
+        sub-image (matching how every real encoder lays passes out and
+        how _parse_png reverses them)."""
+        import struct
+        import zlib
+
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, ch = px.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        if interlace:
+            out = bytearray()
+            for xs, ys, xstep, ystep in cls._ADAM7:
+                sub = px[ys::ystep, xs::xstep]
+                ph, pw = sub.shape[:2]
+                if ph <= 0 or pw <= 0:
+                    continue
+                out.extend(
+                    cls._png_filter_rows(
+                        sub.reshape(ph, pw * ch).astype(np.int32), ch
+                    )
+                )
+        else:
+            out = cls._png_filter_rows(
+                px.reshape(h, w * ch).astype(np.int32), ch
+            )
 
         def chunk(ctype: bytes, data: bytes) -> bytes:
             return (
@@ -1522,7 +1588,9 @@ class PixmapCodec:
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+        )
         return (
             cls._PNG_SIG
             + chunk(b"IHDR", ihdr)

@@ -1932,6 +1932,69 @@ def _phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
     return verified.where(F.col("hamming") <= _PHASH_HAMMING_MAX)
 
 
+@register(
+    "multimodal_progressive_png_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             CAST(CASE t.asset_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                  ELSE 4 END AS INT) AS ch,
+             (t.asset_id % 5 = 2) AS interlaced,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- pixel bytes cycle the digest REGARDLESS of file layout: the
+      -- interlaced flag changes only how the decoder must walk the
+      -- file (seven Adam7 passes, per-pass filtering), never the
+      -- values — which is exactly what this query certifies
+      SELECT asset_id, w, h, interlaced,
+        list_avg(list_transform(range(0, w * h * ch),
+          j -> CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1,
+                                    2)) AS INT))) AS mean_intensity
+      FROM a
+    )
+    SELECT interlaced,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM d
+    GROUP BY interlaced
+    """,
+)
+def multimodal_progressive_png_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive (Adam7) PNG decode certification (r12 — the PNG
+    analog of the r11 progressive-JPEG leg): synth_png_assets writes
+    its asset_id % 5 == 2 subset interlaced, so the SAME asset table
+    carries sequential and progressive layouts of the same digest-
+    cycled pixels side by side. Decoding groups by the interlaced flag:
+    a decoder that mis-ordered the seven passes, filtered across pass
+    boundaries, or mis-sized an edge pass (widths 2-7 make several
+    passes empty or single-pixel — the hard cases) would corrupt ONLY
+    the interlaced group while the sequential group stays green. Both
+    groups' oracle rows re-derive from the identical pixel convention —
+    green means the reassembly is byte-exact."""
+    decoded = mm.decode_assets(
+        mm.synth_png_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumn("interlaced", F.col("asset_id") % 5 == 2)
+        .groupBy("interlaced")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
 # --- media-to-corpus pipeline (r12 flagship) -----------------------------
 # The multimodal twin of crawl_to_corpus_pipeline: mixed-container
 # assets -> magic-byte decode (corrupt rows quarantined, not fatal) ->
@@ -2158,6 +2221,7 @@ DATA_CENSUS: dict[str, dict] = {
     "multimodal_real_decode_stats": {"ppm_assets": 256},
     "multimodal_resize_real_stats": {"ppm_assets": 256},
     "multimodal_png_decode_stats": {"png_assets": 256},
+    "multimodal_progressive_png_stats": {"png_assets": 256},
     "multimodal_webp_decode_stats": {"webp_assets": 256},
     "multimodal_channel_stats": {"png_assets": 256},
     "multimodal_y4m_frame_stats": {"y4m_assets": 128},

@@ -492,6 +492,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_progressive_jpeg_stats",
      ["jpeg_mode", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
+    ("multimodal_progressive_png_stats",
+     ["interlaced", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
     ("multimodal_real_decode_stats",
      ["n_assets", "sum_width", "sum_height", "total_bytes"],
      ["avg_intensity"]),

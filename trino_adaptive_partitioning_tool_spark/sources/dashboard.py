@@ -839,6 +839,9 @@ def advisor_extras(spark, sf_dir: str) -> dict[str, DataFrame]:
         "Drift re-partition scripts (patched DDL per drifted view)": (
             advisor_q.drift_repartition_scripts(spark, sf_dir)
         ),
+        "Partition-spec history (keys per advisor generation)": (
+            advisor_q.partition_spec_history(spark, sf_dir)
+        ),
         "Embedding clusters (integer-lattice k-means profile)": (
             clustering_q.embedding_cluster_profile(spark, sf_dir)
         ),
