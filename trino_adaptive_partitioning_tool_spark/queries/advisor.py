@@ -1290,7 +1290,7 @@ def _spec_history_oracle() -> str:
     """
 
 
-@register("partition_spec_history", oracle=_spec_history_oracle())
+@register("partition_spec_history", memo=True, oracle=_spec_history_oracle())
 def partition_spec_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution across repeated advisor runs: the full
     recommendation pipeline (run_analysis, exact stats) executed as-of
@@ -1302,39 +1302,74 @@ def partition_spec_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the fixture's months, so generations disagree and the churn
     signal is real, not synthetic decoration.
 
-    Scale shape: each generation's analysis is dimension-sized (one row
-    per candidate column) regardless of log size; the history union is
-    (views x generations) rows and the LAG window partitions by view —
-    nothing here grows with the data, only with schema width and run
-    count, exactly like a real metadata log."""
+    Scale shape: the table profile (exact NDV probes — the only stage
+    that touches the DATA tables) and the log mining UDF each run ONCE,
+    via the session-memoized full-log analysis every other advisor
+    query shares; a generation then costs only its windowed re-
+    aggregation of the two LOG-DERIVED signals (mined usage, per-column
+    execution attribution — the miner is per-query pure, so windowing
+    the full mined frame by the window's query ids is EXACTLY mining
+    the windowed log) plus the dimension-sized rescore. The history
+    union is (views x generations) rows and the LAG window partitions
+    by view — nothing here grows with the data, only with schema width
+    and run count, exactly like a real metadata log."""
     from pyspark.sql.window import Window
 
-    from ..operators import recommend
+    from ..operators import recommend, scoring
 
+    res = recommend.run_analysis(
+        spark, sf_dir, exact_stats=True, profile_percentiles=False
+    )
+    logs = res["query_logs"]
+    mined = res["mined_logs"]
+    candidates = res["candidates"]
+    profiled = res["profiles"]
+    # the generation-INVARIANT usage legs (catalog view counts + DDL
+    # join mining — the latter a Python mapInPandas stage) come from
+    # the cached full-log usage frame instead of being recomputed per
+    # generation; only the two log-derived legs re-aggregate per window
+    static_usage = res["usage"].where(
+        F.col("source").isin("view_usage", "ddl_join_column")
+    )
     hist: DataFrame | None = None
     for gen, cut in enumerate(_SPEC_HISTORY_GENS, start=1):
-        tf = (
-            F.col("create_time") < F.lit(cut).cast("timestamp")
-            if cut is not None
-            else None
-        )
-        res = recommend.run_analysis(
-            spark,
-            sf_dir,
-            time_filter=tf,
-            exact_stats=True,
-            profile_percentiles=False,
-        )
-        leg = (
-            res["recommendations"]
-            .where(F.size("partition_keys") > 0)
-            .select(
-                F.lit(gen).cast("bigint").alias("generation"),
-                F.col("view").alias("view_name"),
-                F.array_join("partition_keys", ", ").alias(
-                    "partition_keys_csv"
-                ),
+        if cut is not None:
+            logs_g = logs.where(
+                F.col("create_time") < F.lit(cut).cast("timestamp")
             )
+            mined_g = mined.join(
+                logs_g.select("query_id"), "query_id", "left_semi"
+            )
+        else:
+            logs_g, mined_g = logs, mined
+
+        def _log_leg(kind: str, source: str) -> DataFrame:
+            return (
+                mined_g.where(F.col("kind") == kind)
+                .groupBy("name")
+                .agg(F.sum("cnt").alias("weighted_frequency"))
+                .withColumn("source", F.lit(source))
+                .select("name", "source", "weighted_frequency")
+            )
+
+        usage_g = static_usage.unionByName(
+            _log_leg("join_column", "log_join_column")
+        ).unionByName(_log_leg("table", "log_table_mention"))
+        perf_g = scoring.column_performance(logs_g, mined_g)
+        top_g = scoring.top_candidates(
+            scoring.partition_scores(candidates, usage_g, profiled, perf_g)
+        )
+        leg = top_g.groupBy(F.col("view").alias("view_name")).agg(
+            F.lit(gen).cast("bigint").alias("generation"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "column"))
+                    ),
+                    lambda s: s["column"],
+                ),
+                ", ",
+            ).alias("partition_keys_csv"),
         )
         hist = leg if hist is None else hist.unionByName(leg)
     assert hist is not None
