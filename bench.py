@@ -154,6 +154,8 @@ HEADLINE_QUERIES = [
     "partition_spec_history",
     # r12: Adam7 progressive-PNG decode leg
     "multimodal_progressive_png_stats",
+    # r12: indexed-color (palette/type-3) PNG decode leg
+    "multimodal_palette_png_stats",
 ]
 
 

@@ -78,6 +78,29 @@ def test_png_adam7_round_trip_exact(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_png_palette_round_trip_exact(data):
+    """Indexed-color (type 3) PNG: RGB rasters via PLTE, RGBA rasters
+    via PLTE + per-entry tRNS alphas, optionally Adam7-interlaced on
+    top — always decoding back to the exact input raster regardless of
+    how few or many (up to 256) distinct colors the image uses."""
+    h = data.draw(st.integers(1, 20))
+    w = data.draw(st.integers(1, 20))
+    ch = data.draw(st.sampled_from([3, 4]))
+    inter = data.draw(st.booleans())
+    n_colors = data.draw(st.integers(1, 12))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, ch), dtype=np.uint8)
+    px = pal[rng.integers(0, n_colors, (h, w))]
+    pay = PixmapCodec._encode_png(px, interlace=inter, palette=True)
+    w2, h2, out = _pc._parse_png(pay)
+    assert (w2, h2) == (w, h)
+    assert out.shape == px.shape  # tRNS presence must preserve RGBA
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_webp_round_trip_exact(data):
     """VP8L is lossless: any RGB/RGBA raster round-trips bit-exactly
     through the canonical-Huffman literal pipeline, including shapes

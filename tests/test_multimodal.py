@@ -329,10 +329,17 @@ def test_png_rejects_unsupported_variants():
 
     with _pytest.raises(ValueError, match="8-bit"):
         c._parse_png(png(16, 2, 0))
+    # palette and Adam7 are SUPPORTED since r12 — the guards move to
+    # their structural invariants: indexed color without its PLTE, a
+    # sub-8-bit palette depth, and an unknown interlace method
+    with _pytest.raises(ValueError, match="PLTE"):
+        c._parse_png(png(8, 3, 0))  # palette but no PLTE chunk
     with _pytest.raises(ValueError, match="8-bit"):
-        c._parse_png(png(8, 3, 0))  # palette
+        c._parse_png(png(4, 3, 0))  # 4-bit packed palette unsupported
     with _pytest.raises(ValueError, match="interlace"):
-        c._parse_png(png(8, 2, 1))
+        c._parse_png(png(8, 2, 2))  # method 2 does not exist
+    with _pytest.raises(ValueError, match="size mismatch"):
+        c._parse_png(png(8, 2, 1))  # Adam7 with a sequential-size IDAT
     # CRC tamper inside a chunk body must be caught
     import numpy as np
 

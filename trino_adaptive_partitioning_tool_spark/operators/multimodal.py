@@ -166,10 +166,13 @@ def synth_png_assets(
     type varies per asset (gray / RGB / RGBA via asset_id % 3) and the
     filter cycle means decoding exercises every filter inverse; the
     asset_id % 5 == 2 subset is written PROGRESSIVE (Adam7 interlace,
-    r12) — same pixels, different file layout, so every PNG oracle
-    carries over unchanged while the decoder must reassemble the seven
-    passes. Encoding runs in the SAME Arrow mapInPandas stage shape as
-    the production decode path (batched pandas over binary columns)."""
+    r12) and the asset_id % 7 == 3 non-gray subset INDEXED (palette /
+    color type 3, with tRNS alphas for the RGBA assets; the two
+    layouts compose where the moduli coincide) — same pixels, different
+    file layout, so every PNG oracle carries over unchanged while the
+    decoder must reassemble passes and/or materialize the palette.
+    Encoding runs in the SAME Arrow mapInPandas stage shape as the
+    production decode path (batched pandas over binary columns)."""
     import hashlib
 
     base = spark.range(0, n, 1, partitions).select(
@@ -200,7 +203,9 @@ def synth_png_assets(
                         aid,
                         "image",
                         PixmapCodec._encode_png(
-                            px, interlace=aid % 5 == 2
+                            px,
+                            interlace=aid % 5 == 2,
+                            palette=aid % 7 == 3 and ch != 1,
                         ),
                         (w, h, None, None, "png"),
                     )
@@ -1402,6 +1407,8 @@ class PixmapCodec:
         pos = 8
         ihdr = None
         idat = bytearray()
+        plte = None
+        trns = None
         while pos + 8 <= len(payload):
             length, ctype = struct.unpack_from(">I4s", payload, pos)
             data = payload[pos + 8 : pos + 8 + length]
@@ -1415,6 +1422,12 @@ class PixmapCodec:
                 raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
             if ctype == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                if length % 3 or not 3 <= length <= 768:
+                    raise ValueError("malformed PNG PLTE chunk")
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                trns = np.frombuffer(data, np.uint8)
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
@@ -1423,13 +1436,25 @@ class PixmapCodec:
         if ihdr is None or not idat:
             raise ValueError("PNG missing IHDR or IDAT")
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth != 8 or color not in cls._PNG_CHANNELS:
+        if depth != 8 or (
+            color != 3 and color not in cls._PNG_CHANNELS
+        ):
             raise ValueError(
-                "only 8-bit gray/gray-alpha/RGB/RGBA PNG supported"
+                "only 8-bit gray/gray-alpha/RGB/RGBA/palette PNG supported"
             )
         if comp != 0 or filt != 0:
             raise ValueError("unsupported PNG compression/filter method")
-        ch = cls._PNG_CHANNELS[color]
+        if color == 3:
+            # indexed color: the filtered stream is the 1-byte index
+            # plane; pixels materialize through PLTE (+ per-entry tRNS
+            # alpha when present) after reassembly
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            if trns is not None and len(trns) > len(plte):
+                raise ValueError("PNG tRNS longer than palette")
+            ch = 1
+        else:
+            ch = cls._PNG_CHANNELS[color]
         stride = w * ch
         raw = zlib.decompress(bytes(idat))
         if interlace == 1:  # Adam7: seven independently-filtered passes
@@ -1446,10 +1471,21 @@ class PixmapCodec:
                 out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, ch)
             if pos != len(raw):
                 raise ValueError("PNG IDAT size mismatch")
-            return w, h, out
-        if interlace != 0:
+        elif interlace == 0:
+            out = cls._png_defilter(raw, w, h, ch).reshape(h, w, ch)
+        else:
             raise ValueError("unsupported PNG interlace method")
-        return w, h, cls._png_defilter(raw, w, h, ch).reshape(h, w, ch)
+        if color == 3:
+            idx = out.reshape(h, w)
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            rgb = plte[idx]
+            if trns is None:
+                return w, h, rgb
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return w, h, np.dstack([rgb, alpha[idx]])
+        return w, h, out
 
     # Adam7 pass table: (xstart, ystart, xstep, ystep) in spec order
     # (PNG spec 8.2 / libpng png_pass_start constants)
@@ -1550,19 +1586,48 @@ class PixmapCodec:
         return out
 
     @classmethod
-    def _encode_png(cls, px: np.ndarray, interlace: bool = False) -> bytes:
+    def _encode_png(
+        cls,
+        px: np.ndarray,
+        interlace: bool = False,
+        palette: bool = False,
+    ) -> bytes:
         """Encode [h, w, channels] uint8 pixels as a valid PNG —
         sequential, or progressive (Adam7, r12) with each of the seven
         passes gathered by the spec strides and filtered as its own
         sub-image (matching how every real encoder lays passes out and
-        how _parse_png reverses them)."""
+        how _parse_png reverses them). palette=True (r12) writes
+        indexed color (type 3): RGB input emits PLTE + a filtered
+        1-byte index plane; RGBA input additionally emits per-entry
+        tRNS alphas (distinct colors must fit 256 entries — ValueError
+        otherwise, like any real quantizer-less palette writer)."""
         import struct
         import zlib
 
         if px.ndim == 2:
             px = px[:, :, None]
         h, w, ch = px.shape
-        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        extra: list[tuple[bytes, bytes]] = []
+        if palette:
+            if ch not in (3, 4):
+                raise ValueError("palette PNG needs RGB or RGBA input")
+            colors, idx = np.unique(
+                px.reshape(-1, ch), axis=0, return_inverse=True
+            )
+            if len(colors) > 256:
+                raise ValueError(
+                    f"palette PNG limited to 256 colors, got {len(colors)}"
+                )
+            extra.append((b"PLTE", colors[:, :3].astype(np.uint8).tobytes()))
+            if ch == 4:
+                extra.append(
+                    (b"tRNS", colors[:, 3].astype(np.uint8).tobytes())
+                )
+            px = idx.astype(np.uint8).reshape(h, w, 1)
+            ch = 1
+            color = 3
+        else:
+            color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
         if interlace:
             out = bytearray()
             for xs, ys, xstep, ystep in cls._ADAM7:
@@ -1594,6 +1659,7 @@ class PixmapCodec:
         return (
             cls._PNG_SIG
             + chunk(b"IHDR", ihdr)
+            + b"".join(chunk(t, d) for t, d in extra)
             + chunk(b"IDAT", zlib.compress(bytes(out), 6))
             + chunk(b"IEND", b"")
         )

@@ -1995,6 +1995,73 @@ def multimodal_progressive_png_stats(
     )
 
 
+@register(
+    "multimodal_palette_png_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             CAST(CASE t.asset_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                  ELSE 4 END AS INT) AS ch,
+             (t.asset_id % 7 = 3 AND t.asset_id % 3 <> 0) AS indexed,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 256) t(asset_id)
+    ), d AS (
+      -- indexed color is a LAYOUT change: the digest-cycled pixel
+      -- values are identical whether they travel as raw samples or as
+      -- palette indices + PLTE/tRNS lookups — which is exactly what
+      -- this query certifies (a palette built lexicographically, an
+      -- index plane filtered like any scanline, alpha via tRNS)
+      SELECT asset_id, w, h, indexed,
+        list_avg(list_transform(range(0, w * h * ch),
+          j -> CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1,
+                                    2)) AS INT))) AS mean_intensity
+      FROM a
+    )
+    SELECT indexed,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM d
+    GROUP BY indexed
+    """,
+)
+def multimodal_palette_png_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Indexed-color (palette / type 3) PNG decode certification (r12):
+    synth_png_assets writes its non-gray asset_id % 7 == 3 subset as
+    palette PNGs — RGB through PLTE, RGBA through PLTE + per-entry tRNS
+    alphas, and where the moduli coincide the index plane is ALSO
+    Adam7-interlaced (the layouts compose). Decoding groups by the
+    indexed flag: a decoder that mis-read PLTE order, dropped tRNS
+    (flattening RGBA to RGB changes the mean), or filtered the index
+    plane with the wrong channel width corrupts only the indexed group.
+    Palette PNGs are the most common icon/screenshot format a real
+    crawl ingests — the last mainstream PNG color type the codec
+    lacked."""
+    decoded = mm.decode_assets(
+        mm.synth_png_assets(spark, n=256),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    return (
+        decoded.withColumn(
+            "indexed",
+            (F.col("asset_id") % 7 == 3) & (F.col("asset_id") % 3 != 0),
+        )
+        .groupBy("indexed")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
 # --- media-to-corpus pipeline (r12 flagship) -----------------------------
 # The multimodal twin of crawl_to_corpus_pipeline: mixed-container
 # assets -> magic-byte decode (corrupt rows quarantined, not fatal) ->
@@ -2222,6 +2289,7 @@ DATA_CENSUS: dict[str, dict] = {
     "multimodal_resize_real_stats": {"ppm_assets": 256},
     "multimodal_png_decode_stats": {"png_assets": 256},
     "multimodal_progressive_png_stats": {"png_assets": 256},
+    "multimodal_palette_png_stats": {"png_assets": 256},
     "multimodal_webp_decode_stats": {"webp_assets": 256},
     "multimodal_channel_stats": {"png_assets": 256},
     "multimodal_y4m_frame_stats": {"y4m_assets": 128},

@@ -485,6 +485,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["fmt", "n_assets", "sum_width", "sum_height"], ["avg_intensity"]),
     ("multimodal_mulaw_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
+    ("multimodal_palette_png_stats",
+     ["indexed", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
     ("multimodal_phash_near_dup", ["hamming", "n_pairs"], []),
     ("multimodal_png_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
