@@ -298,6 +298,10 @@ def main() -> None:
         },
         "media_to_corpus_pipeline": {
             "build": None,
+            # the funnel's disjoint id spaces cap the image leg at
+            # 10,000 ids (wav offset); past factor 39 the contract
+            # assert fires — record the bound instead of crashing
+            "max_factor": 39,
             "note": (
                 "synth-backed: factor scales the image/audio/corrupt "
                 "asset counts; planted duplicate DENSITY is constant "
@@ -325,6 +329,18 @@ def main() -> None:
         if filters and not any(f in name for f in filters):
             continue
         if name not in qs:
+            continue
+        max_f = spec.get("max_factor")
+        if max_f and factor > max_f:
+            results[name] = {
+                "skipped": (
+                    f"factor {factor} exceeds this generator's id-space "
+                    f"bound ({max_f}); sweep at <= {max_f}x"
+                ),
+                "note": spec["note"],
+            }
+            print(f"# {name}: skipped at {factor}x (bound {max_f}x)",
+                  file=sys.stderr)
             continue
         # untimed warm-up: in a FILTERED run this can be the session's
         # first query, and JVM/Arrow/session-model warm-up otherwise
