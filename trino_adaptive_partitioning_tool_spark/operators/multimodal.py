@@ -1455,7 +1455,6 @@ class PixmapCodec:
             ch = 1
         else:
             ch = cls._PNG_CHANNELS[color]
-        stride = w * ch
         raw = zlib.decompress(bytes(idat))
         if interlace == 1:  # Adam7: seven independently-filtered passes
             out = np.zeros((h, w, ch), dtype=np.uint8)
@@ -1544,7 +1543,6 @@ class PixmapCodec:
                 raise ValueError(f"unknown PNG filter type {f}")
         return recon
 
-    @classmethod
     @classmethod
     def _png_filter_rows(cls, flat: np.ndarray, ch: int) -> bytearray:
         """Filter one image (or one Adam7 pass) given flat[h, w*ch]

@@ -193,6 +193,7 @@ def data_census() -> dict[str, dict]:
     for info in pkgutil.iter_modules(pkg.__path__):
         mod = importlib.import_module(f"{__package__}.{info.name}")
         for name, census in getattr(mod, "DATA_CENSUS", {}).items():
-            assert name not in out, f"duplicate census for {name}"
+            if name in out:  # fail even under python -O (assert strips)
+                raise ValueError(f"duplicate census for {name}")
             out[name] = census
     return out

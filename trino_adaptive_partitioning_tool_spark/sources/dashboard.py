@@ -65,7 +65,7 @@ function colStatsFilter(sel) {
   });
   var usage = data.usage.filter(function (r) {
     return cols === null || cols[r.name] === 1;
-  });
+  }).slice(0, 12);  // match the server-rendered 'top 12' cap
   var render = function (rootId, rows) {
     var tbl = document.querySelector('#' + rootId + ' table');
     while (tbl.rows.length > 1) { tbl.deleteRow(1); }
@@ -746,13 +746,10 @@ def render_dashboard(
         _hbar_chart(
             col_usage, "Column usage frequency by signal", "weighted frequency"
         ),
-        "<h3>Column usage by signal</h3>",
+        "<h3>Column usage by signal (top 12)</h3>",
         "<div id='colstats-usage'>"
         + _table(
-            [
-                {**r, "wf": r["wf"]}
-                for r in colstats_island["usage"][:12]
-            ],
+            colstats_island["usage"][:12],
             ["name", "source", "wf"],
         )
         + "</div>",
