@@ -123,6 +123,62 @@ def test_webp_round_trip_exact(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_webp_lz_round_trip_exact(data):
+    """The RFC 9649 backref + color-cache path is equally lossless:
+    tiled rasters (vertical period 1..8 rows) force real LZ77 matches
+    at dist = k*width — neighborhood distance codes below the 8+7w
+    ceiling, the dist+120 literal form above it — while cache_bits
+    sweeps 0..11, and the decode must reproduce every pixel exactly."""
+    w = data.draw(st.integers(1, 20))
+    h0 = data.draw(st.integers(1, 8))
+    reps = data.draw(st.integers(1, 5))
+    ch = data.draw(st.sampled_from([3, 4]))
+    cache_bits = data.draw(st.integers(0, 11))
+    backrefs = data.draw(st.booleans())
+    if not backrefs and cache_bits == 0:
+        cache_bits = 1  # plain-literal mode is the other test's job
+    tile = _img(data.draw, h0, w, ch)
+    px = np.tile(tile, (reps, 1, 1))
+    pay = PixmapCodec._encode_webp(
+        px, backrefs=backrefs, cache_bits=cache_bits
+    )
+    dw, dh, got = _pc._parse_webp(pay)
+    assert (dw, dh) == (w, h0 * reps)
+    assert np.array_equal(got, px)
+
+
+def test_vp8l_dist_table_is_spec_permutation():
+    """The neighborhood map inverts the plane-to-code lut into a
+    permutation of codes 1..120 whose documented prefix matches the
+    spec's ordered listing."""
+    table = PixmapCodec._vp8l_dist_table()
+    assert table[0] is None and len(table) == 121
+    assert sorted(set(table[1:])) == sorted(table[1:])  # injective
+    assert table[1:13] == (
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    )
+    assert table[120] == (8, 7)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.integers(1, 1 << 20))
+def test_vp8l_prefix_split_inverts_prefix_read(value):
+    """_vp8l_prefix_split is the exact encoder-side inverse of the
+    decoder's length/distance prefix-value read."""
+    sym, extra_val, extra_bits = PixmapCodec._vp8l_prefix_split(value)
+    assert 0 <= extra_val < (1 << extra_bits) if extra_bits else extra_val == 0
+
+    class _FakeBr:
+        def read(self, n):
+            assert n == extra_bits
+            return extra_val
+
+    assert PixmapCodec._vp8l_prefix_read(sym, _FakeBr()) == value
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_jpeg_round_trip_bounded_error(data):
     """Unit quant tables: the only loss is FDCT/IDCT rounding, so every
     sample returns within a few levels; dims include non-MCU multiples

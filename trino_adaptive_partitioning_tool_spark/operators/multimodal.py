@@ -266,6 +266,67 @@ def synth_webp_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_webp_lz_assets(
+    spark: SparkSession, n: int = 192, partitions: int = 8
+) -> DataFrame:
+    """Deterministic WebP-lossless assets that EXERCISE the RFC 9649
+    backward-reference + color-cache machinery (unlike
+    synth_webp_assets, whose payloads are literal-coded): a base tile
+    of h0 = aid%7+2 rows of digest-cycled pixels is repeated
+    r = aid%3+2 times vertically, so the greedy LZ77 encoder emits
+    dist = h0*width backrefs — neighborhood distance codes when
+    h0*width <= 8+7*width, the dist+120 literal form beyond it — and
+    cache_bits = aid%11+1 sweeps every legal color-cache size. The
+    decoded image's mean equals the BASE tile's mean (each base pixel
+    appears exactly r times), so the digest-arithmetic DuckDB oracle
+    convention still applies without parsing VP8L."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 5 + 3).cast("int").alias("w"),
+        (F.col("id") % 7 + 2).cast("int").alias("h0"),
+        (F.col("id") % 3 + 2).cast("int").alias("r"),
+        F.element_at(
+            F.array(F.lit(3), F.lit(4)), (F.col("id") % 2 + 1).cast("int")
+        ).alias("ch"),
+        (F.col("id") % 11 + 1).cast("int").alias("cache_bits"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h0, r, ch, cb in zip(
+                pdf["asset_id"], pdf["w"], pdf["h0"], pdf["r"],
+                pdf["ch"], pdf["cache_bits"],
+            ):
+                aid, w, h0, r, ch, cb = (
+                    int(aid), int(w), int(h0), int(r), int(ch), int(cb)
+                )
+                digest = hashlib.md5(str(aid).encode()).digest()
+                need = h0 * w * ch
+                tile = np.frombuffer(
+                    (digest * (need // 16 + 1))[:need], dtype=np.uint8
+                ).reshape(h0, w, ch)
+                px = np.tile(tile, (r, 1, 1))
+                rows.append(
+                    (
+                        aid,
+                        "image",
+                        PixmapCodec._encode_webp(
+                            px, backrefs=True, cache_bits=cb
+                        ),
+                        (w, h0 * r, None, None, "webp"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_wav_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -1665,12 +1726,17 @@ class PixmapCodec:
     # -- WebP-lossless (VP8L) ---------------------------------------------
     # Public format: RIFF/WEBP container, VP8L chunk, LSB-first
     # bitstream, canonical length-limited Huffman codes per ARGB channel
-    # (WebP Lossless Bitstream Specification). The encoder emits
-    # literal-coded pixels (no transforms / color cache / LZ77 backrefs
-    # / meta-huffman — all legal to omit); the decoder handles the full
-    # prefix-code machinery including simple codes, the 19-symbol
-    # code-length code and its 16/17/18 repeat operators, and raises
-    # contract guards on the optional features the encoder never emits.
+    # (WebP Lossless Bitstream Specification, RFC 9649). The decoder
+    # handles the full prefix-code machinery (simple codes, the
+    # 19-symbol code-length code and its 16/17/18 repeat operators),
+    # LZ77 backward references (length/distance prefix values + the
+    # 120-entry 2-D neighborhood distance-code map) and the color cache
+    # (0x1e35a7bd multiplicative hash) — the two features virtually
+    # every real lossless WebP uses. Transforms and meta-huffman remain
+    # fail-loud contract guards. The encoder emits literal-coded pixels
+    # by default (legal to omit everything optional); pass cache_bits /
+    # backrefs=True for a greedy left/above-run LZ77 + cache encoding
+    # so fixtures exercise the full decode path.
 
     # code-length symbols appear in this fixed spec order
     _VP8L_CL_ORDER = (
@@ -1678,6 +1744,71 @@ class PixmapCodec:
     )
     # alphabet sizes: green+length (no cache), red, blue, alpha, distance
     _VP8L_ALPHABETS = (256 + 24, 256, 256, 256, 40)
+
+    # RFC 9649 plane-to-code lut: index = dy*16 + 8 + dx for the
+    # referenced pixel at (current_x + dx, current_y - dy), dx in
+    # [-8, 7], dy in [0, 7]; value = distance_code - 1, 255 = no short
+    # code. Validated a permutation of 0..119 by _vp8l_dist_table().
+    _VP8L_DIST_LUT = (
+        96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255,
+        255, 101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+        102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+        105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+        110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83,
+        100, 115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77,
+        95, 109, 118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81,
+        93, 104, 114, 119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85,
+        89, 98, 107, 112, 117,
+    )
+    _vp8l_dist_cache: tuple | None = None
+
+    @classmethod
+    def _vp8l_dist_table(cls) -> tuple:
+        """distance_code (1..120) -> (xoffset, yoffset): the referenced
+        pixel sits xoffset + yoffset*width scan-order positions back.
+        Built by inverting _VP8L_DIST_LUT; fail-loud permutation check."""
+        if cls._vp8l_dist_cache is None:
+            vals = [v for v in cls._VP8L_DIST_LUT if v != 255]
+            if sorted(vals) != list(range(120)):
+                raise AssertionError("VP8L distance lut is corrupt")
+            table: list = [None] * 121
+            for idx, v in enumerate(cls._VP8L_DIST_LUT):
+                if v == 255:
+                    continue
+                dy, dx = divmod(idx, 16)
+                table[v + 1] = (-(dx - 8), dy)
+            cls._vp8l_dist_cache = tuple(table)
+        return cls._vp8l_dist_cache
+
+    @staticmethod
+    def _vp8l_prefix_read(sym: int, br: "_LsbBitReader") -> int:
+        """Length/distance prefix-coded value (RFC 9649 §4.2.2): the
+        symbol selects a power-of-two bucket, extra bits refine it."""
+        if sym < 4:
+            return sym + 1
+        extra = (sym - 2) >> 1
+        offset = (2 + (sym & 1)) << extra
+        return offset + br.read(extra) + 1
+
+    @staticmethod
+    def _vp8l_prefix_split(value: int) -> tuple[int, int, int]:
+        """Inverse of _vp8l_prefix_read: value -> (symbol, extra_value,
+        extra_bits)."""
+        if value < 1:
+            raise ValueError("prefix values start at 1")
+        if value <= 4:
+            return value - 1, 0, 0
+        v = value - 1
+        extra = v.bit_length() - 2
+        sym = 2 * extra + ((v >> extra) & 1)
+        return sym + 2, v - ((2 + ((v >> extra) & 1)) << extra), extra
+
+    @staticmethod
+    def _vp8l_cache_key(r: int, g: int, b: int, a: int, bits: int) -> int:
+        """Color-cache slot (RFC 9649 §4.2.3): multiplicative hash of
+        the packed ARGB word."""
+        argb = ((a << 24) | (r << 16) | (g << 8) | b) & 0xFFFFFFFF
+        return ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - bits)
 
     @classmethod
     def _write_vp8l_code(
@@ -1690,7 +1821,9 @@ class PixmapCodec:
         reader consumes one code-length entry per ALPHABET slot, so the
         zero tail past the last used symbol is written explicitly)."""
         syms = sorted(freqs)
-        if len(syms) <= 2:
+        # the simple form stores symbols in 1 or 8 bits, so it cannot
+        # carry length/cache symbols (>= 256) from the green alphabet
+        if len(syms) <= 2 and syms[-1] <= 255:
             bw.write(1, 1)  # simple
             bw.write(len(syms) - 1, 1)
             first = syms[0]
@@ -1722,11 +1855,28 @@ class PixmapCodec:
         return _canonical_codes(lengths)
 
     @classmethod
-    def _encode_webp(cls, px: "np.ndarray") -> bytes:
-        """REAL WebP-lossless bytes for an [h, w, 3|4] uint8 raster."""
+    def _encode_webp(
+        cls,
+        px: "np.ndarray",
+        *,
+        cache_bits: int = 0,
+        backrefs: bool = False,
+    ) -> bytes:
+        """REAL WebP-lossless bytes for an [h, w, 3|4] uint8 raster.
+
+        Default output is pure literal coding (byte-stable across
+        rounds — fixture digests pin it). ``backrefs=True`` switches to
+        a greedy LZ77 over left-run (dist 1) and above-run (dist width)
+        candidates plus ``cache_bits`` of color cache, exercising the
+        decoder's full RFC 9649 path including the 2-D neighborhood
+        distance codes."""
         h, w, ch = px.shape
         if ch not in (3, 4) or w > 1 << 14 or h > 1 << 14:
             raise ValueError("VP8L encoder needs RGB/RGBA, dims <= 16384")
+        if cache_bits and not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L color-cache bits out of range")
+        if backrefs or cache_bits:
+            return cls._encode_webp_lz(px, cache_bits, backrefs)
         flat = px.reshape(-1, ch).astype(np.int64)
         reds, greens, blues = flat[:, 0], flat[:, 1], flat[:, 2]
         alphas = (
@@ -1757,6 +1907,10 @@ class PixmapCodec:
         ):
             for code, n in (g_map[g], r_map[r], b_map[b], a_map[a]):
                 bw.write(_reverse_bits(code, n), n)
+        return cls._vp8l_container(bw)
+
+    @staticmethod
+    def _vp8l_container(bw: "_LsbBitWriter") -> bytes:
         vp8l = b"\x2f" + bw.getvalue()
         chunk = (
             b"VP8L"
@@ -1766,6 +1920,125 @@ class PixmapCodec:
         )
         riff = b"WEBP" + chunk
         return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    @classmethod
+    def _encode_webp_lz(
+        cls, px: "np.ndarray", cache_bits: int, backrefs: bool
+    ) -> bytes:
+        """Greedy LZ77 + color-cache VP8L encoder (the fixture-side
+        twin of the decoder's backref/cache path). Match candidates are
+        dist=1 (horizontal run) and dist=k*width for k in 1..8
+        (vertical repetition with any tile period up to 8 rows) —
+        enough to exercise length prefix codes, the 2-D neighborhood
+        distance codes AND the dist+120 literal-distance form (k*width
+        beyond the 8+7*width neighborhood ceiling), and cache hits,
+        while staying O(n)."""
+        h, w, ch = px.shape
+        n = h * w
+        flat = px.reshape(-1, ch)
+        if ch == 3:
+            flat = np.concatenate(
+                [flat, np.full((n, 1), 255, np.uint8)], axis=1
+            )
+        pixels = [tuple(int(v) for v in row) for row in flat]
+        cache_size = (1 << cache_bits) if cache_bits else 0
+        cache = [(0, 0, 0, 0)] * cache_size
+        dist_map = cls._vp8l_dist_table()
+        # smallest neighborhood code per scan-order distance (several
+        # (x, y) pairs can collapse to one distance at small widths)
+        inv: dict[int, int] = {}
+        for code in range(1, 121):
+            xo, yo = dist_map[code]
+            inv.setdefault(max(xo + yo * w, 1), code)
+        tokens: list[tuple] = []
+        freqs: list[dict[int, int]] = [{} for _ in range(5)]
+
+        def bump(t: int, s: int) -> None:
+            freqs[t][s] = freqs[t].get(s, 0) + 1
+
+        i = 0
+        while i < n:
+            best_len = best_dist = 0
+            if backrefs:
+                for dist in (1, *(k * w for k in range(1, 9))):
+                    if dist < 1 or dist > i:
+                        continue
+                    ln = 0
+                    maxl = min(4096, n - i)
+                    while (
+                        ln < maxl
+                        and pixels[i + ln] == pixels[i + ln - dist]
+                    ):
+                        ln += 1
+                    if ln > best_len:
+                        best_len, best_dist = ln, dist
+            if best_len >= 3:
+                lsym, lxv, lbits = cls._vp8l_prefix_split(best_len)
+                dcode = inv.get(best_dist, best_dist + 120)
+                dsym, dxv, dbits = cls._vp8l_prefix_split(dcode)
+                if dsym >= 40:  # pragma: no cover - needs dist > 2^20
+                    raise ValueError("VP8L distance out of alphabet")
+                tokens.append(("B", lsym, lxv, lbits, dsym, dxv, dbits))
+                bump(0, 256 + lsym)
+                bump(4, dsym)
+                for _ in range(best_len):
+                    if cache_size:
+                        p = pixels[i]
+                        cache[cls._vp8l_cache_key(*p, cache_bits)] = p
+                    i += 1
+                continue
+            p = pixels[i]
+            if cache_size:
+                key = cls._vp8l_cache_key(*p, cache_bits)
+                if cache[key] == p:
+                    tokens.append(("C", key))
+                    bump(0, 280 + key)
+                    i += 1
+                    continue
+                cache[key] = p
+            tokens.append(("L", p))
+            bump(0, p[1])
+            bump(1, p[0])
+            bump(2, p[2])
+            bump(3, p[3])
+            i += 1
+
+        bw = _LsbBitWriter()
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(1 if ch == 4 else 0, 1)  # alpha hint
+        bw.write(0, 3)  # version
+        bw.write(0, 1)  # no transforms
+        if cache_bits:
+            bw.write(1, 1)
+            bw.write(cache_bits, 4)
+        else:
+            bw.write(0, 1)
+        bw.write(0, 1)  # no meta-huffman
+        alphabets = (256 + 24 + cache_size,) + cls._VP8L_ALPHABETS[1:]
+        emit = []
+        for t, size in enumerate(alphabets):
+            emit.append(cls._write_vp8l_code(bw, freqs[t] or {0: 1}, size))
+        g_map, r_map, b_map, a_map, d_map = emit
+        for tok in tokens:
+            if tok[0] == "L":
+                r, g, b, a = tok[1]
+                for code, nb in (g_map[g], r_map[r], b_map[b], a_map[a]):
+                    bw.write(_reverse_bits(code, nb), nb)
+            elif tok[0] == "B":
+                _, lsym, lxv, lbits, dsym, dxv, dbits = tok
+                code, nb = g_map[256 + lsym]
+                bw.write(_reverse_bits(code, nb), nb)
+                if lbits:
+                    bw.write(lxv, lbits)
+                code, nb = d_map[dsym]
+                bw.write(_reverse_bits(code, nb), nb)
+                if dbits:
+                    bw.write(dxv, dbits)
+            else:  # cache hit
+                code, nb = g_map[280 + tok[1]]
+                bw.write(_reverse_bits(code, nb), nb)
+        return cls._vp8l_container(bw)
 
     @classmethod
     def _read_vp8l_code(
@@ -1848,17 +2121,21 @@ class PixmapCodec:
             raise NotImplementedError(
                 "VP8L transforms not supported by PixmapCodec"
             )
-        if br.read(1):
-            raise NotImplementedError(
-                "VP8L color cache not supported by PixmapCodec"
-            )
+        if br.read(1):  # color-cache-info
+            cache_bits = br.read(4)
+            if not 1 <= cache_bits <= 11:
+                raise ValueError("VP8L color-cache bits out of range")
+        else:
+            cache_bits = 0
         if br.read(1):
             raise NotImplementedError(
                 "VP8L meta-huffman not supported by PixmapCodec"
             )
-        tables = [
-            cls._read_vp8l_code(br, a) for a in cls._VP8L_ALPHABETS
-        ]
+        cache_size = (1 << cache_bits) if cache_bits else 0
+        alphabets = (256 + 24 + cache_size,) + cls._VP8L_ALPHABETS[1:]
+        tables = [cls._read_vp8l_code(br, a) for a in alphabets]
+        dist_map = cls._vp8l_dist_table()
+        cache = [(0, 0, 0, 0)] * cache_size
         n = w * h
         out = np.zeros((n, 4), dtype=np.uint8)
         i = 0
@@ -1869,13 +2146,39 @@ class PixmapCodec:
                 b = _read_huff_symbol(br, *tables[2])
                 a = _read_huff_symbol(br, *tables[3])
                 out[i] = (r, gsym, b, a)
+                if cache_size:
+                    cache[
+                        cls._vp8l_cache_key(r, gsym, b, a, cache_bits)
+                    ] = (r, gsym, b, a)
                 i += 1
-            elif gsym < 280:
-                raise NotImplementedError(
-                    "VP8L backward references not supported by PixmapCodec"
+            elif gsym < 280:  # LZ77 backward reference
+                length = cls._vp8l_prefix_read(gsym - 256, br)
+                dcode = cls._vp8l_prefix_read(
+                    _read_huff_symbol(br, *tables[4]), br
                 )
-            else:  # pragma: no cover - cache absent, symbol impossible
-                raise ValueError("color-cache symbol without a cache")
+                if dcode > 120:
+                    dist = dcode - 120
+                else:  # 2-D neighborhood map, clamped to >= 1
+                    xoff, yoff = dist_map[dcode]
+                    dist = max(xoff + yoff * w, 1)
+                if dist > i or i + length > n:
+                    raise ValueError(
+                        "VP8L backward reference out of range"
+                    )
+                for _ in range(length):  # may self-overlap (run coding)
+                    r, g, b, a = (int(v) for v in out[i - dist])
+                    out[i] = (r, g, b, a)
+                    if cache_size:
+                        cache[
+                            cls._vp8l_cache_key(r, g, b, a, cache_bits)
+                        ] = (r, g, b, a)
+                    i += 1
+            else:  # color-cache hit
+                idx = gsym - 280
+                if idx >= cache_size:
+                    raise ValueError("color-cache symbol without a cache")
+                out[i] = cache[idx]
+                i += 1
         px = out.reshape(h, w, 4)
         if not alpha_used:
             px = px[:, :, :3]

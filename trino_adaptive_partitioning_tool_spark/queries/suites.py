@@ -517,6 +517,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_webp_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
+    ("multimodal_webp_lz_decode_stats",
+     ["channels", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
     ("multimodal_y4m_frame_stats",
      ["asset_id", "n_frames", "last_frame_ms"], ["avg_luma"]),
     ("partition_layout_whatif",
