@@ -15,6 +15,10 @@ import os
 import sys
 import time
 
+# same ceiling as gen_bench_baseline's SPARK_GRAFT_BASELINE_MAX_LOAD
+# default: a sample taken above it is marked quiet=false in both
+# stdout lines so the round artifact self-describes its host state
+QUIET_LOAD_GATE = 4.0
 
 HEADLINE_QUERIES = [
     # core relational surface
@@ -156,6 +160,10 @@ HEADLINE_QUERIES = [
     "multimodal_progressive_png_stats",
     # r12: indexed-color (palette/type-3) PNG decode leg
     "multimodal_palette_png_stats",
+    # r13: VP8L backward-reference + color-cache decode leg
+    "multimodal_webp_lz_decode_stats",
+    # r13: 16-bit + packed 1/2/4-bit PNG depth-grid decode leg
+    "multimodal_png_depth_stats",
 ]
 
 
@@ -204,6 +212,12 @@ def emit_output_lines(
     # per-round baseline updates cannot reset. Keep only the worst few
     # in the compact line (full list in BENCH_PLANS.json).
     watch = watch or {}
+    # quiet-host marker (r12 verdict "what's wrong" #1): True iff the
+    # START load was measured AND sat under the same 4.0 gate the
+    # baseline generator enforces — so a future reader of the round
+    # artifact can tell a loaded-host sample from an authoritative one
+    # without cross-referencing COVERAGE.md prose.
+    quiet = load_1m is not None and load_1m <= QUIET_LOAD_GATE
     compact_watch = dict(
         sorted(watch.items(), key=lambda kv: -kv[1])[:8]
     )
@@ -218,6 +232,7 @@ def emit_output_lines(
         "watch": dict(sorted(watch.items(), key=lambda kv: -kv[1])),
         "anchor_ratio_r1": anchor_ratio_r1,
         "load_1m": load_1m,
+        "quiet": quiet,
         "value": round(total, 3),
         "regressions": compact_reg,
         "sf": sf,
@@ -253,6 +268,7 @@ def emit_output_lines(
         "watch": compact_watch,
         "anchor_ratio_r1": anchor_ratio_r1,
         "load_1m": load_1m,
+        "quiet": quiet,
         "value": round(total, 3),
         "regressions": compact_reg,
         "sf": sf,

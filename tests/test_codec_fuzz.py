@@ -47,6 +47,38 @@ def test_png_round_trip_exact(data):
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.data())
+def test_png_depth_grid_round_trip_exact(data):
+    """The r13 depth grid: 16-bit samples (any non-palette color type)
+    and packed 1/2/4-bit gray / palette index planes round-trip
+    bit-exactly, sequential and Adam7 — the filter offset is
+    bytes-per-pixel (min 1), so a wrong bpp corrupts Sub/Paeth rows
+    immediately."""
+    h = data.draw(st.integers(1, 16))
+    w = data.draw(st.integers(1, 16))
+    inter = data.draw(st.booleans())
+    kind = data.draw(st.sampled_from(["16", "gray_packed", "pal_packed"]))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "16":
+        ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+        px = rng.integers(0, 65536, (h, w, ch)).astype(np.uint16)
+        kw = {"depth": 16}
+    elif kind == "gray_packed":
+        d = data.draw(st.sampled_from([1, 2, 4]))
+        px = rng.integers(0, 1 << d, (h, w, 1)).astype(np.uint8)
+        kw = {"depth": d}
+    else:
+        d = data.draw(st.sampled_from([1, 2, 4]))
+        pal = rng.integers(0, 256, (1 << d, data.draw(st.sampled_from([3, 4]))))
+        px = pal[rng.integers(0, 1 << d, (h, w))].astype(np.uint8)
+        kw = {"depth": d, "palette": True}
+    got = _pc._parse_png(PixmapCodec._encode_png(px, interlace=inter, **kw))[2]
+    assert got.dtype == px.dtype
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.data())
 def test_png_adam7_round_trip_exact(data):
     """Progressive (Adam7) PNG is a LAYOUT change, not a value change:
     any raster round-trips bit-exactly through the seven-pass

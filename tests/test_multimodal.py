@@ -327,15 +327,18 @@ def test_png_rejects_unsupported_variants():
             + chunk(b"IEND", b"")
         )
 
-    with _pytest.raises(ValueError, match="8-bit"):
-        c._parse_png(png(16, 2, 0))
-    # palette and Adam7 are SUPPORTED since r12 — the guards move to
-    # their structural invariants: indexed color without its PLTE, a
-    # sub-8-bit palette depth, and an unknown interlace method
+    # palette/Adam7 (r12) and 16-bit/packed depths (r13) are SUPPORTED
+    # — the guards move to the combinations the spec itself forbids:
+    # 16-bit palette, packed multi-channel types, a depth that does
+    # not exist, indexed color without its PLTE, unknown interlace
+    with _pytest.raises(ValueError, match="depth/color"):
+        c._parse_png(png(16, 3, 0))  # 16-bit palette is illegal
+    with _pytest.raises(ValueError, match="depth/color"):
+        c._parse_png(png(2, 2, 0))  # packed RGB is illegal
+    with _pytest.raises(ValueError, match="depth/color"):
+        c._parse_png(png(3, 0, 0))  # depth 3 does not exist
     with _pytest.raises(ValueError, match="PLTE"):
         c._parse_png(png(8, 3, 0))  # palette but no PLTE chunk
-    with _pytest.raises(ValueError, match="8-bit"):
-        c._parse_png(png(4, 3, 0))  # 4-bit packed palette unsupported
     with _pytest.raises(ValueError, match="interlace"):
         c._parse_png(png(8, 2, 2))  # method 2 does not exist
     with _pytest.raises(ValueError, match="size mismatch"):

@@ -327,6 +327,81 @@ def synth_webp_lz_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def synth_png_depth_assets(
+    spark: SparkSession, n: int = 192, partitions: int = 8
+) -> DataFrame:
+    """Deterministic PNG assets across the NON-8-bit sample grid (r12
+    verdict "what's missing" #3): depth cycles 1/2/4/16 per asset_id%4.
+    16-bit assets take big-endian digest byte PAIRS as uint16 samples
+    over gray/RGB/RGBA (asset_id%3); packed 1/2/4-bit assets take
+    digest bytes mod 2^depth as single-channel gray samples, packed
+    MSB-first. Every fifth asset is Adam7-interlaced so the packed and
+    16-bit scanline math is exercised per-pass, not just sequentially.
+    The decoded mean stays digest-arithmetic for the DuckDB oracle."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") % 6 + 2).cast("int").alias("w"),
+        (F.col("id") % 4 + 2).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(16)),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("depth"),
+        F.element_at(
+            F.array(F.lit(1), F.lit(3), F.lit(4)),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("ch16"),
+        (F.col("id") % 5 == 0).alias("interlace"),
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h, depth, ch16, inter in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["depth"],
+                pdf["ch16"], pdf["interlace"],
+            ):
+                aid, w, h, depth, ch16 = (
+                    int(aid), int(w), int(h), int(depth), int(ch16)
+                )
+                digest = hashlib.md5(str(aid).encode()).digest()
+                if depth == 16:
+                    ch = ch16
+                    need = w * h * ch * 2
+                    raw = np.frombuffer(
+                        (digest * (need // 16 + 1))[:need], np.uint8
+                    ).astype(np.uint16)
+                    px = (
+                        (raw[0::2] << 8) | raw[1::2]
+                    ).reshape(h, w, ch)
+                else:
+                    ch = 1
+                    need = w * h
+                    raw = np.frombuffer(
+                        (digest * (need // 16 + 1))[:need], np.uint8
+                    )
+                    px = (raw % (1 << depth)).astype(np.uint8).reshape(
+                        h, w, 1
+                    )
+                rows.append(
+                    (
+                        aid,
+                        "image",
+                        PixmapCodec._encode_png(
+                            px, interlace=bool(inter), depth=depth
+                        ),
+                        (w, h, None, None, "png"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
 def synth_wav_assets(
     spark: SparkSession, n: int = 256, partitions: int = 8
 ) -> DataFrame:
@@ -1497,11 +1572,15 @@ class PixmapCodec:
         if ihdr is None or not idat:
             raise ValueError("PNG missing IHDR or IDAT")
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth != 8 or (
-            color != 3 and color not in cls._PNG_CHANNELS
-        ):
+        # legal depth set per color type (PNG spec 11.2.2): packed
+        # depths for gray + palette, 16-bit for every non-palette type
+        allowed = {
+            0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+            4: (8, 16), 6: (8, 16),
+        }
+        if color not in allowed or depth not in allowed[color]:
             raise ValueError(
-                "only 8-bit gray/gray-alpha/RGB/RGBA/palette PNG supported"
+                f"unsupported PNG depth/color combination ({depth}/{color})"
             )
         if comp != 0 or filt != 0:
             raise ValueError("unsupported PNG compression/filter method")
@@ -1516,23 +1595,36 @@ class PixmapCodec:
             ch = 1
         else:
             ch = cls._PNG_CHANNELS[color]
+        # filtering operates on scanline BYTES with a left offset of
+        # bytes-per-pixel, rounded up to 1 for packed depths (spec 9.2)
+        bpp = max(1, ch * depth // 8)
         raw = zlib.decompress(bytes(idat))
         if interlace == 1:  # Adam7: seven independently-filtered passes
-            out = np.zeros((h, w, ch), dtype=np.uint8)
+            out = np.zeros(
+                (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+            )
             pos = 0
             for xs, ys, xstep, ystep in cls._ADAM7:
                 pw = (w - xs + xstep - 1) // xstep
                 ph = (h - ys + ystep - 1) // ystep
                 if pw <= 0 or ph <= 0:
                     continue  # empty pass for tiny images — no bytes
-                need = ph * (pw * ch + 1)
-                sub = cls._png_defilter(raw[pos : pos + need], pw, ph, ch)
+                stride = (pw * ch * depth + 7) // 8
+                need = ph * (stride + 1)
+                sub = cls._png_defilter(
+                    raw[pos : pos + need], stride, ph, bpp
+                )
                 pos += need
-                out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, ch)
+                out[ys::ystep, xs::xstep] = cls._png_rows_to_samples(
+                    sub, pw, ch, depth
+                )
             if pos != len(raw):
                 raise ValueError("PNG IDAT size mismatch")
         elif interlace == 0:
-            out = cls._png_defilter(raw, w, h, ch).reshape(h, w, ch)
+            stride = (w * ch * depth + 7) // 8
+            out = cls._png_rows_to_samples(
+                cls._png_defilter(raw, stride, h, bpp), w, ch, depth
+            )
         else:
             raise ValueError("unsupported PNG interlace method")
         if color == 3:
@@ -1554,12 +1646,59 @@ class PixmapCodec:
         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
     )
 
+    @staticmethod
+    def _png_rows_to_samples(
+        recon: "np.ndarray", w: int, ch: int, depth: int
+    ) -> "np.ndarray":
+        """Defiltered scanline bytes recon[h, stride] -> samples
+        [h, w, ch]: uint8 at depths <= 8 (packed depths unpack
+        MSB-first per spec 7.2), uint16 big-endian pairs at 16."""
+        h = recon.shape[0]
+        if depth == 8:
+            return recon.reshape(h, w, ch)
+        if depth == 16:
+            b = recon.reshape(h, w * ch, 2).astype(np.uint16)
+            return ((b[:, :, 0] << 8) | b[:, :, 1]).reshape(h, w, ch)
+        # packed 1/2/4-bit: always single-channel (gray or palette idx)
+        bits = np.unpackbits(recon, axis=1)[:, : w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (
+            (bits.reshape(h, w, depth) * weights).sum(axis=2)
+            .astype(np.uint8).reshape(h, w, 1)
+        )
+
+    @staticmethod
+    def _png_samples_to_rows(px: "np.ndarray", depth: int) -> "np.ndarray":
+        """Encoder-side inverse of _png_rows_to_samples: samples
+        [h, w, ch] -> int32 scanline-byte rows [h, stride] ready for
+        _png_filter_rows."""
+        h, w, ch = px.shape
+        if depth == 8:
+            return px.reshape(h, w * ch).astype(np.int32)
+        if depth == 16:
+            v = px.astype(np.uint32).reshape(h, w * ch)
+            rows = np.zeros((h, w * ch * 2), np.int32)
+            rows[:, 0::2] = v >> 8
+            rows[:, 1::2] = v & 0xFF
+            return rows
+        bits = (
+            (px.reshape(h, w, 1).astype(np.uint8)
+             >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth).astype(np.uint8)
+        pad = -bits.shape[1] % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((h, pad), np.uint8)], axis=1
+            )
+        return np.packbits(bits, axis=1).astype(np.int32)
+
     @classmethod
-    def _png_defilter(cls, raw: bytes, w: int, h: int, ch: int):
+    def _png_defilter(cls, raw: bytes, stride: int, h: int, ch: int):
         """Reverse the per-scanline filters over one filtered image (or
-        one Adam7 pass — each pass filters against its OWN rows only);
-        returns recon[h, w*ch] uint8."""
-        stride = w * ch
+        one Adam7 pass — each pass filters against its OWN rows only).
+        ``stride`` is bytes per scanline, ``ch`` the filter's left
+        offset in BYTES (bytes-per-pixel, min 1 for packed depths);
+        returns recon[h, stride] uint8."""
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT size mismatch")
         recon = np.zeros((h, stride), dtype=np.uint8)
@@ -1573,7 +1712,7 @@ class PixmapCodec:
             if f == 0:
                 recon[r] = line
             elif f == 1:  # Sub: per-lane prefix sum mod 256
-                lanes = line.reshape(w, ch).astype(np.uint32)
+                lanes = line.reshape(-1, ch).astype(np.uint32)
                 recon[r] = (
                     np.cumsum(lanes, axis=0) % 256
                 ).astype(np.uint8).reshape(stride)
@@ -1650,16 +1789,20 @@ class PixmapCodec:
         px: np.ndarray,
         interlace: bool = False,
         palette: bool = False,
+        depth: int = 8,
     ) -> bytes:
-        """Encode [h, w, channels] uint8 pixels as a valid PNG —
-        sequential, or progressive (Adam7, r12) with each of the seven
-        passes gathered by the spec strides and filtered as its own
-        sub-image (matching how every real encoder lays passes out and
-        how _parse_png reverses them). palette=True (r12) writes
-        indexed color (type 3): RGB input emits PLTE + a filtered
-        1-byte index plane; RGBA input additionally emits per-entry
-        tRNS alphas (distinct colors must fit 256 entries — ValueError
-        otherwise, like any real quantizer-less palette writer)."""
+        """Encode [h, w, channels] pixels as a valid PNG — sequential,
+        or progressive (Adam7, r12) with each of the seven passes
+        gathered by the spec strides and filtered as its own sub-image
+        (matching how every real encoder lays passes out and how
+        _parse_png reverses them). palette=True (r12) writes indexed
+        color (type 3): RGB input emits PLTE + a filtered index plane;
+        RGBA input additionally emits per-entry tRNS alphas (distinct
+        colors must fit 256 entries — ValueError otherwise, like any
+        real quantizer-less palette writer). depth (r13) extends the
+        sample grid: 16 takes uint16 samples as big-endian pairs for
+        any non-palette color type; 1/2/4 pack gray samples or palette
+        indices MSB-first per spec 7.2."""
         import struct
         import zlib
 
@@ -1670,12 +1813,15 @@ class PixmapCodec:
         if palette:
             if ch not in (3, 4):
                 raise ValueError("palette PNG needs RGB or RGBA input")
+            if depth not in (1, 2, 4, 8):
+                raise ValueError("palette PNG depth must be 1/2/4/8")
             colors, idx = np.unique(
                 px.reshape(-1, ch), axis=0, return_inverse=True
             )
-            if len(colors) > 256:
+            if len(colors) > min(256, 1 << depth):
                 raise ValueError(
-                    f"palette PNG limited to 256 colors, got {len(colors)}"
+                    f"palette PNG at depth {depth} limited to "
+                    f"{min(256, 1 << depth)} colors, got {len(colors)}"
                 )
             extra.append((b"PLTE", colors[:, :3].astype(np.uint8).tobytes()))
             if ch == 4:
@@ -1687,6 +1833,18 @@ class PixmapCodec:
             color = 3
         else:
             color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+            if depth in (1, 2, 4):
+                if ch != 1:
+                    raise ValueError(
+                        "packed PNG depths are gray/palette only"
+                    )
+                if int(px.max(initial=0)) >= 1 << depth:
+                    raise ValueError(
+                        f"sample out of range for depth {depth}"
+                    )
+            elif depth not in (8, 16):
+                raise ValueError(f"unsupported PNG depth {depth}")
+        bpp = max(1, ch * depth // 8)
         if interlace:
             out = bytearray()
             for xs, ys, xstep, ystep in cls._ADAM7:
@@ -1696,12 +1854,12 @@ class PixmapCodec:
                     continue
                 out.extend(
                     cls._png_filter_rows(
-                        sub.reshape(ph, pw * ch).astype(np.int32), ch
+                        cls._png_samples_to_rows(sub, depth), bpp
                     )
                 )
         else:
             out = cls._png_filter_rows(
-                px.reshape(h, w * ch).astype(np.int32), ch
+                cls._png_samples_to_rows(px, depth), bpp
             )
 
         def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -1713,7 +1871,7 @@ class PixmapCodec:
             )
 
         ihdr = struct.pack(
-            ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+            ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
         )
         return (
             cls._PNG_SIG

@@ -2340,6 +2340,81 @@ def multimodal_webp_lz_decode_stats(
     )
 
 
+@register(
+    "multimodal_png_depth_stats",
+    oracle="""
+    WITH a AS (
+      SELECT t.asset_id,
+             CAST(t.asset_id % 6 + 2 AS INT) AS w,
+             CAST(t.asset_id % 4 + 2 AS INT) AS h,
+             CAST(CASE t.asset_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                  WHEN 2 THEN 4 ELSE 16 END AS INT) AS depth,
+             CAST(CASE t.asset_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                  ELSE 4 END AS INT) AS ch16,
+             md5(CAST(t.asset_id AS VARCHAR)) AS hx
+      FROM range(0, 192) t(asset_id)
+    ), d AS (
+      -- synth_png_depth_assets convention: 16-bit samples are
+      -- big-endian digest byte PAIRS (byte b cycles digest[b % 16]);
+      -- packed 1/2/4-bit samples are digest bytes mod 2^depth. The
+      -- Spark side has to defilter the scanlines at the right
+      -- bytes-per-pixel, recombine uint16 pairs / unpack MSB-first
+      -- bit groups — per Adam7 pass for every fifth asset — to land
+      -- on the same integers
+      SELECT asset_id, depth, w, h,
+        CASE WHEN depth = 16 THEN
+          list_avg(list_transform(range(0, w * h * ch16), j ->
+            CAST(('0x' || substr(hx, CAST((2 * j) % 16 AS INT) * 2 + 1,
+                                  2)) AS INT) * 256
+            + CAST(('0x' || substr(hx, CAST((2 * j + 1) % 16 AS INT) * 2
+                                   + 1, 2)) AS INT)))
+        ELSE
+          list_avg(list_transform(range(0, w * h), j ->
+            CAST(('0x' || substr(hx, CAST(j % 16 AS INT) * 2 + 1,
+                                  2)) AS INT) % (1 << depth)))
+        END AS mean_intensity
+      FROM a
+    )
+    SELECT depth,
+           COUNT(*) AS n_assets,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           ROUND(AVG(mean_intensity), 4) AS avg_intensity
+    FROM d
+    GROUP BY depth
+    """,
+)
+def multimodal_png_depth_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Certifies the non-8-bit PNG sample grid (r12 verdict "what's
+    missing" #3 — 16-bit is mainstream in photography/scientific
+    corpora): synth_png_depth_assets emits 16-bit gray/RGB/RGBA
+    (big-endian pairs, bpp-offset filtering) and packed 1/2/4-bit gray
+    (MSB-first bit groups, 1-byte filter offset), sequential AND Adam7,
+    decoded through the production mapInPandas stage with
+    require_codec=True and grouped by bit depth."""
+    decoded = mm.decode_assets(
+        mm.synth_png_depth_assets(spark, n=192),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    depth = F.element_at(
+        F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(16)),
+        (F.col("asset_id") % 4 + 1).cast("int"),
+    )
+    return (
+        decoded.withColumn("depth", depth)
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("decoded_width").cast("bigint").alias("sum_width"),
+            F.sum("decoded_height").cast("bigint").alias("sum_height"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
+
+
 # Synth-data census for the bench rebaseline trigger (r12, closing the
 # r11 verdict's "What's wrong" #1): each entry mirrors the literal
 # generator call(s) its query makes above, as {generator: asset_count}
@@ -2361,6 +2436,7 @@ DATA_CENSUS: dict[str, dict] = {
     "multimodal_palette_png_stats": {"png_assets": 256},
     "multimodal_webp_decode_stats": {"webp_assets": 256},
     "multimodal_webp_lz_decode_stats": {"webp_lz_assets": 192},
+    "multimodal_png_depth_stats": {"png_depth_assets": 192},
     "multimodal_channel_stats": {"png_assets": 256},
     "multimodal_y4m_frame_stats": {"y4m_assets": 128},
     "multimodal_scene_changes": {"y4m_assets": 128},

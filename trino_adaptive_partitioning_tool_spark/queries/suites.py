@@ -492,6 +492,9 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_png_decode_stats",
      ["channels", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
+    ("multimodal_png_depth_stats",
+     ["depth", "n_assets", "sum_width", "sum_height"],
+     ["avg_intensity"]),
     ("multimodal_progressive_jpeg_stats",
      ["jpeg_mode", "n_assets", "sum_width", "sum_height"],
      ["avg_intensity"]),
