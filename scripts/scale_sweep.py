@@ -20,6 +20,11 @@ boilerplate-heavy crawl shows. Known fixed-k caveat: semdedup's
 candidate volume is quadratic at FIXED k (the published algorithm
 scales k with the corpus); the artifact notes it rather than hiding it.
 
+The pair-output queries additionally get a CONSTANT-DENSITY leg (r13):
+a second inflated corpus whose replicas are word-salted so duplicate
+groups keep their 1x density — that exponent is the engine's, with the
+verbatim number kept alongside as the boilerplate-stress profile.
+
 Usage:  python scripts/scale_sweep.py [factor] [name_filter ...]
 Writes SCALE_SWEEP.json at the repo root. Idempotent: the inflated dir
 is reused when its marker matches the factor. Run idle (same +/-40%
@@ -98,14 +103,15 @@ _SWEEP = {
 }
 
 
-def build_inflated(spark, factor: int) -> str:
+def build_inflated(spark, factor: int, density: str = "verbatim") -> str:
     from pyspark.sql import functions as F
 
-    dest = os.path.join(OUT, f"x{factor}")
+    suffix = "" if density == "verbatim" else "_cd"
+    dest = os.path.join(OUT, f"x{factor}{suffix}")
     marker = os.path.join(dest, "_SWEEP_MARKER")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{BASE}|{factor}":
+            if fh.read().strip() == f"{BASE}|{factor}|{density}":
                 print(f"# reusing inflated dir {dest}", file=sys.stderr)
                 return dest
     shutil.rmtree(dest, ignore_errors=True)
@@ -117,16 +123,37 @@ def build_inflated(spark, factor: int) -> str:
         else:
             parts = []
             for r in range(factor):
-                parts.append(
-                    src.select(
-                        *[
-                            (F.col(c) + r * _OFFSET).alias(c)
-                            if c in keys
-                            else F.col(c)
-                            for c in src.columns
-                        ]
-                    )
+                rep = src.select(
+                    *[
+                        (F.col(c) + r * _OFFSET).alias(c)
+                        if c in keys
+                        else F.col(c)
+                        for c in src.columns
+                    ]
                 )
+                # constant-density mode (r12 verdict "what's wrong"
+                # #3, the media funnel's methodology applied to the
+                # text side): word-salt every replica's documents so
+                # replicas do NOT near-dup each other — every shingle
+                # picks up the replica marker, so duplicate-GROUP
+                # sizes stay at their 1x density while the corpus
+                # still grows factor x. The exponent then measures
+                # engine scaling, not the verbatim-replication
+                # fixture artifact.
+                if (
+                    density == "constant"
+                    and table == "documents"
+                    and r > 0
+                ):
+                    salt = f" q{r}z "
+                    rep = rep.withColumn(
+                        "text",
+                        F.concat(
+                            F.regexp_replace(F.col("text"), " ", salt),
+                            F.lit(salt),
+                        ),
+                    )
+                parts.append(rep)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -137,7 +164,7 @@ def build_inflated(spark, factor: int) -> str:
         )
         print(f"# inflated {table}", file=sys.stderr)
     with open(marker, "w") as fh:
-        fh.write(f"{BASE}|{factor}")
+        fh.write(f"{BASE}|{factor}|{density}")
     return dest
 
 
@@ -280,6 +307,51 @@ def main() -> None:
             f"cached vs fixed-k {fixed_k}s",
             file=sys.stderr,
         )
+
+    # Constant-density leg (r13, closing the r12 verdict's "what's
+    # wrong" #3): the pair-output queries' verbatim exponents track a
+    # FIXTURE artifact — replication grows every duplicate group
+    # factor x, so pair OUTPUT is quadratic by construction. The
+    # media funnel's constant-density methodology applied to the text
+    # side: word-salt each replica so cross-replica Jaccard collapses
+    # and duplicate-group density stays at its 1x value while the
+    # corpus still grows factor x. The exponent here is the ENGINE's.
+    cd_targets = [
+        n for n in ("dedup_minhash_lsh", "winnow_containment_pairs")
+        if n in results and results[n].get(f"t_{factor}x") is not None
+        and (not filters or any(f in n for f in filters))
+    ]
+    if cd_targets:
+        inflated_cd = build_inflated(spark, factor, density="constant")
+        for name in cd_targets:
+            tf, rf = timed(qs, name, spark, inflated_cd)
+            t1 = results[name]["t_1x"]
+            r1 = results[name]["rows_1x"]
+            results[name]["constant_density"] = {
+                f"t_{factor}x": tf,
+                f"rows_{factor}x": rf,
+                "time_exponent": round(
+                    math.log(tf / t1) / math.log(factor), 2
+                ),
+                "row_exponent": (
+                    round(math.log(rf / r1) / math.log(factor), 2)
+                    if r1 and rf else None
+                ),
+                "note": (
+                    "replicas word-salted (constant duplicate-group "
+                    "density): the engine-scaling exponent, vs the "
+                    "verbatim fixture artifact above; the salt "
+                    "~doubles document bytes, so the cd corpus is "
+                    "~2x factor in bytes and the exponent is "
+                    "conservative"
+                ),
+            }
+            print(
+                f"# {name} [constant density]: {t1}s -> {tf}s "
+                f"(exp {results[name]['constant_density']['time_exponent']}),"
+                f" rows {r1} -> {rf}",
+                file=sys.stderr,
+            )
 
     # Synth-backed pipelines (r12): their corpora come from generators,
     # not the sf tables, so directory inflation cannot grow them — the

@@ -146,3 +146,34 @@ def test_candidate_kind_map_matches_schemas(spark):
     assert seen == set(_CANDIDATE_KINDS), (
         f"stale kind-map entries: {set(_CANDIDATE_KINDS) - seen}"
     )
+
+
+def test_spec_history_deep_generation_checkpoint(spark):
+    """r13 plan-growth bound: a 9-generation history crosses the
+    _SPEC_HISTORY_CHECKPOINT_EVERY=8 threshold, so the union lineage is
+    truncated mid-loop (eager localCheckpoint on the dimension-sized
+    frame) — the deep path must still produce one row per (view,
+    generation) and, because the cuts repeat cyclically, the SAME
+    recommended keys for the same cut (gen i == gen i+3 == gen i+6)."""
+    from conftest import PARITY_SF_DIR
+
+    from trino_adaptive_partitioning_tool_spark.queries import advisor
+
+    gens = advisor._SPEC_HISTORY_GENS * 3  # 9 legs, cuts cycle
+    assert len(gens) > advisor._SPEC_HISTORY_CHECKPOINT_EVERY
+    rows = advisor._spec_history(spark, PARITY_SF_DIR, gens).collect()
+    by_view: dict[str, dict[int, str]] = {}
+    for r in rows:
+        by_view.setdefault(r["view_name"], {})[r["generation"]] = (
+            r["partition_keys_csv"]
+        )
+    assert by_view, "no history rows"
+    n_gens = len(gens)
+    for view, keys in by_view.items():
+        assert sorted(keys) == list(range(1, n_gens + 1)), (
+            f"{view}: missing generations {sorted(keys)}"
+        )
+        for g in range(1, n_gens + 1):
+            assert keys[g] == keys[(g - 1) % 3 + 1], (
+                f"{view}: gen {g} diverged from its cut twin"
+            )
