@@ -167,12 +167,16 @@ def test_webp_lz_round_trip_exact(data):
     ch = data.draw(st.sampled_from([3, 4]))
     cache_bits = data.draw(st.integers(0, 11))
     backrefs = data.draw(st.booleans())
-    if not backrefs and cache_bits == 0:
+    subtract_green = data.draw(st.booleans())
+    if not (backrefs or cache_bits or subtract_green):
         cache_bits = 1  # plain-literal mode is the other test's job
     tile = _img(data.draw, h0, w, ch)
     px = np.tile(tile, (reps, 1, 1))
     pay = PixmapCodec._encode_webp(
-        px, backrefs=backrefs, cache_bits=cache_bits
+        px,
+        backrefs=backrefs,
+        cache_bits=cache_bits,
+        subtract_green=subtract_green,
     )
     dw, dh, got = _pc._parse_webp(pay)
     assert (dw, dh) == (w, h0 * reps)

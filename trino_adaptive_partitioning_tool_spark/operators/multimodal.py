@@ -276,10 +276,12 @@ def synth_webp_lz_assets(
     r = aid%3+2 times vertically, so the greedy LZ77 encoder emits
     dist = h0*width backrefs — neighborhood distance codes when
     h0*width <= 8+7*width, the dist+120 literal form beyond it — and
-    cache_bits = aid%11+1 sweeps every legal color-cache size. The
-    decoded image's mean equals the BASE tile's mean (each base pixel
-    appears exactly r times), so the digest-arithmetic DuckDB oracle
-    convention still applies without parsing VP8L."""
+    cache_bits = aid%11+1 sweeps every legal color-cache size; every
+    third asset additionally codes in the subtract-green transform
+    domain (the transform virtually every real cwebp output carries).
+    The decoded image's mean equals the BASE tile's mean (each base
+    pixel appears exactly r times), so the digest-arithmetic DuckDB
+    oracle convention still applies without parsing VP8L."""
     import hashlib
 
     base = spark.range(0, n, 1, partitions).select(
@@ -315,7 +317,10 @@ def synth_webp_lz_assets(
                         aid,
                         "image",
                         PixmapCodec._encode_webp(
-                            px, backrefs=True, cache_bits=cb
+                            px,
+                            backrefs=True,
+                            cache_bits=cb,
+                            subtract_green=aid % 3 == 0,
                         ),
                         (w, h0 * r, None, None, "webp"),
                     )
@@ -2019,6 +2024,7 @@ class PixmapCodec:
         *,
         cache_bits: int = 0,
         backrefs: bool = False,
+        subtract_green: bool = False,
     ) -> bytes:
         """REAL WebP-lossless bytes for an [h, w, 3|4] uint8 raster.
 
@@ -2027,14 +2033,18 @@ class PixmapCodec:
         a greedy LZ77 over left-run (dist 1) and above-run (dist width)
         candidates plus ``cache_bits`` of color cache, exercising the
         decoder's full RFC 9649 path including the 2-D neighborhood
-        distance codes."""
+        distance codes; ``subtract_green=True`` additionally codes in
+        the subtract-green transform domain (the transform virtually
+        every real cwebp output carries)."""
         h, w, ch = px.shape
         if ch not in (3, 4) or w > 1 << 14 or h > 1 << 14:
             raise ValueError("VP8L encoder needs RGB/RGBA, dims <= 16384")
         if cache_bits and not 1 <= cache_bits <= 11:
             raise ValueError("VP8L color-cache bits out of range")
-        if backrefs or cache_bits:
-            return cls._encode_webp_lz(px, cache_bits, backrefs)
+        if backrefs or cache_bits or subtract_green:
+            return cls._encode_webp_lz(
+                px, cache_bits, backrefs, subtract_green
+            )
         flat = px.reshape(-1, ch).astype(np.int64)
         reds, greens, blues = flat[:, 0], flat[:, 1], flat[:, 2]
         alphas = (
@@ -2081,7 +2091,11 @@ class PixmapCodec:
 
     @classmethod
     def _encode_webp_lz(
-        cls, px: "np.ndarray", cache_bits: int, backrefs: bool
+        cls,
+        px: "np.ndarray",
+        cache_bits: int,
+        backrefs: bool,
+        subtract_green: bool = False,
     ) -> bytes:
         """Greedy LZ77 + color-cache VP8L encoder (the fixture-side
         twin of the decoder's backref/cache path). Match candidates are
@@ -2098,6 +2112,10 @@ class PixmapCodec:
             flat = np.concatenate(
                 [flat, np.full((n, 1), 255, np.uint8)], axis=1
             )
+        if subtract_green:  # code in the transformed domain
+            flat = flat.copy()
+            flat[:, 0] -= flat[:, 1]  # uint8 wraps mod 256
+            flat[:, 2] -= flat[:, 1]
         pixels = [tuple(int(v) for v in row) for row in flat]
         cache_size = (1 << cache_bits) if cache_bits else 0
         cache = [(0, 0, 0, 0)] * cache_size
@@ -2166,7 +2184,10 @@ class PixmapCodec:
         bw.write(h - 1, 14)
         bw.write(1 if ch == 4 else 0, 1)  # alpha hint
         bw.write(0, 3)  # version
-        bw.write(0, 1)  # no transforms
+        if subtract_green:
+            bw.write(1, 1)  # one transform follows
+            bw.write(2, 2)  # type: subtract-green (no payload)
+        bw.write(0, 1)  # end of transform chain
         if cache_bits:
             bw.write(1, 1)
             bw.write(cache_bits, 4)
@@ -2275,10 +2296,18 @@ class PixmapCodec:
         alpha_used = br.read(1)
         if br.read(3):
             raise ValueError("unsupported VP8L version")
-        if br.read(1):
-            raise NotImplementedError(
-                "VP8L transforms not supported by PixmapCodec"
-            )
+        subtract_green = False
+        while br.read(1):  # ordered transform chain (RFC 9649 §3)
+            ttype = br.read(2)
+            if ttype == 2:  # subtract-green: no payload, self-inverse
+                if subtract_green:
+                    raise ValueError("duplicate subtract-green transform")
+                subtract_green = True
+            else:  # predictor / color / color-indexing
+                raise NotImplementedError(
+                    f"VP8L transform type {ttype} not supported "
+                    "by PixmapCodec"
+                )
         if br.read(1):  # color-cache-info
             cache_bits = br.read(4)
             if not 1 <= cache_bits <= 11:
@@ -2337,6 +2366,11 @@ class PixmapCodec:
                     raise ValueError("color-cache symbol without a cache")
                 out[i] = cache[idx]
                 i += 1
+        if subtract_green:
+            # inverse applied to the FINAL image: the cache and the
+            # coded literals both live in the transformed domain
+            out[:, 0] += out[:, 1]  # uint8 wraps mod 256
+            out[:, 2] += out[:, 1]
         px = out.reshape(h, w, 4)
         if not alpha_used:
             px = px[:, :, :3]
