@@ -167,17 +167,46 @@ def test_webp_lz_round_trip_exact(data):
     ch = data.draw(st.sampled_from([3, 4]))
     cache_bits = data.draw(st.integers(0, 11))
     backrefs = data.draw(st.booleans())
-    subtract_green = data.draw(st.booleans())
-    if not (backrefs or cache_bits or subtract_green):
-        cache_bits = 1  # plain-literal mode is the other test's job
+    kind = data.draw(st.sampled_from(
+        ["plain", "sg", "pred", "sg+pred+color", "color", "palette",
+         "meta", "meta+pred"]
+    ))
+    kw = {"backrefs": backrefs, "cache_bits": cache_bits}
+    if kind == "sg":
+        kw["subtract_green"] = True
+    elif kind == "pred":
+        kw["predictor"] = data.draw(st.integers(0, 13))
+    elif kind == "sg+pred+color":
+        kw.update(
+            subtract_green=True,
+            predictor=data.draw(st.integers(0, 13)),
+            color_cte=(
+                data.draw(st.integers(-128, 127)),
+                data.draw(st.integers(-128, 127)),
+                data.draw(st.integers(-128, 127)),
+            ),
+        )
+    elif kind == "color":
+        kw["color_cte"] = (
+            data.draw(st.integers(-128, 127)),
+            data.draw(st.integers(-128, 127)),
+            data.draw(st.integers(-128, 127)),
+        )
+    elif kind == "meta":
+        kw["meta_groups"] = 2
+    elif kind == "meta+pred":
+        kw.update(meta_groups=2, predictor=data.draw(st.integers(0, 13)))
+    if kind == "plain" and not (backrefs or cache_bits):
+        kw["cache_bits"] = 1  # plain-literal mode is the other test's job
     tile = _img(data.draw, h0, w, ch)
+    if kind == "palette":
+        # quantize to <= 16 colors so bundling kicks in
+        pal = tile.reshape(-1, ch)[:16]
+        idx = np.arange(h0 * w) % len(pal)
+        tile = pal[idx].reshape(h0, w, ch)
+        kw["palette"] = True
     px = np.tile(tile, (reps, 1, 1))
-    pay = PixmapCodec._encode_webp(
-        px,
-        backrefs=backrefs,
-        cache_bits=cache_bits,
-        subtract_green=subtract_green,
-    )
+    pay = PixmapCodec._encode_webp(px, **kw)
     dw, dh, got = _pc._parse_webp(pay)
     assert (dw, dh) == (w, h0 * reps)
     assert np.array_equal(got, px)

@@ -266,6 +266,22 @@ def synth_webp_assets(
     return base.mapInPandas(_encode, schema=schema)
 
 
+def _WEBP_LZ_VARIANTS(aid: int) -> dict:
+    """Deterministic per-asset transform selection for
+    synth_webp_lz_assets (module-level so the Arrow UDF closure stays
+    picklable)."""
+    variant = aid % 5
+    if variant == 1:
+        return {"subtract_green": True}
+    if variant == 2:
+        return {"predictor": aid % 14, "subtract_green": aid % 2 == 0}
+    if variant == 3:
+        return {"palette": True}
+    if variant == 4:
+        return {"meta_groups": 2, "predictor": (aid // 5) % 14}
+    return {}
+
+
 def synth_webp_lz_assets(
     spark: SparkSession, n: int = 192, partitions: int = 8
 ) -> DataFrame:
@@ -276,9 +292,12 @@ def synth_webp_lz_assets(
     r = aid%3+2 times vertically, so the greedy LZ77 encoder emits
     dist = h0*width backrefs — neighborhood distance codes when
     h0*width <= 8+7*width, the dist+120 literal form beyond it — and
-    cache_bits = aid%11+1 sweeps every legal color-cache size; every
-    third asset additionally codes in the subtract-green transform
-    domain (the transform virtually every real cwebp output carries).
+    cache_bits = aid%11+1 sweeps every legal color-cache size, and
+    aid%5 sweeps the transform surface: plain LZ, subtract-green,
+    predictor mode aid%14 (optionally stacked on subtract-green),
+    color-indexing with pixel bundling (every digest tile has <= 56
+    distinct colors), and a 2-group meta-huffman with a predictor —
+    together the features virtually every real cwebp output carries.
     The decoded image's mean equals the BASE tile's mean (each base
     pixel appears exactly r times), so the digest-arithmetic DuckDB
     oracle convention still applies without parsing VP8L."""
@@ -317,10 +336,8 @@ def synth_webp_lz_assets(
                         aid,
                         "image",
                         PixmapCodec._encode_webp(
-                            px,
-                            backrefs=True,
-                            cache_bits=cb,
-                            subtract_green=aid % 3 == 0,
+                            px, backrefs=True, cache_bits=cb,
+                            **_WEBP_LZ_VARIANTS(aid),
                         ),
                         (w, h0 * r, None, None, "webp"),
                     )
@@ -1890,16 +1907,16 @@ class PixmapCodec:
     # Public format: RIFF/WEBP container, VP8L chunk, LSB-first
     # bitstream, canonical length-limited Huffman codes per ARGB channel
     # (WebP Lossless Bitstream Specification, RFC 9649). The decoder
-    # handles the full prefix-code machinery (simple codes, the
-    # 19-symbol code-length code and its 16/17/18 repeat operators),
-    # LZ77 backward references (length/distance prefix values + the
-    # 120-entry 2-D neighborhood distance-code map) and the color cache
-    # (0x1e35a7bd multiplicative hash) — the two features virtually
-    # every real lossless WebP uses. Transforms and meta-huffman remain
-    # fail-loud contract guards. The encoder emits literal-coded pixels
-    # by default (legal to omit everything optional); pass cache_bits /
-    # backrefs=True for a greedy left/above-run LZ77 + cache encoding
-    # so fixtures exercise the full decode path.
+    # handles the COMPLETE spec surface: the prefix-code machinery
+    # (simple codes, the 19-symbol code-length code and its 16/17/18
+    # repeat operators), LZ77 backward references (length/distance
+    # prefix values + the 120-entry 2-D neighborhood distance-code
+    # map), the 0x1e35a7bd color cache, all four transforms (predictor
+    # 0..13, color, subtract-green, color-indexing with pixel
+    # bundling) and the meta-huffman prefix-code groups. The encoder
+    # emits literal-coded pixels by default (legal to omit everything
+    # optional); the opt-in keywords produce streams exercising every
+    # decode path so fixtures certify it end-to-end.
 
     # code-length symbols appear in this fixed spec order
     _VP8L_CL_ORDER = (
@@ -1973,6 +1990,79 @@ class PixmapCodec:
         argb = ((a << 24) | (r << 16) | (g << 8) | b) & 0xFFFFFFFF
         return ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - bits)
 
+    @staticmethod
+    def _vp8l_bundle_bits(palette_size: int) -> int:
+        """Pixel-bundling width_bits for a color-indexing transform
+        (RFC 9649 §3.5): small palettes pack several indices per coded
+        pixel, shrinking the coded image width by 2^width_bits."""
+        if palette_size <= 2:
+            return 3
+        if palette_size <= 4:
+            return 2
+        if palette_size <= 16:
+            return 1
+        return 0
+
+    @staticmethod
+    def _vp8l_predict(mode: int, buf, i: int, w: int) -> tuple:
+        """RFC 9649 §4.1.1 spatial predictors 0..13 for the pixel at
+        scan index i, given already-reconstructed pixels in ``buf``
+        (indexable -> 4-int sequences). Only called off the first
+        row/column, so L/T/TL always exist; TR at the right edge wraps
+        into the current row's first pixel via flat scan-order
+        addressing — exactly the contiguous-rows addressing the spec
+        defines."""
+        L = buf[i - 1]
+        T = buf[i - w]
+        if mode == 1:
+            return tuple(L)
+        if mode == 2:
+            return tuple(T)
+        if mode == 0:
+            return (0, 0, 0, 255)
+        TL = buf[i - w - 1]
+        TR = buf[i - w + 1]
+
+        def avg2(a, b):
+            return tuple((int(a[k]) + int(b[k])) >> 1 for k in range(4))
+
+        if mode == 3:
+            return tuple(TR)
+        if mode == 4:
+            return tuple(TL)
+        if mode == 5:
+            return avg2(avg2(L, TR), T)
+        if mode == 6:
+            return avg2(L, TL)
+        if mode == 7:
+            return avg2(L, T)
+        if mode == 8:
+            return avg2(TL, T)
+        if mode == 9:
+            return avg2(T, TR)
+        if mode == 10:
+            return avg2(avg2(L, TL), avg2(T, TR))
+        if mode == 11:  # Select: whichever of T/L is closer to TL-plane
+            pa_minus_pb = sum(
+                abs(int(L[k]) - int(TL[k])) - abs(int(T[k]) - int(TL[k]))
+                for k in range(4)
+            )
+            return tuple(T) if pa_minus_pb <= 0 else tuple(L)
+        if mode == 12:  # ClampAddSubtractFull
+            return tuple(
+                min(255, max(0, int(L[k]) + int(T[k]) - int(TL[k])))
+                for k in range(4)
+            )
+        if mode == 13:  # ClampAddSubtractHalf (C-truncating half step)
+            out = []
+            for k in range(4):
+                ave = (int(L[k]) + int(T[k])) >> 1
+                d = ave - int(TL[k])
+                half = d // 2 if d >= 0 else -((-d) // 2)
+                out.append(min(255, max(0, ave + half)))
+            return tuple(out)
+        raise ValueError(f"invalid VP8L predictor mode {mode}")
+
     @classmethod
     def _write_vp8l_code(
         cls, bw: "_LsbBitWriter", freqs: dict[int, int], alphabet_size: int
@@ -2025,6 +2115,10 @@ class PixmapCodec:
         cache_bits: int = 0,
         backrefs: bool = False,
         subtract_green: bool = False,
+        predictor: "int | None" = None,
+        color_cte: "tuple[int, int, int] | None" = None,
+        palette: bool = False,
+        meta_groups: int = 1,
     ) -> bytes:
         """REAL WebP-lossless bytes for an [h, w, 3|4] uint8 raster.
 
@@ -2034,16 +2128,27 @@ class PixmapCodec:
         candidates plus ``cache_bits`` of color cache, exercising the
         decoder's full RFC 9649 path including the 2-D neighborhood
         distance codes; ``subtract_green=True`` additionally codes in
-        the subtract-green transform domain (the transform virtually
-        every real cwebp output carries)."""
+        the subtract-green transform domain; ``predictor=m`` applies
+        spatial predictor mode m image-wide; ``color_cte=(g2r, g2b,
+        r2b)`` applies a fixed color-transform element;
+        ``palette=True`` writes the color-indexing transform with
+        pixel bundling; ``meta_groups=2`` splits the prefix codes
+        across a meta-huffman tile image — together the features
+        virtually every real cwebp output carries."""
         h, w, ch = px.shape
         if ch not in (3, 4) or w > 1 << 14 or h > 1 << 14:
             raise ValueError("VP8L encoder needs RGB/RGBA, dims <= 16384")
         if cache_bits and not 1 <= cache_bits <= 11:
             raise ValueError("VP8L color-cache bits out of range")
-        if backrefs or cache_bits or subtract_green:
+        if (
+            backrefs or cache_bits or subtract_green or palette
+            or predictor is not None or color_cte is not None
+            or meta_groups > 1
+        ):
             return cls._encode_webp_lz(
-                px, cache_bits, backrefs, subtract_green
+                px, cache_bits, backrefs, subtract_green,
+                predictor=predictor, color_cte=color_cte,
+                palette=palette, meta_groups=meta_groups,
             )
         flat = px.reshape(-1, ch).astype(np.int64)
         reds, greens, blues = flat[:, 0], flat[:, 1], flat[:, 2]
@@ -2096,27 +2201,116 @@ class PixmapCodec:
         cache_bits: int,
         backrefs: bool,
         subtract_green: bool = False,
+        predictor: "int | None" = None,
+        color_cte: "tuple[int, int, int] | None" = None,
+        palette: bool = False,
+        meta_groups: int = 1,
     ) -> bytes:
-        """Greedy LZ77 + color-cache VP8L encoder (the fixture-side
-        twin of the decoder's backref/cache path). Match candidates are
-        dist=1 (horizontal run) and dist=k*width for k in 1..8
-        (vertical repetition with any tile period up to 8 rows) —
-        enough to exercise length prefix codes, the 2-D neighborhood
-        distance codes AND the dist+120 literal-distance form (k*width
-        beyond the 8+7*width neighborhood ceiling), and cache hits,
-        while staying O(n)."""
-        h, w, ch = px.shape
+        """Full-featured VP8L encoder (the fixture-side twin of the
+        decoder's RFC 9649 surface). LZ77 match candidates are dist=1
+        (horizontal run) and dist=k*width for k in 1..8 — enough to
+        exercise length prefix codes, the 2-D neighborhood distance
+        codes AND the dist+120 literal form, and cache hits, while
+        staying O(n). Transforms apply forward in stream order
+        (subtract-green -> color -> predictor -> color-indexing);
+        palette mode is exclusive of the pixel-domain transforms, like
+        every real encoder. meta_groups=2 writes a parity-tiled
+        meta-prefix image with two (identical) code groups so the
+        decoder's group-switching path is certified."""
+        orig_h, orig_w, ch = px.shape
+        h, w = orig_h, orig_w
         n = h * w
-        flat = px.reshape(-1, ch)
+        flat = px.reshape(-1, ch).astype(np.int32)
         if ch == 3:
             flat = np.concatenate(
-                [flat, np.full((n, 1), 255, np.uint8)], axis=1
+                [flat, np.full((n, 1), 255, np.int32)], axis=1
             )
-        if subtract_green:  # code in the transformed domain
-            flat = flat.copy()
-            flat[:, 0] -= flat[:, 1]  # uint8 wraps mod 256
-            flat[:, 2] -= flat[:, 1]
-        pixels = [tuple(int(v) for v in row) for row in flat]
+        if palette and (
+            subtract_green or predictor is not None
+            or color_cte is not None
+        ):
+            raise ValueError(
+                "color-indexing excludes pixel-domain transforms"
+            )
+        if meta_groups not in (1, 2):
+            raise ValueError("meta_groups must be 1 or 2")
+
+        def s8(v: int) -> int:
+            return v - 256 if v >= 128 else v
+
+        chain: list[tuple[str, tuple | None]] = []
+        if subtract_green:  # forward: code in the transformed domain
+            flat[:, 0] = (flat[:, 0] - flat[:, 1]) & 0xFF
+            flat[:, 2] = (flat[:, 2] - flat[:, 1]) & 0xFF
+            chain.append(("sg", None))
+        if color_cte is not None:
+            g2r, g2b, r2b = color_cte
+            if not all(-128 <= v <= 127 for v in color_cte):
+                raise ValueError("color-transform element out of int8")
+            for i in range(n):
+                r0, g0, b0 = int(flat[i, 0]), int(flat[i, 1]), int(flat[i, 2])
+                flat[i, 0] = (r0 - ((g2r * s8(g0)) >> 5)) & 0xFF
+                flat[i, 2] = (
+                    b0 - ((g2b * s8(g0)) >> 5) - ((r2b * s8(r0)) >> 5)
+                ) & 0xFF
+            size_bits = 4
+            tw = (w + 15) >> size_bits
+            th = (h + 15) >> size_bits
+            tile = (r2b & 0xFF, g2b & 0xFF, g2r & 0xFF, 255)
+            chain.append(("color", (size_bits, tw, th, [tile] * (tw * th))))
+        if predictor is not None:
+            if not 0 <= predictor <= 13:
+                raise ValueError("predictor mode must be 0..13")
+            vals = [tuple(int(v) & 0xFF for v in row) for row in flat]
+            res = np.zeros_like(flat)
+            for i in range(n):
+                y, x = divmod(i, w)
+                if i == 0:
+                    pr = (0, 0, 0, 255)
+                elif y == 0:
+                    pr = vals[i - 1]
+                elif x == 0:
+                    pr = vals[i - w]
+                else:
+                    pr = cls._vp8l_predict(predictor, vals, i, w)
+                for k in range(4):
+                    res[i, k] = (vals[i][k] - pr[k]) & 0xFF
+            flat = res
+            size_bits = 4
+            tw = (w + 15) >> size_bits
+            th = (h + 15) >> size_bits
+            chain.append(
+                ("pred", (size_bits, tw, th, [(0, predictor, 0, 255)] * (tw * th)))
+            )
+        if palette:
+            arr = (flat & 0xFF).astype(np.uint8)
+            colors, idx = np.unique(arr, axis=0, return_inverse=True)
+            if len(colors) > 256:
+                raise ValueError(
+                    f"palette WebP limited to 256 colors, got {len(colors)}"
+                )
+            width_bits = cls._vp8l_bundle_bits(len(colors))
+            bpp = 8 >> width_bits
+            xmask = (1 << width_bits) - 1
+            packed_w = (w + (1 << width_bits) - 1) >> width_bits
+            packed = np.zeros((packed_w * h, 4), np.int32)
+            packed[:, 3] = 255
+            for y in range(h):
+                for x in range(w):
+                    packed[y * packed_w + (x >> width_bits), 1] |= (
+                        int(idx[y * w + x]) << (bpp * (x & xmask))
+                    )
+            dpal = colors.astype(np.int32)
+            dpal = np.concatenate(
+                [dpal[:1], (dpal[1:] - dpal[:-1]) & 0xFF]
+            )  # delta-coded palette entries
+            chain.append(
+                ("cidx", (len(colors),
+                          [tuple(int(v) for v in row) for row in dpal]))
+            )
+            flat, w, n = packed, packed_w, packed_w * h
+
+        pixels = [tuple(int(v) & 0xFF for v in row) for row in flat]
         cache_size = (1 << cache_bits) if cache_bits else 0
         cache = [(0, 0, 0, 0)] * cache_size
         dist_map = cls._vp8l_dist_table()
@@ -2129,8 +2323,8 @@ class PixmapCodec:
         tokens: list[tuple] = []
         freqs: list[dict[int, int]] = [{} for _ in range(5)]
 
-        def bump(t: int, s: int) -> None:
-            freqs[t][s] = freqs[t].get(s, 0) + 1
+        def bump(t: int, sym: int) -> None:
+            freqs[t][sym] = freqs[t].get(sym, 0) + 1
 
         i = 0
         while i < n:
@@ -2180,24 +2374,60 @@ class PixmapCodec:
             i += 1
 
         bw = _LsbBitWriter()
-        bw.write(w - 1, 14)
-        bw.write(h - 1, 14)
+        bw.write(orig_w - 1, 14)  # header carries the ORIGINAL dims
+        bw.write(orig_h - 1, 14)
         bw.write(1 if ch == 4 else 0, 1)  # alpha hint
         bw.write(0, 3)  # version
-        if subtract_green:
-            bw.write(1, 1)  # one transform follows
-            bw.write(2, 2)  # type: subtract-green (no payload)
+        for kind, data in chain:  # transform chain, stream order
+            bw.write(1, 1)
+            if kind == "sg":
+                bw.write(2, 2)
+            elif kind == "pred":
+                bw.write(0, 2)
+                size_bits, tw, th, tile_px = data
+                bw.write(size_bits - 2, 3)
+                cls._vp8l_write_image(bw, tile_px, tw, th)
+            elif kind == "color":
+                bw.write(1, 2)
+                size_bits, tw, th, tile_px = data
+                bw.write(size_bits - 2, 3)
+                cls._vp8l_write_image(bw, tile_px, tw, th)
+            else:  # cidx
+                bw.write(3, 2)
+                psize, dpal_px = data
+                bw.write(psize - 1, 8)
+                cls._vp8l_write_image(bw, dpal_px, psize, 1)
         bw.write(0, 1)  # end of transform chain
         if cache_bits:
             bw.write(1, 1)
             bw.write(cache_bits, 4)
         else:
             bw.write(0, 1)
-        bw.write(0, 1)  # no meta-huffman
+        groups_to_write = 1
+        if meta_groups == 2:  # parity-tiled meta-prefix image
+            bw.write(1, 1)
+            msize = 2  # 4-px tiles: maximal group switching
+            bw.write(msize - 2, 3)
+            mtw = (w + 3) >> msize
+            mth = (h + 3) >> msize
+            meta_px = [
+                (0, (tx + ty) % 2, 0, 255)
+                for ty in range(mth)
+                for tx in range(mtw)
+            ]
+            cls._vp8l_write_image(bw, meta_px, mtw, mth)
+            # the decoder derives the group count from the meta image
+            # (max id + 1) — a single-tile image collapses to 1 group
+            groups_to_write = max(p[1] for p in meta_px) + 1
+        else:
+            bw.write(0, 1)  # no meta-huffman
         alphabets = (256 + 24 + cache_size,) + cls._VP8L_ALPHABETS[1:]
-        emit = []
-        for t, size in enumerate(alphabets):
-            emit.append(cls._write_vp8l_code(bw, freqs[t] or {0: 1}, size))
+        for _ in range(groups_to_write):  # identical groups: any tile maps
+            emit = []
+            for t, size in enumerate(alphabets):
+                emit.append(
+                    cls._write_vp8l_code(bw, freqs[t] or {0: 1}, size)
+                )
         g_map, r_map, b_map, a_map, d_map = emit
         for tok in tokens:
             if tok[0] == "L":
@@ -2218,6 +2448,30 @@ class PixmapCodec:
                 code, nb = g_map[280 + tok[1]]
                 bw.write(_reverse_bits(code, nb), nb)
         return cls._vp8l_container(bw)
+
+    @classmethod
+    def _vp8l_write_image(
+        cls, bw: "_LsbBitWriter", pixels: list, w: int, h: int
+    ) -> None:
+        """Write one literal-coded sub-image (transform tiles, palette
+        entries, the meta-prefix image): no cache, no meta bit — the
+        minimal legal spatially-coded image the reader's recursion
+        expects."""
+        if len(pixels) != w * h:
+            raise AssertionError("sub-image pixel count mismatch")
+        freqs: list[dict[int, int]] = [{} for _ in range(5)]
+        for p in pixels:
+            for t, v in ((0, p[1]), (1, p[0]), (2, p[2]), (3, p[3])):
+                freqs[t][v] = freqs[t].get(v, 0) + 1
+        bw.write(0, 1)  # no color cache
+        maps = [
+            cls._write_vp8l_code(bw, freqs[t] or {0: 1}, size)
+            for t, size in enumerate(cls._VP8L_ALPHABETS)
+        ]
+        gm, rm, bm, am, _dm = maps
+        for p in pixels:
+            for code, nb in (gm[p[1]], rm[p[0]], bm[p[2]], am[p[3]]):
+                bw.write(_reverse_bits(code, nb), nb)
 
     @classmethod
     def _read_vp8l_code(
@@ -2296,37 +2550,99 @@ class PixmapCodec:
         alpha_used = br.read(1)
         if br.read(3):
             raise ValueError("unsupported VP8L version")
-        subtract_green = False
-        while br.read(1):  # ordered transform chain (RFC 9649 §3)
+        # ordered transform chain (RFC 9649 §3): each type at most
+        # once; color-indexing shrinks the CODED width for everything
+        # read after it (pixel bundling)
+        transforms: list[tuple[int, tuple | None]] = []
+        seen: set[int] = set()
+        cur_w = w
+        while br.read(1):
             ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate VP8L transform type")
+            seen.add(ttype)
             if ttype == 2:  # subtract-green: no payload, self-inverse
-                if subtract_green:
-                    raise ValueError("duplicate subtract-green transform")
-                subtract_green = True
-            else:  # predictor / color / color-indexing
-                raise NotImplementedError(
-                    f"VP8L transform type {ttype} not supported "
-                    "by PixmapCodec"
+                transforms.append((2, None))
+            elif ttype in (0, 1):  # predictor / color: tile sub-image
+                size_bits = br.read(3) + 2
+                tw = (cur_w + (1 << size_bits) - 1) >> size_bits
+                th = (h + (1 << size_bits) - 1) >> size_bits
+                tiles = cls._vp8l_read_pixels(br, tw, th)
+                transforms.append((ttype, (size_bits, tw, tiles)))
+            else:  # color-indexing: delta-coded palette + bundling
+                psize = br.read(8) + 1
+                pal = cls._vp8l_read_pixels(br, psize, 1).astype(np.int64)
+                pal = (np.cumsum(pal, axis=0) % 256).astype(np.uint8)
+                width_bits = cls._vp8l_bundle_bits(psize)
+                transforms.append((3, (pal, width_bits, cur_w)))
+                cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+        out = cls._vp8l_read_pixels(br, cur_w, h, allow_meta=True)
+        # inverse transforms apply in REVERSE stream order
+        for ttype, data in reversed(transforms):
+            if ttype == 2:
+                out[:, 0] += out[:, 1]  # uint8 wraps mod 256
+                out[:, 2] += out[:, 1]
+            elif ttype == 0:
+                out = cls._vp8l_inv_predictor(out, cur_w, h, *data)
+            elif ttype == 1:
+                out = cls._vp8l_inv_color(out, cur_w, h, *data)
+            else:
+                pal, width_bits, full_w = data
+                out = cls._vp8l_inv_cidx(
+                    out, cur_w, h, pal, width_bits, full_w
                 )
+                cur_w = full_w
+        px = out.reshape(h, w, 4)
+        if not alpha_used:
+            px = px[:, :, :3]
+        return w, h, px
+
+    @classmethod
+    def _vp8l_read_pixels(
+        cls, br: "_LsbBitReader", w: int, h: int, allow_meta: bool = False
+    ) -> "np.ndarray":
+        """Decode one spatially-coded image (RFC 9649 §5): color-cache
+        info, optional meta-prefix image (main ARGB image only),
+        prefix-code group(s), then the literal/LZ77/cache pixel stream.
+        Returns uint8 [w*h, 4] RGBA. Transform sub-images and the
+        meta image itself recurse through this same path (allow_meta
+        False — the spec nests at most one level)."""
         if br.read(1):  # color-cache-info
             cache_bits = br.read(4)
             if not 1 <= cache_bits <= 11:
                 raise ValueError("VP8L color-cache bits out of range")
         else:
             cache_bits = 0
-        if br.read(1):
-            raise NotImplementedError(
-                "VP8L meta-huffman not supported by PixmapCodec"
-            )
+        meta_idx = None
+        msize = mtw = 0
+        num_groups = 1
+        if allow_meta and br.read(1):  # meta prefix-code image
+            msize = br.read(3) + 2
+            mtw = (w + (1 << msize) - 1) >> msize
+            mth = (h + (1 << msize) - 1) >> msize
+            mpx = cls._vp8l_read_pixels(br, mtw, mth)
+            meta_idx = [
+                (int(p[0]) << 8) | int(p[1]) for p in mpx
+            ]  # group id = red<<8 | green
+            num_groups = max(meta_idx) + 1
         cache_size = (1 << cache_bits) if cache_bits else 0
         alphabets = (256 + 24 + cache_size,) + cls._VP8L_ALPHABETS[1:]
-        tables = [cls._read_vp8l_code(br, a) for a in alphabets]
+        groups = [
+            [cls._read_vp8l_code(br, a) for a in alphabets]
+            for _ in range(num_groups)
+        ]
         dist_map = cls._vp8l_dist_table()
         cache = [(0, 0, 0, 0)] * cache_size
         n = w * h
         out = np.zeros((n, 4), dtype=np.uint8)
         i = 0
+        tables = groups[0]
         while i < n:
+            if meta_idx is not None:
+                y, x = divmod(i, w)
+                tables = groups[
+                    meta_idx[(y >> msize) * mtw + (x >> msize)]
+                ]
             gsym = _read_huff_symbol(br, *tables[0])
             if gsym < 256:
                 r = _read_huff_symbol(br, *tables[1])
@@ -2366,15 +2682,108 @@ class PixmapCodec:
                     raise ValueError("color-cache symbol without a cache")
                 out[i] = cache[idx]
                 i += 1
-        if subtract_green:
-            # inverse applied to the FINAL image: the cache and the
-            # coded literals both live in the transformed domain
-            out[:, 0] += out[:, 1]  # uint8 wraps mod 256
-            out[:, 2] += out[:, 1]
-        px = out.reshape(h, w, 4)
-        if not alpha_used:
-            px = px[:, :, :3]
-        return w, h, px
+        return out
+
+    @classmethod
+    def _vp8l_inv_predictor(
+        cls,
+        res: "np.ndarray",
+        w: int,
+        h: int,
+        size_bits: int,
+        tw: int,
+        tiles: "np.ndarray",
+    ) -> "np.ndarray":
+        """Inverse predictor transform: reconstruct sequentially —
+        predictions read already-reconstructed neighbors. Mode comes
+        from the tile image's green channel; the first pixel is
+        predicted black, the first row L-predicted, the first column
+        T-predicted (spec edge rules)."""
+        buf = res.astype(np.int32)
+        n = w * h
+        for i in range(n):
+            y, x = divmod(i, w)
+            if i == 0:
+                pred = (0, 0, 0, 255)
+            elif y == 0:
+                pred = tuple(buf[i - 1])
+            elif x == 0:
+                pred = tuple(buf[i - w])
+            else:
+                mode = int(
+                    tiles[(y >> size_bits) * tw + (x >> size_bits)][1]
+                )
+                if mode > 13:
+                    raise ValueError(
+                        f"invalid VP8L predictor mode {mode}"
+                    )
+                pred = cls._vp8l_predict(mode, buf, i, w)
+            for k in range(4):
+                buf[i][k] = (int(buf[i][k]) + pred[k]) & 0xFF
+        return buf.astype(np.uint8)
+
+    @classmethod
+    def _vp8l_inv_color(
+        cls,
+        res: "np.ndarray",
+        w: int,
+        h: int,
+        size_bits: int,
+        tw: int,
+        tiles: "np.ndarray",
+    ) -> "np.ndarray":
+        """Inverse color transform (RFC 9649 §3.3): per-tile signed
+        3.5-fixed-point cross-channel deltas; green_to_red rides the
+        tile pixel's BLUE channel, green_to_blue its green,
+        red_to_blue its red; red reconstructs before feeding the
+        red_to_blue term, exactly as the spec sequences it."""
+
+        def s8(v: int) -> int:
+            return v - 256 if v >= 128 else v
+
+        out = res.copy()
+        n = w * h
+        for i in range(n):
+            y, x = divmod(i, w)
+            cte = tiles[(y >> size_bits) * tw + (x >> size_bits)]
+            g2r, g2b, r2b = s8(int(cte[2])), s8(int(cte[1])), s8(int(cte[0]))
+            g = s8(int(out[i][1]))
+            r = (int(out[i][0]) + ((g2r * g) >> 5)) & 0xFF
+            b = (int(out[i][2]) + ((g2b * g) >> 5)) & 0xFF
+            b = (b + ((r2b * s8(r)) >> 5)) & 0xFF
+            out[i][0] = r
+            out[i][2] = b
+        return out
+
+    @classmethod
+    def _vp8l_inv_cidx(
+        cls,
+        packed: "np.ndarray",
+        packed_w: int,
+        h: int,
+        pal: "np.ndarray",
+        width_bits: int,
+        full_w: int,
+    ) -> "np.ndarray":
+        """Inverse color-indexing transform: unbundle 8>>width_bits-bit
+        indices from each coded pixel's green channel (first pixel in
+        the least-significant bits) and materialize through the
+        delta-decoded palette; out-of-range indices fail loud."""
+        bpp = 8 >> width_bits
+        mask = (1 << width_bits) - 1
+        psize = len(pal)
+        out = np.zeros((full_w * h, 4), np.uint8)
+        for y in range(h):
+            base = y * packed_w
+            for x in range(full_w):
+                gbyte = int(packed[base + (x >> width_bits)][1])
+                idx = (gbyte >> (bpp * (x & mask))) & ((1 << bpp) - 1)
+                if idx >= psize:
+                    raise ValueError(
+                        "VP8L color-index out of palette range"
+                    )
+                out[y * full_w + x] = pal[idx]
+        return out
 
     # -- parsing helpers -------------------------------------------------
     @staticmethod
