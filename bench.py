@@ -164,6 +164,8 @@ HEADLINE_QUERIES = [
     "multimodal_webp_lz_decode_stats",
     # r13: 16-bit + packed 1/2/4-bit PNG depth-grid decode leg
     "multimodal_png_depth_stats",
+    # r13: audio near-dup gate (Haitsma-Kalker robust hash, banded)
+    "multimodal_audio_fingerprint_near_dup",
 ]
 
 

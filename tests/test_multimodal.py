@@ -1169,3 +1169,60 @@ def test_fused_decode_phash_matches_unfused_paths(spark):
             ), aid
         else:  # audio / corrupt: no hash fields
             assert f["ch"] is None and f["phash"] is None, aid
+
+
+def test_audio_fingerprint_planted_recall_and_bounds(spark):
+    """r13 audio near-dup gate: every planted (4k, 4k+3) pair must
+    survive the banded join at hamming <= 4 (pigeonhole recall), the
+    perturbed half must sit within the 3-bit envelope the two-band
+    perturbation allows, and at least one planted pair must straddle
+    the WAV/AIFF container boundary (cross-container dedup)."""
+    from trino_adaptive_partitioning_tool_spark.operators import (
+        multimodal as mm,
+    )
+
+    n = 64
+    fps = {
+        int(r["asset_id"]): int(r["afp"])
+        for r in mm.audio_fingerprints(
+            mm.synth_afp_assets(spark, n=n),
+            require_codec=True,
+            codec=mm.PixmapCodec(),
+        ).collect()
+    }
+    assert len(fps) == n
+    cross_container = 0
+    for aid in range(3, n, 4):
+        ham = bin(fps[aid] ^ fps[aid - 3]).count("1")
+        if aid % 8 == 7:
+            assert ham <= 3, f"perturbed pair ({aid-3},{aid}): {ham}"
+        else:
+            assert ham == 0, f"exact pair ({aid-3},{aid}): {ham}"
+        if (aid % 5 == 2) != ((aid - 3) % 5 == 2):
+            cross_container += 1
+    assert cross_container > 0, "no planted pair spans WAV/AIFF"
+    # unrelated fingerprints must sit far outside the gate
+    ham_unrel = bin(fps[0] ^ fps[1]).count("1")
+    assert ham_unrel > 10, f"unrelated assets too close: {ham_unrel}"
+
+
+def test_audio_fingerprint_window_guard_and_pcm_seam():
+    """audio_fingerprint fail-louds under the 162-sample window; the
+    pcm() seam returns channel 0 of an interleaved stereo WAV."""
+    import numpy as np
+    import pytest as _pytest
+
+    from trino_adaptive_partitioning_tool_spark.operators.multimodal import (
+        AFP_WINDOW,
+        PixmapCodec,
+        audio_fingerprint,
+    )
+
+    with _pytest.raises(ValueError, match="162"):
+        audio_fingerprint(np.zeros(AFP_WINDOW - 1, np.int16))
+    ch0 = np.arange(AFP_WINDOW, dtype=np.int16)
+    ch1 = -ch0
+    inter = np.empty(2 * AFP_WINDOW, np.int16)
+    inter[0::2], inter[1::2] = ch0, ch1
+    got = PixmapCodec().pcm(PixmapCodec._encode_wav(inter, 2))
+    assert np.array_equal(got, ch0)

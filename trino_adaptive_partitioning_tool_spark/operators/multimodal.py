@@ -5304,6 +5304,22 @@ class PixmapCodec:
             return self._parse_webp(payload)[2]
         raise ValueError("unsupported raster format for PixmapCodec")
 
+    def pcm(self, payload: bytes) -> np.ndarray:
+        """Channel-0 int16 sample vector for audio payloads — the seam
+        the audio-fingerprint stage consumes (a fingerprint over one
+        channel is the standard robust-hash input; stereo files
+        fingerprint their first channel)."""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            _frames, channels, samples = self._parse_wav(payload)
+            return np.asarray(samples, dtype=np.int16)[0::channels]
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            _f, channels, samples, _rate = self._parse_aiff(payload)
+            return np.asarray(samples, dtype=np.int16)[0::channels]
+        if payload[:4] == b"fLaC":
+            _f, channels, samples, _rate = self._parse_flac(payload)
+            return np.asarray(samples, dtype=np.int16)[0::channels]
+        raise ValueError("unsupported audio format for PixmapCodec")
+
     # -- Codec protocol --------------------------------------------------
     def decode(self, payload: bytes, media_type: str) -> tuple[int, int, float]:
         del media_type
@@ -5942,6 +5958,146 @@ PHASH_SCHEMA = T.StructType(
 )
 
 PHASH_MAX_BITS = 63  # signed-int64 lattice: bits beyond 63 are dropped
+
+
+# -- Audio fingerprinting (Haitsma-Kalker-style robust hash) ------------
+# Public technique ("A Highly Robust Audio Fingerprint System", Philips
+# 2002): frame the PCM, compute per-frame band energies, and take the
+# SIGN of the time-delta of the band-delta as each fingerprint bit.
+# This implementation keeps everything on the int64 lattice (band
+# energy = sum of squared int16 samples over a fixed slice; strict > 0
+# sign test) so the fingerprint is bit-reproducible in any engine —
+# the same cross-engine-exactness discipline as the phash/kmeans
+# lattices. 9 frames x 9 bands of 2 samples each = a 162-sample
+# analysis window yielding 8x8 delta bits, truncated to 63 for the
+# signed-int64 hash; banding/verification reuse the phash pigeonhole.
+_AFP_FRAMES = 9
+_AFP_BANDS = 9
+_AFP_BAND_SAMPLES = 2
+AFP_WINDOW = _AFP_FRAMES * _AFP_BANDS * _AFP_BAND_SAMPLES  # 162
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("afp", T.LongType(), False),
+    ]
+)
+
+
+def audio_fingerprint(samples: "np.ndarray") -> int:
+    """63-bit integer-exact robust hash of the first AFP_WINDOW mono
+    samples: E[t][b] = sum of squares over the band slice; bit
+    (t-1)*8+b set iff (E[t][b]-E[t-1][b]) - (E[t][b+1]-E[t-1][b+1])
+    is strictly positive."""
+    s = np.asarray(samples, dtype=np.int64)[:AFP_WINDOW]
+    if len(s) < AFP_WINDOW:
+        raise ValueError(
+            f"audio fingerprint needs >= {AFP_WINDOW} samples, "
+            f"got {len(s)}"
+        )
+    e = (s.reshape(_AFP_FRAMES, _AFP_BANDS, _AFP_BAND_SAMPLES) ** 2).sum(
+        axis=2
+    )
+    d = e[1:] - e[:-1]            # [8, 9] frame deltas
+    diff = d[:, :-1] - d[:, 1:]   # [8, 8] band-delta of frame-delta
+    fp = 0
+    for j, bit in enumerate((diff > 0).reshape(-1)[:PHASH_MAX_BITS]):
+        if bit:
+            fp |= 1 << j
+    return fp
+
+
+def audio_fingerprints(
+    assets: DataFrame,
+    require_codec: bool = False,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Per-asset audio fingerprint over the decoded channel-0 PCM —
+    Arrow mapInPandas over the same batch shape as decode_assets; the
+    codec must expose pcm(payload)."""
+    codec = _check_codec(codec, require_codec)
+    if not hasattr(codec, "pcm"):
+        raise NotImplementedError(
+            "audio_fingerprints needs a codec exposing pcm(payload)"
+        )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = codec.pcm(bytes(payload))
+                rows.append((int(aid), len(s), audio_fingerprint(s)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_samples", "afp"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _fp, schema=AFP_SCHEMA
+    )
+
+
+def synth_afp_assets(
+    spark: SparkSession, n: int = 256, partitions: int = 8
+) -> DataFrame:
+    """Audio asset table with PLANTED duplicate structure (the audio
+    twin of synth_phash_assets): asset_id % 4 == 3 reuses asset_id-3's
+    content key (sample stream derives from the KEY), and the
+    % 8 == 7 half of those additionally replaces two band slices of
+    frame 0 (samples 0-1 -> +30000, 4-5 -> -30000) — a planted
+    NEAR-duplicate: only E[0][0] and E[0][2] move, so only delta bits
+    (t=1, b=0..2) can flip and the fingerprint sits 0-3 bits away,
+    always inside the <= 4 gate (the 0 case is the robustness working
+    as designed). Unrelated assets carry full-entropy streams (one md5
+    per 16-byte block) and sit ~31 bits apart. Container: every fifth
+    asset encodes AIFF instead of WAV — both are lossless int16 PCM,
+    so planted pairs that straddle the boundary certify the dedup gate
+    CROSS-CONTAINER (the same recording exported as .wav by one
+    pipeline and .aiff by another must still collapse)."""
+    import hashlib
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("asset_id")
+    )
+    schema = SYNTH_ASSET_SCHEMA
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                key = aid - 3 if aid % 4 == 3 else aid
+                n_samp = AFP_WINDOW + (key % 3) * 18
+                need = n_samp * 2
+                stream = b"".join(
+                    hashlib.md5(f"{key}|{blk}".encode()).digest()
+                    for blk in range(need // 16 + 1)
+                )
+                samples = np.frombuffer(
+                    stream[:need], dtype="<i2"
+                ).copy()
+                if aid % 8 == 7:
+                    samples[0] = samples[1] = 30000
+                    samples[4] = samples[5] = -30000
+                if aid % 5 == 2:
+                    payload = PixmapCodec._encode_aiff(samples, 1)
+                    fmt = "aiff"
+                else:
+                    payload = PixmapCodec._encode_wav(samples, 1)
+                    fmt = "wav"
+                rows.append(
+                    (
+                        aid,
+                        "audio",
+                        payload,
+                        (n_samp, 1, 16000, n_samp * 1000 // 16000, fmt),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "payload", "meta"]
+            )
+
+    return base.mapInPandas(_encode, schema=schema)
 
 
 def synth_phash_assets(

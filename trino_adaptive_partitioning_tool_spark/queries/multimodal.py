@@ -2340,6 +2340,164 @@ def multimodal_webp_lz_decode_stats(
     )
 
 
+_AFP_N = 256
+
+
+def _afp_oracle() -> str:
+    """Integer-exact replay of synth_afp_assets + audio_fingerprint +
+    the pigeonhole-banded near-dup join, entirely in SQL: int16
+    samples from the streamed-md5 convention (with the planted
+    perturbation folded in), band energies as sums of squares,
+    fingerprint bits as strict sign tests, then the SAME 5x13-bit
+    banding + exact-hamming verification the Spark side runs."""
+    smp16 = (
+        "((CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '|' || "
+        "CAST((2 * i) // 16 AS VARCHAR)), "
+        "CAST(((2 * i) % 16) * 2 + 1 AS INT), 2)) AS INT) "
+        "+ 256 * CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '|' || "
+        "CAST((2 * i + 1) // 16 AS VARCHAR)), "
+        "CAST(((2 * i + 1) % 16) * 2 + 1 AS INT), 2)) AS INT) "
+        "+ 32768) % 65536) - 32768"
+    )
+    eterm = (
+        "CAST(smp[(i // 9) * 18 + (i % 9) * 2 + 1] AS BIGINT)"
+        " * smp[(i // 9) * 18 + (i % 9) * 2 + 1]"
+        " + CAST(smp[(i // 9) * 18 + (i % 9) * 2 + 2] AS BIGINT)"
+        " * smp[(i // 9) * 18 + (i % 9) * 2 + 2]"
+    )
+    return f"""
+    WITH a AS (
+      SELECT t.aid AS asset_id,
+             CASE WHEN t.aid % 4 = 3 THEN t.aid - 3 ELSE t.aid END AS key,
+             (t.aid % 8 = 7) AS perturbed
+      FROM range(0, {_AFP_N}) t(aid)
+    ),
+    s AS (
+      SELECT asset_id,
+        list_transform(range(0, 162), i ->
+          CASE WHEN perturbed AND i IN (0, 1) THEN 30000
+               WHEN perturbed AND i IN (4, 5) THEN -30000
+               ELSE {smp16} END) AS smp
+      FROM a
+    ),
+    e AS (
+      SELECT asset_id,
+        list_transform(range(0, 81), i -> {eterm}) AS en
+      FROM s
+    ),
+    fp AS (
+      SELECT asset_id,
+        CAST(COALESCE(list_sum(list_transform(range(0, 63), j ->
+          CASE WHEN (en[(j // 8 + 1) * 9 + (j % 8) + 1]
+                     - en[(j // 8) * 9 + (j % 8) + 1])
+                  - (en[(j // 8 + 1) * 9 + (j % 8) + 2]
+                     - en[(j // 8) * 9 + (j % 8) + 2]) > 0
+               THEN CAST(1 AS BIGINT) << j ELSE 0 END)), 0) AS BIGINT)
+          AS afp
+      FROM e
+    ),
+    bands AS (
+      SELECT asset_id, afp, b.k AS band_idx,
+             (afp >> ({_PHASH_BAND_BITS} * b.k)) & {_PHASH_BAND_MASK}
+               AS band
+      FROM fp, (SELECT unnest(range(0, {_PHASH_BANDS})) AS k) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
+      FROM bands x
+      JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band = y.band
+       AND x.asset_id < y.asset_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             bit_count(xor(fa.afp, fb.afp)) AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.asset_id = c.id_a
+      JOIN fp fb ON fb.asset_id = c.id_b
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM verified
+    WHERE hamming <= {_PHASH_HAMMING_MAX}
+    GROUP BY hamming
+    """
+
+
+@register(
+    "multimodal_audio_fingerprint_near_dup", oracle=_afp_oracle()
+)
+def multimodal_audio_fingerprint_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-duplicate pairs by decoded-PCM robust hash — the
+    AUDIO twin of the phash image dedup gate, the missing modality in
+    a training-data pipeline that already dedups text (MinHash),
+    embeddings (SemDeDup) and images (phash). Haitsma-Kalker-style
+    fingerprint kept integer-exact (band energies = sums of squared
+    int16 samples, strict-sign delta bits — operators/multimodal.
+    audio_fingerprint), computed in one Arrow stage over REAL WAV and
+    AIFF payloads decoded through the production codec
+    (require_codec=True; every fifth asset is AIFF, so planted pairs
+    straddling the boundary certify the gate cross-container).
+    Pigeonhole banding + exact-hamming verification reuse the phash
+    discipline: bands = hamming_max + 1 chunks guarantee recall at
+    the <= 4 gate, and the join is a banded equi-join — never
+    all-pairs, the 100 TB shape. Planted exact dups land at hamming
+    0, the two-band-slice perturbations at 0-3 (0 = the robustness
+    working), unrelated assets ~31 bits away."""
+    fps = mm.audio_fingerprints(
+        mm.synth_afp_assets(spark, n=_AFP_N),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    bands = fps.select(
+        "asset_id", "afp",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("afp"), _PHASH_BAND_BITS * k)
+                .bitwiseAND(F.lit(_PHASH_BAND_MASK))
+                for k in range(_PHASH_BANDS)
+            ])
+        ).alias("band_idx", "band"),
+    )
+    cand = (
+        bands.select(
+            F.col("asset_id").alias("id_a"), "band_idx", "band"
+        )
+        .join(
+            bands.select(
+                F.col("asset_id").alias("id_b"), "band_idx", "band"
+            ),
+            ["band_idx", "band"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fp = fps.select("asset_id", "afp")
+    return (
+        cand.join(
+            fp.select(
+                F.col("asset_id").alias("id_a"), F.col("afp").alias("fa")
+            ),
+            "id_a",
+        )
+        .join(
+            fp.select(
+                F.col("asset_id").alias("id_b"), F.col("afp").alias("fb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.expr("bit_count(fa ^ fb)").cast("bigint").alias("hamming")
+        )
+        .where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 @register(
     "multimodal_png_depth_stats",
     oracle="""
@@ -2458,6 +2616,7 @@ DATA_CENSUS: dict[str, dict] = {
     "multimodal_flac_decode_stats": {"flac_assets": 256},
     "multimodal_avi_frame_stats": {"avi_assets": 192},
     "multimodal_phash_near_dup": {"phash_assets": _PHASH_N},
+    "multimodal_audio_fingerprint_near_dup": {"afp_assets": _AFP_N},
     "media_to_corpus_pipeline": {
         "phash_assets": _MEDIA_PIPE_IMG_N,
         "wav_assets": _MEDIA_PIPE_WAV_N,

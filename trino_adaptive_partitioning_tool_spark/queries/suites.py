@@ -458,6 +458,8 @@ _QUALITY_SAMPLING: list[tuple[str, list[str], list[str]]] = [
      ["avg_abs_amplitude"]),
     ("multimodal_aiff_decode_stats",
      ["channels", "n_assets", "sum_frames"], ["avg_abs_amplitude"]),
+    ("multimodal_audio_fingerprint_near_dup",
+     ["hamming", "n_pairs"], []),
     ("multimodal_avi_frame_stats",
      ["width", "n_assets", "n_frames", "total_pw"], ["avg_intensity"]),
     ("multimodal_bmp_decode_stats",
