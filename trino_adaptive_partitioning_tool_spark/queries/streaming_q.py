@@ -1230,3 +1230,85 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy(
         "hamming"
     )
+
+
+from .multimodal import _afp_oracle as _afp_oracle_sql
+
+
+@register(
+    "streaming_audio_fingerprint_ingest", oracle=_afp_oracle_sql()
+)
+def streaming_audio_fingerprint_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup detection on a STREAM (r13, the audio twin of
+    streaming_phash_ingest): the planted-duplicate WAV/AIFF corpus
+    streams from parquet, the Arrow fingerprint stage applies
+    unchanged (stateless mapInPandas), and the pigeonhole-banded join
+    + hamming verify run stream-static against the BATCH fingerprint
+    table — the online "does this incoming clip duplicate the corpus"
+    ingest gate, drained equal to the batch pair set. Same
+    integer-exact oracle as multimodal_audio_fingerprint_near_dup."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as mm
+    from .multimodal import (
+        _AFP_N,
+        _PHASH_BAND_BITS,
+        _PHASH_BAND_MASK,
+        _PHASH_BANDS,
+        _PHASH_HAMMING_MAX,
+    )
+
+    def _write(d: str) -> None:
+        mm.synth_afp_assets(spark, n=_AFP_N).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/assets")
+
+    tmp = _memo_feed(spark, "afp_assets", "synth", _write)
+    static_fps = mm.audio_fingerprints(
+        spark.read.schema(mm.SYNTH_ASSET_SCHEMA).parquet(f"{tmp}/assets"),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+    stream_fps = mm.audio_fingerprints(
+        spark.readStream.schema(mm.SYNTH_ASSET_SCHEMA).parquet(
+            f"{tmp}/assets"
+        ),
+        require_codec=True,
+        codec=mm.PixmapCodec(),
+    )
+
+    def bands(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col("asset_id").alias(idc),
+            F.col("afp").alias(f"fp_{idc}"),
+            F.posexplode(
+                F.array(*[
+                    F.shiftright(F.col("afp"), _PHASH_BAND_BITS * k)
+                    .bitwiseAND(F.lit(_PHASH_BAND_MASK))
+                    for k in range(_PHASH_BANDS)
+                ])
+            ).alias("band_idx", "band"),
+        )
+
+    cand = (
+        bands(stream_fps, "id_a")
+        .join(bands(static_fps, "id_b"), ["band_idx", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(fp_id_a ^ fp_id_b)").cast("bigint").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rollup = cand.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    name = f"stream_afp_{uuid.uuid4().hex[:8]}"
+    return qls.run_available_now(rollup, name, _fresh_ckpt()).orderBy(
+        "hamming"
+    )

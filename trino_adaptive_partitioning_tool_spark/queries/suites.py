@@ -610,6 +610,7 @@ def quality_sampling_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAMING: list[tuple[str, list[str], list[str]]] = [
+    ("streaming_audio_fingerprint_ingest", ["hamming", "n_pairs"], []),
     ("streaming_click_attribution",
      ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"],
      ["purchase_value"]),
