@@ -1863,11 +1863,17 @@ def multimodal_phash_near_dup(
     banded equi-join like MinHash-LSH — nothing all-pairs. On the tiny
     synth rasters the dims key is the primary bucket; the band legs
     degenerate to it, which the candidate DISTINCT absorbs."""
+    from pyspark import StorageLevel
+
+    # persisted barrier (the media-funnel discipline): the hash frame
+    # is stats-only (3 longs + dims, no payloads) but feeds FOUR
+    # consumers (two band legs + two verify joins) — without it the
+    # decode+hash Arrow stage re-executes per consumer
     hashes = mm.perceptual_hashes(
         mm.synth_phash_assets(spark, n=_PHASH_N),
         require_codec=True,
         codec=mm.PixmapCodec(),
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     return (
         _phash_near_dup_pairs(hashes)
         .groupBy("hamming")
@@ -2446,11 +2452,17 @@ def multimodal_audio_fingerprint_near_dup(
     all-pairs, the 100 TB shape. Planted exact dups land at hamming
     0, the two-band-slice perturbations at 0-3 (0 = the robustness
     working), unrelated assets ~31 bits away."""
+    from pyspark import StorageLevel
+
+    # persisted barrier: the fingerprint frame (3 longs, no payloads)
+    # feeds four consumers — persist so the decode+fingerprint Arrow
+    # stage runs ONCE (same discipline as the media funnel and the
+    # phash batch query)
     fps = mm.audio_fingerprints(
         mm.synth_afp_assets(spark, n=_AFP_N),
         require_codec=True,
         codec=mm.PixmapCodec(),
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     bands = fps.select(
         "asset_id", "afp",
         F.posexplode(
