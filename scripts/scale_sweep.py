@@ -368,6 +368,16 @@ def main() -> None:
                 "MinHash self-join are the non-map stages"
             ),
         },
+        "multimodal_audio_fingerprint_near_dup": {
+            "build": None,
+            "note": (
+                "synth-backed: factor scales the audio asset count; "
+                "planted duplicate DENSITY is constant (the %4/%8 "
+                "plant rules are id-proportional) so pair output "
+                "grows linearly; banded equi-join + persisted "
+                "fingerprint barrier are the non-map stages"
+            ),
+        },
         "media_to_corpus_pipeline": {
             "build": None,
             # the funnel's disjoint id spaces cap the image leg at
@@ -391,6 +401,13 @@ def main() -> None:
         lambda f: lambda s, d: q_crawl.crawl_to_corpus_pipeline(
             s, d, n_shards=64 * f
         )
+    )
+    from trino_adaptive_partitioning_tool_spark.queries import (
+        multimodal as q_mmq,
+    )
+
+    synth_sweeps["multimodal_audio_fingerprint_near_dup"]["build"] = (
+        lambda f: lambda s, d: q_mmq._afp_near_dup(s, 256 * f)
     )
     synth_sweeps["media_to_corpus_pipeline"]["build"] = (
         lambda f: lambda s, d: q_mm.media_to_corpus_pipeline(

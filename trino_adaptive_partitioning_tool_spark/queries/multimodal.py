@@ -2452,6 +2452,13 @@ def multimodal_audio_fingerprint_near_dup(
     all-pairs, the 100 TB shape. Planted exact dups land at hamming
     0, the two-band-slice perturbations at 0-3 (0 = the robustness
     working), unrelated assets ~31 bits away."""
+    return _afp_near_dup(spark, _AFP_N)
+
+
+def _afp_near_dup(spark: SparkSession, n: int) -> DataFrame:
+    """Parameterized body of the audio near-dup gate (n exposed so the
+    scale sweep can grow the corpus the way a larger audio dump
+    would)."""
     from pyspark import StorageLevel
 
     # persisted barrier: the fingerprint frame (3 longs, no payloads)
@@ -2459,7 +2466,7 @@ def multimodal_audio_fingerprint_near_dup(
     # stage runs ONCE (same discipline as the media funnel and the
     # phash batch query)
     fps = mm.audio_fingerprints(
-        mm.synth_afp_assets(spark, n=_AFP_N),
+        mm.synth_afp_assets(spark, n=n),
         require_codec=True,
         codec=mm.PixmapCodec(),
     ).persist(StorageLevel.MEMORY_ONLY)
