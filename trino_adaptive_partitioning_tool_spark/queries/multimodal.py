@@ -2612,8 +2612,28 @@ DATA_CENSUS: dict[str, dict] = {
     "multimodal_progressive_png_stats": {"png_assets": 256},
     "multimodal_palette_png_stats": {"png_assets": 256},
     "multimodal_webp_decode_stats": {"webp_assets": 256},
-    "multimodal_webp_lz_decode_stats": {"webp_lz_assets": 192},
-    "multimodal_png_depth_stats": {"png_depth_assets": 192},
+    "multimodal_webp_lz_decode_stats": {
+        # composition, not just count (the r11 mixed-corpus lesson):
+        # a new transform variant changes per-asset work without
+        # moving the plan hash OR a bare asset count
+        "webp_lz_assets": 192,
+        # derived from the generator's own variant function, so the
+        # census cannot drift from what synth_webp_lz_assets encodes
+        "webp_lz_variants": dict(
+            __import__("collections").Counter(
+                "+".join(sorted(mm._WEBP_LZ_VARIANTS(aid))) or "plain"
+                for aid in range(192)
+            )
+        ),
+    },
+    "multimodal_png_depth_stats": {
+        "png_depth_assets": 192,
+        "png_depths": {
+            str(d): sum(1 for aid in range(192) if (1, 2, 4, 16)[aid % 4] == d)
+            for d in (1, 2, 4, 16)
+        },
+        "png_interlaced": sum(1 for aid in range(192) if aid % 5 == 0),
+    },
     "multimodal_channel_stats": {"png_assets": 256},
     "multimodal_y4m_frame_stats": {"y4m_assets": 128},
     "multimodal_scene_changes": {"y4m_assets": 128},
@@ -2635,7 +2655,19 @@ DATA_CENSUS: dict[str, dict] = {
     "multimodal_flac_decode_stats": {"flac_assets": 256},
     "multimodal_avi_frame_stats": {"avi_assets": 192},
     "multimodal_phash_near_dup": {"phash_assets": _PHASH_N},
-    "multimodal_audio_fingerprint_near_dup": {"afp_assets": _AFP_N},
+    "multimodal_audio_fingerprint_near_dup": {
+        "afp_assets": _AFP_N,
+        "afp_plants": {
+            "exact_dup": sum(
+                1 for aid in range(_AFP_N)
+                if aid % 4 == 3 and aid % 8 != 7
+            ),
+            "perturbed": sum(1 for aid in range(_AFP_N) if aid % 8 == 7),
+            "aiff_container": sum(
+                1 for aid in range(_AFP_N) if aid % 5 == 2
+            ),
+        },
+    },
     "media_to_corpus_pipeline": {
         "phash_assets": _MEDIA_PIPE_IMG_N,
         "wav_assets": _MEDIA_PIPE_WAV_N,
