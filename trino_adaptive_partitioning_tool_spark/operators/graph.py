@@ -252,8 +252,8 @@ def pagerank_integer(
     before the data does. With ``truncate_every=k`` the rank frame is
     localCheckpoint(eager=True)-ed every k rounds: the plan resets to a
     scan of the materialized node-sized blocks, bounding plan size at
-    ~k rounds regardless of n_iterations, and the edge/degree/node
-    frames are persisted once since every round rescans them.
+    ~k rounds regardless of n_iterations. The edge/degree/node frames
+    are persisted unconditionally (r13) since every round rescans them.
     localCheckpoint trades fault-tolerance for speed (blocks die with
     an executor; Spark recomputes from the truncated lineage only on a
     LOCAL miss) — a long-running cluster job that must survive executor
@@ -269,21 +269,38 @@ def pagerank_integer(
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    if truncate_every:
-        # every iteration rescans all three: persist once, node-/edge-
-        # sized MEMORY_ONLY blocks (evictable, recompute on miss)
-        edges = edges.persist(StorageLevel.MEMORY_ONLY)
-        out_deg = out_deg.persist(StorageLevel.MEMORY_ONLY)
-        nodes = nodes.persist(StorageLevel.MEMORY_ONLY)
+    # r13 (guide §2.4, §5): the iteration state is reshaped so the loop
+    # body is ONE join + ONE shuffle:
+    #   - out_degree is attached to the edge list ONCE before the loop
+    #     (it is loop-invariant) — previously every iteration paid a
+    #     second edge-sized join to fetch the divisor;
+    #   - the degree-annotated edge list is hash-partitioned by src and
+    #     persisted, so each iteration's src-keyed join reuses that
+    #     partitioning (InMemoryRelation preserves outputPartitioning)
+    #     and only the node-sized rank table moves;
+    #   - nodes is persisted too — without it the union+distinct
+    #     subtree (which embeds the caller's whole edge derivation,
+    #     e.g. the orders⋈lineitem distinct) replayed once per
+    #     iteration inside the lazy plan.
+    # Frames are node-/edge-sized MEMORY_ONLY blocks (evictable,
+    # recomputed on miss); results are bit-identical — only the plan
+    # shape changes (measured 33 -> 13 exchanges / 2.9s -> 1.0s at
+    # sf0.1 for the registered 3-round query).
+    edges_deg = (
+        edges.join(out_deg, src_col)
+        .select(src_col, dst_col, "out_degree")
+        .repartition(F.col(src_col))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    nodes = nodes.persist(StorageLevel.MEMORY_ONLY)
     ranks = nodes.withColumn(
         "rank_micro", F.lit(init_micro).cast("bigint")
     )
     for i in range(n_iterations):
         contrib = (
-            edges.join(
+            edges_deg.join(
                 ranks.withColumnRenamed("node", src_col), src_col
             )
-            .join(out_deg, src_col)
             .select(
                 F.col(dst_col).alias("node"),
                 F.expr("rank_micro div out_degree").alias("contrib"),

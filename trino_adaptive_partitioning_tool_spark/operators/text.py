@@ -55,20 +55,12 @@ def _ratio(num: Column, den: Column) -> Column:
     return F.round(num / F.greatest(den, F.lit(1).cast("double")), 4)
 
 
-def quality_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Heuristic quality profile + 0-100 composite.
-
-    Signals (all cheap column expressions):
-      stopword_ratio   share of tokens that are common function words
-      punct_ratio      punctuation chars / total chars
-      repetition_ratio 1 - distinct/total tokens (near-1 = loopy text)
-      length_score     saturating credit for longer documents
-    composite = 40*stopword + 20*(1-punct) + 20*(1-repetition)
-              + 20*length_score  (echoes the reference's weighted
-              composite style, src/partitioning.py:159-164)
-    """
+def quality_signal_cols(text_col: str = "text") -> dict[str, Column]:
+    """The four quality signals as pure column expressions (r13: the
+    annotator's column-level API, so pipeline queries can compute them
+    inline instead of joining a quality_scores() projection back on
+    doc_id — guide §2.4, remove shuffles/joins outright). Single source
+    of truth: quality_scores() builds from exactly these columns."""
     toks = tokens_expr(text_col)
     n_tok = F.size(toks).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -84,13 +76,49 @@ def quality_scores(
         n_tok, F.lit(1.0)
     )
     length_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    return {
+        "stopword_ratio": _ratio(n_stop, n_tok),
+        "punct_ratio": _ratio(n_punct, n_char),
+        "repetition_ratio": F.round(1.0 - distinct_ratio, 4),
+        "length_score": F.round(length_score, 4),
+    }
 
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """The 0-100 quality composite as one column expression — identical
+    arithmetic to quality_scores()'s quality_score column (it is built
+    from the same quality_signal_cols expressions)."""
+    sig = quality_signal_cols(text_col)
+    return F.round(
+        sig["stopword_ratio"] * 40
+        + (1.0 - sig["punct_ratio"]) * 20
+        + (1.0 - sig["repetition_ratio"]) * 20
+        + sig["length_score"] * 20,
+        2,
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality profile + 0-100 composite.
+
+    Signals (all cheap column expressions):
+      stopword_ratio   share of tokens that are common function words
+      punct_ratio      punctuation chars / total chars
+      repetition_ratio 1 - distinct/total tokens (near-1 = loopy text)
+      length_score     saturating credit for longer documents
+    composite = 40*stopword + 20*(1-punct) + 20*(1-repetition)
+              + 20*length_score  (echoes the reference's weighted
+              composite style, src/partitioning.py:159-164)
+    """
+    sig = quality_signal_cols(text_col)
     out = docs.select(
         F.col(id_col),
-        _ratio(n_stop, n_tok).alias("stopword_ratio"),
-        _ratio(n_punct, n_char).alias("punct_ratio"),
-        F.round(1.0 - distinct_ratio, 4).alias("repetition_ratio"),
-        F.round(length_score, 4).alias("length_score"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        sig["punct_ratio"].alias("punct_ratio"),
+        sig["repetition_ratio"].alias("repetition_ratio"),
+        sig["length_score"].alias("length_score"),
     )
     return out.withColumn(
         "quality_score",
@@ -104,12 +132,11 @@ def quality_scores(
     )
 
 
-def language_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Stopword-profile language guess: count marker-word hits per
-    language, pick the argmax (ties → lexicographically first language —
-    deterministic). Returns (id, predicted_lang, marker_hits)."""
+def language_best_col(text_col: str = "text") -> Column:
+    """The language argmax as one struct column (fields: neg_hits, lang,
+    hits) — language_id()'s core expression exposed so pipelines can
+    inline the prediction instead of joining the annotator frame back
+    on doc_id (guide §2.4)."""
     toks = F.array_distinct(tokens_expr(text_col))
 
     def _hits(markers: tuple[str, ...]):
@@ -124,7 +151,7 @@ def language_id(
     # ties to pick the FIRST lang, so invert: take max of (hits, reversed
     # rank) — simpler: sort desc by hits asc by lang via sort_array on
     # (negated hits, lang), take element 1.
-    best = F.sort_array(
+    return F.sort_array(
         F.array(
             *[
                 F.struct(
@@ -135,6 +162,20 @@ def language_id(
             ]
         )
     )[0]
+
+
+def predicted_lang_col(text_col: str = "text") -> Column:
+    """predicted_lang as a pure column expression (see language_best_col)."""
+    return language_best_col(text_col)["lang"]
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-profile language guess: count marker-word hits per
+    language, pick the argmax (ties → lexicographically first language —
+    deterministic). Returns (id, predicted_lang, marker_hits)."""
+    best = language_best_col(text_col)
     return docs.select(
         F.col(id_col),
         best["lang"].alias("predicted_lang"),
@@ -554,7 +595,15 @@ def repetition_stats(
     single most frequent bigram. Token-count variant of the
     duplicate-n-gram character fractions in Rae et al. 2021 (Gopher),
     documented deviation: fractions count bigram OCCURRENCES, not
-    characters. One explode + two aggregations, all map-side partial."""
+    characters. One explode + two aggregations, all map-side partial.
+
+    r13 note (measured, kept as-is): a fully map-only variant (bigram
+    ARRAY per row + array_distinct/sorted-run-length expressions —
+    dup_bigram_ratio_col's shape) removes the corpus-wide window
+    shuffle but runs on Spark's INTERPRETED higher-order-function path
+    and measured 2.4x slower end-to-end at sf0.1 (0.44s -> 1.06s noop);
+    the codegen'd window + partial aggregates win despite the exchange,
+    the same trade the minhash signature operator documents."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -804,7 +853,12 @@ def lm_bigram_scores(
     context counts — both shrink to distinct-bigram size map-side); the
     scoring joins are plain equi-joins on the bigram/context keys, and
     the vocabulary scalar attaches via a 1-row broadcast. No n², no
-    driver-side model materialization."""
+    driver-side model materialization.
+
+    r13 note (measured, kept as-is): map-only bigram extraction via
+    array transform (the oracle's own shape) removes the window shuffle
+    but runs interpreted and measured 1.2x SLOWER end-to-end at sf0.1
+    (1.48s -> 1.78s noop) — the codegen'd window wins here too."""
     from pyspark.sql import Window
 
     from pyspark import StorageLevel

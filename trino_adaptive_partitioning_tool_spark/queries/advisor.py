@@ -1608,7 +1608,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = incremental.cms_partials(
         events, F.to_date("ts"), F.col("user_id"), depth=4, width=width
     )
-    merged = incremental.cms_merge(parts)
+    # r13: the merged sketch is referenced twice (the estimate join AND
+    # the row-0 total) — persist the <= depth*width-row frame so the
+    # corpus-sized sketch build (explode x depth + two shuffles over
+    # events) runs once, not once per reference.
+    merged = incremental.cms_merge(parts).persist(StorageLevel.MEMORY_ONLY)
     # cached: cms_estimate's depth probe legs and the gate join all
     # reference this 10-row frame — without the cache the top-10
     # scan+sort subtree replays once per reference (~6x)

@@ -437,6 +437,8 @@ def _semdedup(
     (the split is a no-op returning the parent assignment), which is
     what keeps the split mode hash-green against the registered
     oracle at any healthy operating point."""
+    from pyspark import StorageLevel
+
     from ..operators.similarity import _dot, _norm
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
@@ -467,13 +469,22 @@ def _semdedup(
         assigned = cached
     else:
         guard_cluster_sizes(assigned, ceiling)
-    a = assigned.join(v, "vec_id").select(
+    # r13 (guide §2.4): the assignment⋈vector join runs ONCE and both
+    # pair legs are projections of it — previously each leg embedded its
+    # own copy of the corpus-sized join (2 SortMergeJoins where one
+    # suffices). Persisted: embedding-grain, MEMORY_ONLY (evictable).
+    av = (
+        assigned.join(v, "vec_id")
+        .select("cluster", "vec_id", "vec", "nrm")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    a = av.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = assigned.join(v, "vec_id").select(
+    b = av.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_b"),
         F.col("vec").alias("vb"),

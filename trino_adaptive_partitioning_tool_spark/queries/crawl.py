@@ -496,14 +496,29 @@ def crawl_to_corpus_pipeline(
         .persist(StorageLevel.MEMORY_ONLY)
     )
     docs200 = base.where(F.col("status") == 200)
-    lang = text_ops.language_id(docs200)
+    # r13 (guide §2.4): language and quality are pure column
+    # expressions — annotate INLINE and persist the annotated frame,
+    # instead of projecting each annotator into its own frame and
+    # joining it back on doc_id (two doc-grain joins gone; the
+    # annotators now run ONCE at materialization instead of once per
+    # consumer of this frame — the LSH branch and the final rollup).
     flagged = (
-        docs200.join(lang, "doc_id")
+        docs200.withColumn(
+            "predicted_lang", text_ops.predicted_lang_col("text")
+        )
         .withColumn("f_words", F.col("n_words") >= _PIPE_MIN_WORDS)
         .withColumn(
             "f_lang",
             F.col("f_words") & (F.col("predicted_lang") == "de"),
         )
+        # gated like the old structure (quality was computed over the
+        # lang SURVIVORS only): NULL for gate failures, whose f_qual is
+        # false via f_uniq regardless — value-identical, less CPU
+        .withColumn(
+            "quality_score",
+            F.when(F.col("f_lang"), text_ops.quality_score_col("text")),
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     s_lang = flagged.where(F.col("f_lang")).select("doc_id", "text")
     dominated = (
@@ -514,12 +529,8 @@ def crawl_to_corpus_pipeline(
         .distinct()
         .withColumn("is_dom", F.lit(True))
     )
-    qual = text_ops.quality_scores(s_lang).select(
-        "doc_id", "quality_score"
-    )
     enriched = (
         flagged.join(dominated, "doc_id", "left")
-        .join(qual, "doc_id", "left")
         .withColumn("f_uniq", F.col("f_lang") & F.col("is_dom").isNull())
         .withColumn(
             "f_qual",

@@ -153,13 +153,20 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
+    from ..operators.dedup import ensure_parallelism
+
     docs = tables.load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", "text",
-        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
-    )
-    langp = tops.language_id(docs).select("doc_id", "predicted_lang")
-    quals = tops.quality_scores(docs).select("doc_id", "quality_score")
+    # r13 (guide §2.4): the language and quality annotators are pure
+    # column expressions, so they are computed INLINE in the one
+    # annotated pass — the previous structure projected each into its
+    # own frame and joined it back on doc_id, paying two doc-grain
+    # joins (and two extra corpus scans) for values derivable in the
+    # scan projection. Repetition stays a left join: it is an
+    # aggregation-based annotator (its map-only array form measured
+    # 2.4x slower — see operators/text.repetition_stats r13 note).
+    # ensure_parallelism spreads the now-single annotator projection
+    # when the scan cannot (single-row-group local files); a no-op on
+    # well-split 100 TB inputs.
     reps = tops.repetition_stats(docs).select("doc_id", "dup_bigram_ratio")
 
     # ONE annotated pass instead of six sequential sub-DataFrames: each
@@ -171,13 +178,20 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_ok = F.col("predicted_lang") == F.col("lang")
     qual_ok = F.col("quality_score") >= QUALITY_MIN
     rep_ok = F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
-    # All three annotators are left joins so stage 0 is unconditionally
+    # The repetition annotator joins left so stage 0 is unconditionally
     # the full corpus (the stage predicates null-guard via the boolean
     # columns: a null flag counts as not-surviving, never as dropped
-    # from the input row count).
+    # from the input row count). The annotated frame is persisted: BOTH
+    # consumers (the survivor chain and the final conditional
+    # aggregate) previously re-ran the annotator joins per reference.
     ann = (
-        base.join(langp, "doc_id", "left")
-        .join(quals, "doc_id", "left")
+        ensure_parallelism(docs)
+        .select(
+            "doc_id", "lang", "text",
+            F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+            tops.predicted_lang_col("text").alias("predicted_lang"),
+            tops.quality_score_col("text").alias("quality_score"),
+        )
         .join(reps, "doc_id", "left")
         .select(
             "doc_id", "text", "n_tokens",
@@ -185,6 +199,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lang_ok & qual_ok).alias("s2_ok"),
             (lang_ok & qual_ok & rep_ok).alias("s3_ok"),
         )
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     # exact dedup among stage-3 survivors: canonical = lowest doc_id per
     # text (rank-1 window over the survivor partition)
@@ -403,14 +418,14 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window
 
     from ..operators import text as textops
+    from ..operators.dedup import ensure_parallelism
 
     docs = tables.load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", "text",
-        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
-    )
-    langp = tops.language_id(docs).select("doc_id", "predicted_lang")
-    quals = tops.quality_scores(docs).select("doc_id", "quality_score")
+    # r13: same restructure as the v1 funnel (see corpus_filter_funnel)
+    # — language/quality/model annotators are inline column expressions
+    # in ONE spread projection; repetition (aggregation-based) stays the
+    # single annotator left join; the annotated frame is persisted for
+    # its two consumers.
     reps = tops.repetition_stats(docs).select("doc_id", "dup_bigram_ratio")
 
     lang_ok = F.col("predicted_lang") == F.col("lang")
@@ -418,8 +433,13 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
     rep_ok = F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= REPETITION_MAX
     model_ok = textops.model_weight_sum_col("text") >= 0
     ann = (
-        base.join(langp, "doc_id", "left")
-        .join(quals, "doc_id", "left")
+        ensure_parallelism(docs)
+        .select(
+            "doc_id", "lang", "text",
+            F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+            tops.predicted_lang_col("text").alias("predicted_lang"),
+            tops.quality_score_col("text").alias("quality_score"),
+        )
         .join(reps, "doc_id", "left")
         .select(
             "doc_id", "text", "n_tokens",
@@ -428,6 +448,7 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
             (lang_ok & qual_ok & rep_ok).alias("s3_ok"),
             (lang_ok & qual_ok & rep_ok & model_ok).alias("s4_ok"),
         )
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     w = Window.partitionBy("text").orderBy("doc_id")
     s5 = (

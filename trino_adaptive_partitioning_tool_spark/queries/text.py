@@ -1113,10 +1113,16 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = pairs.groupBy("pair").agg(
         F.sum("freq").cast("bigint").alias("pair_count")
     )
+    # r13 (guide §2.4): (count DESC, pair) is a strict total order, so
+    # the top-N cut is computed with orderBy+limit — a parallel
+    # per-partition top-K (TakeOrderedAndProject) — and the row_number
+    # window (which single-partitions its whole input) runs over the N
+    # surviving rows only, never over the full pair table.
     w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= _BPE_TOP)
+        agg.orderBy(F.col("pair_count").desc(), "pair")
+        .limit(_BPE_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
 
 
@@ -1196,18 +1202,28 @@ def bpe_train_merges(
     for r in range(1, n_rounds + 1):
         surrogate = _BPE_SURROGATE_ALPHABET[r - 1]
         counts = pair_counts(w)
-        ranked = counts.withColumn(
+        # r13 (guide §2.4): the total order (count DESC, pair) makes the
+        # top-``top`` cut an orderBy+limit (parallel per-partition
+        # top-K), so the single-partition row_number window sees only
+        # ``top`` rows per round, never the full pair table — and the
+        # winning merge is the top-1 of that cut, not a second
+        # full-table window pass.
+        top_rows = counts.orderBy(
+            F.col("pair_count").desc(), "pair"
+        ).limit(top)
+        leg = top_rows.withColumn(
             "rank", F.row_number().over(rank_w).cast("bigint")
-        )
-        leg = ranked.where(F.col("rank") <= top).select(
+        ).select(
             F.lit(r).cast("bigint").alias("round"),
             "pair",
             "pair_count",
             "rank",
         )
         out = leg if out is None else out.unionByName(leg)
-        top1 = ranked.where(F.col("rank") == 1).select(
-            F.col("pair").alias("merge_pair")
+        top1 = (
+            top_rows.orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("merge_pair"))
         )
         w = w.crossJoin(F.broadcast(top1)).select(
             F.expr(f"replace(word, merge_pair, '{surrogate}')").alias(
@@ -1352,12 +1368,17 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tables.load_table(spark, sf_dir, "documents")
-    pred = ops.language_id(docs).select("doc_id", "predicted_lang")
+    # r13 (guide §2.4): the predictor is a pure column expression, so
+    # the true label and the prediction come from ONE projection — the
+    # previous structure joined the annotator frame back on doc_id to
+    # re-attach `lang`, paying a doc-grain join and a second corpus
+    # scan for a value available in the same row.
     cells = (
-        pred.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy(
-            F.col("lang").alias("true_lang"), F.col("predicted_lang")
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            ops.predicted_lang_col("text").alias("predicted_lang"),
         )
+        .groupBy("true_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return cells.withColumn(
