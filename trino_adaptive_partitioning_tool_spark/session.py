@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r13 (guide §3.1/§9) — shuffled-hash join enablement tried and
+        # REJECTED: both the static preferSortMergeJoin=false flip and
+        # the AQE maxShuffledHashJoinLocalMapThreshold runtime rewrite
+        # measured ~5-8% faster on the join-heavy flagships at sf0.1,
+        # but switching the join algorithm reorders double summation
+        # and nation_market_share's round(sum(double),2) flips a cent
+        # under the no-broadcast plan regime
+        # (tests/test_scale_plans.py::test_joins_survive_no_broadcast_regime
+        # guards exactly this cross-plan result stability). Sort-merge
+        # keeps aggregate input order deterministic across plan
+        # regimes; a deployment that accepts last-ulp drift on rounded
+        # double sums can re-enable SHJ via extra_conf.
         # testdata writes TIMESTAMP(NANOS) parquet (events.ts), which Spark
         # rejects by default; read as long and cast back in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
