@@ -106,6 +106,25 @@ def test_pagerank_truncated_equals_untruncated(spark):
     assert plain == trunc == _pagerank_ref(_EDGES, 6)
 
 
+def test_pagerank_loop_joins_per_iteration_bounded(spark):
+    """r13: out_degree is attached to the edge list ONCE before the
+    loop, so each additional iteration adds exactly TWO joins
+    (edges⋈ranks, nodes⋈inflow) — the pre-r13 loop re-joined the
+    loop-invariant degree table every round (3 joins/iteration)."""
+    from trino_adaptive_partitioning_tool_spark.operators import graph
+    from trino_adaptive_partitioning_tool_spark.plans import inspect as pi
+
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+
+    def joins(n: int) -> int:
+        m = pi.plan_manifest(graph.pagerank_integer(edges, n_iterations=n))
+        return sum(m["joins"].values())
+
+    assert joins(6) - joins(3) == 2 * 3, (
+        "pagerank loop body should cost exactly 2 joins per iteration"
+    )
+
+
 def test_pagerank_truncated_plan_size_bounded(spark):
     """With truncate_every=k, doubling N must NOT grow the final plan:
     the last checkpoint resets lineage, so the plan holds at most the

@@ -379,6 +379,47 @@ def test_minhash_signature_expr_matches_batch_operator(spark):
     assert batch == streaming_form
 
 
+def test_annotator_column_api_matches_frame_api(spark):
+    """r13: the funnels inline the language/quality annotators via the
+    column-level API (predicted_lang_col / quality_score_col) instead of
+    joining the frame-level annotators back on doc_id — this pins the
+    two APIs value-identical on edge-case texts (empty, whitespace-only
+    padding, punctuation-heavy, marker ties, CJK markers)."""
+    rows = [
+        (1, "the cat and the dog is that a cat"),
+        (2, "el la de que y los las por"),
+        (3, ""),
+        (4, "der die das und ist nicht!!! ein mit, der der"),
+        (5, "one"),
+        (6, "的 是 了 在 我"),
+        (7, "  padded   whitespace  text  . . ."),
+        (8, "a a a a a a a a a a a a a a a a a a a a a a a a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    frame_q = {
+        r["doc_id"]: r["quality_score"]
+        for r in ops.quality_scores(docs).collect()
+    }
+    inline_q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", ops.quality_score_col("text").alias("q")
+        ).collect()
+    }
+    assert frame_q == inline_q
+    frame_l = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in ops.language_id(docs).collect()
+    }
+    inline_l = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", ops.predicted_lang_col("text").alias("p")
+        ).collect()
+    }
+    assert frame_l == inline_l
+
+
 def test_duplicate_span_stats_branch_parity_at_sf01(spark):
     """r9 (verdict #7): both doc-frequency branches — COUNT window vs
     aggregate+equi-join — hash-identical over the REAL sf0.1 corpus,
