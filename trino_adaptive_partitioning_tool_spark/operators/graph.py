@@ -284,8 +284,10 @@ def pagerank_integer(
     #     iteration inside the lazy plan.
     # Frames are node-/edge-sized MEMORY_ONLY blocks (evictable,
     # recomputed on miss); results are bit-identical — only the plan
-    # shape changes (measured 33 -> 13 exchanges / 2.9s -> 1.0s at
-    # sf0.1 for the registered 3-round query).
+    # shape changes (measured for the registered 3-round query at
+    # sf0.1: 33 -> 19 exchanges / 29 -> 13 joins / 279 -> 140 plan
+    # nodes, warm noop ~2.9s -> ~2.2s; first call pays the
+    # materialization instead: cold 4.0s -> 6.7s).
     edges_deg = (
         edges.join(out_deg, src_col)
         .select(src_col, dst_col, "out_degree")
