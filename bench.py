@@ -20,6 +20,60 @@ import time
 # stdout lines so the round artifact self-describes its host state
 QUIET_LOAD_GATE = 4.0
 
+# r14 (r13 verdict "Next round" #1): the r12 AND r13 graded runs both
+# executed on a loaded host (load_1m 14.4 / 12.5 against the 4.0 gate;
+# frozen-anchor ratios 0.42+ vs the 0.34-0.38 quiet band), producing
+# round-over-round "regressions" on queries with byte-identical plans —
+# the bench MEASURED the load marker but never ACTED on it. Now it does,
+# with zero change to the per-attempt timing methodology:
+#   1. before building the session, wait (bounded) for the 1-min load
+#      to fall under QUIET_LOAD_GATE;
+#   2. after a full attempt, if the start load was still over the gate
+#      OR the frozen-anchor ratio sits above the recorded quiet band
+#      for this core count (BENCH_ANCHOR.json "quiet_band_max", absent
+#      -> load gate only), re-exec this script for a fresh attempt —
+#      fresh JVM, fresh session caches, so the retry's cold numbers
+#      stay honest — up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default 2).
+#   3. the LAST attempt always emits (a loaded sample with quiet:false
+#      beats no sample), and every attempt's summary line goes to
+#      stderr for the record.
+QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "180"))
+MAX_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "2")))
+_ATTEMPT_ENV = "_SPARK_GRAFT_BENCH_ATTEMPT"
+
+
+def _wait_for_quiet_start() -> None:
+    """Bounded pre-run wait for external load to drain (step 1 above)."""
+    waited = 0.0
+    while waited < QUIET_WAIT_SEC:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:  # pragma: no cover - platform without getloadavg
+            return
+        if load <= QUIET_LOAD_GATE:
+            return
+        print(
+            f"# load {load:.2f} > {QUIET_LOAD_GATE} gate - waiting "
+            f"({waited:.0f}/{QUIET_WAIT_SEC:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+
+
+def _anchor_quiet_gate(cpus: int) -> float | None:
+    """Recorded quiet-band ceiling for this core count, or None (gate
+    disabled) when BENCH_ANCHOR.json predates the band."""
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json"
+        )) as fh:
+            band = json.load(fh).get("quiet_band_max") or {}
+        v = band.get(str(cpus))
+        return float(v) if v else None
+    except (OSError, ValueError):  # pragma: no cover - resilience path
+        return None
+
 HEADLINE_QUERIES = [
     # core relational surface
     "pricing_summary",
@@ -182,6 +236,7 @@ def emit_output_lines(
     anchor_ratio_r1: float | None = None,
     load_1m: float | None = None,
     tail_budget: int = 1900,
+    attempts: int = 1,
 ) -> list[str]:
     """Build the stdout JSON lines the driver captures.
 
@@ -235,6 +290,7 @@ def emit_output_lines(
         "anchor_ratio_r1": anchor_ratio_r1,
         "load_1m": load_1m,
         "quiet": quiet,
+        "attempts": attempts,  # r14 quiet-retry: which attempt emitted
         "value": round(total, 3),
         "regressions": compact_reg,
         "sf": sf,
@@ -320,6 +376,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # r14 quiet-host discipline, step 1: give external load a bounded
+    # chance to drain BEFORE anything is timed.
+    attempt = max(1, int(os.environ.get(_ATTEMPT_ENV, "1")))
+    _wait_for_quiet_start()
 
     # Host load telemetry (r10 verdict #1): every bench sample records
     # the 1-min load average at start and end, so a number measured
@@ -524,6 +585,43 @@ def main() -> None:
             )
     except (OSError, ValueError):
         pass
+
+    # r14 quiet-host discipline, step 2: a loaded start OR an anchor
+    # ratio above the recorded quiet band means this attempt measured
+    # the host, not the code — re-exec for a fresh attempt (bounded).
+    # Re-exec (not an in-process loop) so the retry pays plan build,
+    # session-memo fits and persist materialization again: the cold-rep
+    # pricing the regression budget relies on stays honest.
+    quiet_start = load_start_1m is not None and load_start_1m <= QUIET_LOAD_GATE
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    anchor_gate = _anchor_quiet_gate(cpus)
+    slow_anchor = (
+        anchor_gate is not None
+        and anchor_ratio_r1 is not None
+        and anchor_ratio_r1 > anchor_gate
+    )
+    if (not quiet_start or slow_anchor) and attempt < MAX_ATTEMPTS:
+        reason = (
+            f"start load {load_start_1m} > {QUIET_LOAD_GATE}"
+            if not quiet_start
+            else f"anchor {anchor_ratio_r1} > quiet band {anchor_gate}"
+        )
+        print(
+            f"# attempt {attempt}/{MAX_ATTEMPTS} not quiet ({reason}) - "
+            f"re-running; discarded total {total:.3f}s",
+            file=sys.stderr,
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        spark.stop()  # the JVM must not outlive this process image
+        os.environ[_ATTEMPT_ENV] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    if attempt > 1:
+        print(
+            f"# quiet-retry: emitting attempt {attempt}/{MAX_ATTEMPTS} "
+            f"(load {load_start_1m}, anchor {anchor_ratio_r1})",
+            file=sys.stderr,
+        )
 
     skip_extras = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_EXTRAS"))
 
@@ -799,6 +897,7 @@ def main() -> None:
         # additive noise floor — report-only drift telemetry
         "anchor_ratio_r1": anchor_ratio_r1,
         "missing_baseline": missing_baseline,
+        "attempts": attempt,  # r14 quiet-retry: which attempt this is
         "load_avg": load_avg,  # measurement context for every sample —
         # gen_bench_baseline.py refuses to append runs over its load gate
         "data_census": registry.data_census(),  # synth-input composition
@@ -829,6 +928,7 @@ def main() -> None:
         # START load: the end load is self-inflicted by the bench's own
         # 32 threads (same reasoning as the baseline generator's gate)
         load_1m=load_avg.get("start_1m"),
+        attempts=attempt,
     ):
         print(line)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):

@@ -30,7 +30,9 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLANS_DIR = os.path.join(REPO, "plans", "r13")
+PLANS_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+)
 
 
 def main() -> None:
@@ -38,7 +40,16 @@ def main() -> None:
     ap.add_argument("tag")
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--reps", type=int, default=3)
+
+    def _positive_int(v: str) -> int:
+        # ADVICE r13: reps < 1 left df=None -> AttributeError on
+        # explain and ValueError on min([]) — reject at parse time
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError("--reps must be >= 1")
+        return iv
+
+    ap.add_argument("--reps", type=_positive_int, default=3)
     ap.add_argument("--count", action="store_true")
     ap.add_argument("--no-plans", action="store_true")
     args = ap.parse_args()

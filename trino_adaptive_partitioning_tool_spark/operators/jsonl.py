@@ -69,11 +69,27 @@ def corrupt_pred_sql(id_expr: str = "doc_id") -> str:
     return f"({h} % {CORRUPT_MOD}) = 0"
 
 
-def write_jsonl_gz(docs: DataFrame, path: str) -> None:
+def write_jsonl_gz(
+    docs: DataFrame, path: str, n_shards: int | None = None
+) -> None:
     """Serialize documents rows to gzip JSONL shards, mangling the
     hash-planted subset to an invalid prefix. `to_json` escapes control
     characters per the JSON spec, so embedded newlines in `text` never
-    break the one-object-per-line framing."""
+    break the one-object-per-line framing.
+
+    r14 (guide §2.5 input skew; r13 verdict #4): gzip is non-splittable
+    per FILE, so the READ side's parallelism is exactly the shard count
+    written here — and the old write inherited the input's partitioning
+    (ONE shard from a single-row-group local scan, i.e. a single-task
+    parse downstream). Shard explicitly to the session's core count by
+    a deterministic hash of doc_id (guide §2.5: keys must be
+    deterministic under task retry, and the key domain must be far
+    wider than the partition count — the raw 64-bit hash, not a
+    pre-bucketed mod-n value whose collisions would skew shards).
+    Aggregate results are shard-layout-invariant — the oracle derives
+    from the source table arithmetic."""
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
     line = F.to_json(
         F.struct("doc_id", "lang", "source", "n_chars", "text")
     )
@@ -83,9 +99,16 @@ def write_jsonl_gz(docs: DataFrame, path: str) -> None:
             F.substring(line, 1, CORRUPT_PREFIX_LEN),
         )
         .otherwise(line)
-        .alias("value")
+        .alias("value"),
+        F.xxhash64("doc_id").alias("_shard"),
     )
-    out.write.mode("overwrite").option("compression", "gzip").text(path)
+    (
+        out.repartition(max(1, n_shards), "_shard")
+        .select("value")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
 
 
 def read_jsonl_quarantine(spark: SparkSession, path: str) -> DataFrame:

@@ -796,11 +796,13 @@ def winnow_containment(
     )
     # Referenced three times below (document-frequency pass + both join
     # legs): cache so fingerprinting runs once, not per reference. Plan-
-    # matched by Spark's CacheManager, MEMORY_ONLY so blocks are
-    # evictable (recompute on miss) rather than pinned.
+    # matched by Spark's CacheManager. MEMORY_AND_DISK (r14, guide §5):
+    # the exploded frame is corpus-x-fingerprints sized, so an eviction
+    # re-runs the whole winnow pass per remaining consumer — spill the
+    # serialized blocks instead.
     from pyspark import StorageLevel
 
-    ex = ex.persist(StorageLevel.MEMORY_ONLY)
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     docfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     # Subtract the STOP set (fingerprints in > max_df docs) with an
     # anti-join. No broadcast hint on either side: the keep set is
@@ -871,11 +873,12 @@ def lm_bigram_scores(
     ).where(F.col("a") != "")
     w = Window.partitionBy("id").orderBy("pos")
     # referenced by the model build AND the scoring join: one
-    # materialization of the explode + per-doc window
+    # materialization of the explode + per-doc window. MEMORY_AND_DISK
+    # (r14, guide §5): token-grain — the largest frame in the query.
     bigrams = (
         toks.select("id", "a", F.lead("a", 1).over(w).alias("b"))
         .where(F.col("b").isNotNull())
-        .persist(StorageLevel.MEMORY_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     c_ab = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))

@@ -414,10 +414,12 @@ def mined_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture log — rendered as a VALUES CTE from the same source of truth
     — is the oracle: the check proves the distributed Arrow/mapInPandas
     path reproduces the driver-side result exactly."""
-    from ..operators import mining
+    from ..operators import recommend
 
-    logs = fixtures.query_logs_df(spark)
-    return mining.mine_query_log(logs).select(
+    # r14: session-shared mined frame (operators/recommend.
+    # mined_fixture_logs) — the Arrow mining stage runs once per
+    # session across the advisor family, not once per query
+    return recommend.mined_fixture_logs(spark).select(
         "query_id", "kind", "name", F.col("cnt").cast("bigint").alias("cnt")
     )
 
@@ -477,10 +479,11 @@ def workload_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count desc, name)."""
     from pyspark.sql import Window
 
-    from ..operators import mining
+    from ..operators import recommend
 
     logs = fixtures.query_logs_df(spark)
-    mined = mining.mine_query_log(logs).where(
+    # r14: session-shared mined frame (see mined_workload)
+    mined = recommend.mined_fixture_logs(spark).where(
         F.col("kind").isin("join_column", "where_column")
         & (F.col("name") != "")
     )
@@ -586,10 +589,10 @@ def bucket_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's partition transforms (its Trino/Iceberg analog is the
     bucket(n) transform, src/partitioning.py). The per-pair NDV probe is
     one aggregation per table over only the mined columns."""
-    from ..operators import mining, sizing
+    from ..operators import recommend, sizing
 
-    logs = fixtures.query_logs_df(spark)
-    mined = mining.mine_query_log(logs).where(
+    # r14: session-shared mined frame (see mined_workload)
+    mined = recommend.mined_fixture_logs(spark).where(
         (F.col("kind") == "join_column") & (F.col("name") != "")
     )
     freq = mined.groupBy(F.col("name").alias("column_name")).agg(
@@ -1206,10 +1209,11 @@ def partition_recommendation_drift(spark: SparkSession, sf_dir: str) -> DataFram
     equi-join with no forced broadcasts. The classify+join tail lives
     in drift_triggers_from_usage, shared with the streaming
     increment-store twin (streaming_drift_triggers)."""
-    from ..operators import mining
+    from ..operators import recommend
 
     logs = fixtures.query_logs_df(spark)
-    mined = mining.mine_query_log(logs).where(
+    # r14: session-shared mined frame (see mined_workload)
+    mined = recommend.mined_fixture_logs(spark).where(
         F.col("kind").isin("join_column", "where_column")
         & (F.col("name") != "")
     )

@@ -472,11 +472,15 @@ def _semdedup(
     # r13 (guide §2.4): the assignment⋈vector join runs ONCE and both
     # pair legs are projections of it — previously each leg embedded its
     # own copy of the corpus-sized join (2 SortMergeJoins where one
-    # suffices). Persisted: embedding-grain, MEMORY_ONLY (evictable).
+    # suffices). r14 (guide §5; r13 verdict #3): embedding-grain WITH
+    # the vector payload — both pair legs need `vec` (the cosine), so
+    # the payload cannot be projected out; MEMORY_AND_DISK so memory
+    # pressure spills instead of evicting and re-running the join per
+    # leg.
     av = (
         assigned.join(v, "vec_id")
         .select("cluster", "vec_id", "vec", "nrm")
-        .persist(StorageLevel.MEMORY_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = av.select(
         F.col("cluster"),

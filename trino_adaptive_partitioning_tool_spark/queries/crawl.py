@@ -493,7 +493,11 @@ def crawl_to_corpus_pipeline(
             "text",
             "n_words",
         )
-        .persist(StorageLevel.MEMORY_ONLY)
+        # r14 (guide §5; r13 verdict #3): corpus-sized, text-carrying,
+        # two consumers (the flag chain + the fetched-total) — spill to
+        # disk under pressure instead of evict-and-re-extract. `text`
+        # stays: the annotator pass below consumes it.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs200 = base.where(F.col("status") == 200)
     # r13 (guide §2.4): language and quality are pure column
@@ -518,7 +522,10 @@ def crawl_to_corpus_pipeline(
             "quality_score",
             F.when(F.col("f_lang"), text_ops.quality_score_col("text")),
         )
-        .persist(StorageLevel.MEMORY_ONLY)
+        # r14: corpus-sized + text payload (the LSH branch consumes
+        # text); MEMORY_AND_DISK so eviction never re-runs the
+        # annotators per consumer at scale
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     s_lang = flagged.where(F.col("f_lang")).select("doc_id", "text")
     dominated = (

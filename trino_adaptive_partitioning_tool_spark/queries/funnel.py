@@ -199,7 +199,14 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lang_ok & qual_ok).alias("s2_ok"),
             (lang_ok & qual_ok & rep_ok).alias("s3_ok"),
         )
-        .persist(StorageLevel.MEMORY_ONLY)
+        # r14 (guide §5; r13 verdict #3): MEMORY_AND_DISK — this frame
+        # is corpus-sized AND carries the text payload, so MEMORY_ONLY
+        # eviction at scale would re-run both annotators per consumer
+        # (the exact cost the persist exists to kill). `text` cannot be
+        # projected out: the dedup leg below consumes it (window
+        # partition key + minhash input); the flags-only alternative
+        # re-attaches text with an extra doc-grain join + corpus scan.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # exact dedup among stage-3 survivors: canonical = lowest doc_id per
     # text (rank-1 window over the survivor partition)
@@ -211,8 +218,9 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         # referenced by pair generation, the near-dup flag join and the
         # final aggregate — cache one materialization (memo keeps the
-        # plan, so the cache is hit on every call)
-        .persist(StorageLevel.MEMORY_ONLY)
+        # plan, so the cache is hit on every call). MEMORY_AND_DISK
+        # (r14): survivor-sized but text-carrying — spill, don't evict.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = dops.minhash_lsh_pairs(
         s4.select("doc_id", "text"), jaccard_threshold=0.0
@@ -448,7 +456,9 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
             (lang_ok & qual_ok & rep_ok).alias("s3_ok"),
             (lang_ok & qual_ok & rep_ok & model_ok).alias("s4_ok"),
         )
-        .persist(StorageLevel.MEMORY_ONLY)
+        # r14 (guide §5): corpus-sized + text payload — spill, don't
+        # evict (see corpus_filter_funnel's ann for the full rationale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy("text").orderBy("doc_id")
     s5 = (
@@ -456,7 +466,7 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
-        .persist(StorageLevel.MEMORY_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = dops.minhash_lsh_pairs(
         s5.select("doc_id", "text"), jaccard_threshold=0.0
@@ -472,7 +482,7 @@ def corpus_filter_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame
         s5.join(non_reps, "doc_id", "left")
         .where(F.coalesce(~F.col("is_dup"), F.lit(True)))
         .drop("is_dup")
-        .persist(StorageLevel.MEMORY_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # skew_safe pinned False: the span stage runs over near-dedup
     # SURVIVORS (boilerplate documents largely removed), and the

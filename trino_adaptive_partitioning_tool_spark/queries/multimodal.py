@@ -1873,7 +1873,9 @@ def multimodal_phash_near_dup(
         mm.synth_phash_assets(spark, n=_PHASH_N),
         require_codec=True,
         codec=mm.PixmapCodec(),
-    ).persist(StorageLevel.MEMORY_ONLY)
+        # r14 (guide §5): asset-grain stats whose recompute is the
+        # decode pass itself — spill, never evict-and-redecode
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         _phash_near_dup_pairs(hashes)
         .groupBy("hamming")
@@ -2212,7 +2214,9 @@ def media_to_corpus_pipeline(
     # dedup branch and the flag rollup both consume it.
     decoded = mm.decode_assets_with_phash(
         corpus, require_codec=True, codec=codec
-    ).persist(StorageLevel.MEMORY_ONLY)
+        # r14 (guide §5): recompute = the fused decode+phash pass —
+        # spill under pressure, never evict-and-redecode
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hashes = decoded.where(
         F.col("decode_ok") & (F.col("media_type") == "image")
     ).select(
@@ -2469,7 +2473,8 @@ def _afp_near_dup(spark: SparkSession, n: int) -> DataFrame:
         mm.synth_afp_assets(spark, n=n),
         require_codec=True,
         codec=mm.PixmapCodec(),
-    ).persist(StorageLevel.MEMORY_ONLY)
+        # r14 (guide §5): recompute = the audio decode+fingerprint pass
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = fps.select(
         "asset_id", "afp",
         F.posexplode(

@@ -62,6 +62,24 @@ def get_spark(
         # testdata writes TIMESTAMP(NANOS) parquet (events.ts), which Spark
         # rejects by default; read as long and cast back in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r14 (guide §6, §2.2): let Spark's own scale-adaptive split
+        # formula  maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/minPartitionNum))  track the
+        # core count on small local files. The stock 4 MB open cost
+        # FLOORS split size at 4 MB (a 15 MB table is at most 4 splits
+        # regardless of cores); 1 MB reflects a local-SSD/page-cache
+        # open cost and lets the ~15 MB testdata tables split ~15-way
+        # at local[32] vs ~7-way at local[8] — the scan scales WITH the
+        # cores — while at production sizes totalBytes/cores far
+        # exceeds it and the formula lands on the stock 128 MB
+        # behavior. 1 MB, not smaller: an r14 ABBA sweep measured the
+        # finer 128 KB splits (19-32 tasks per ~2-15 MB file) LOSING
+        # 2x on multi-scan queries to per-task overhead under this
+        # host's virtualization steal (OPTIMIZATION_r14.md). Pairs with
+        # the multi-row-group loader twin (sources/tables.
+        # split_layout_dir): byte-range splits only parallelize when
+        # row groups exist at that granularity.
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

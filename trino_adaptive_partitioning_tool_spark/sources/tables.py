@@ -13,7 +13,11 @@ single-file inputs.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
+import threading
 from functools import lru_cache
 
 import pyarrow.parquet as _pq
@@ -35,6 +39,108 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ---------------------------------------------------------------------------
+# Split-layout loader fixture (r14, guide §6 / §2.2; r13 verdict "Next
+# round" #2). The local testdata parquet is ONE row group per table, so
+# every scan — and everything map-side of the first exchange — runs as a
+# single task no matter how many cores exist: at sf0.1 the whole bench
+# was floored on single-threaded scans and 11 queries measured FLAT from
+# 8 to 32 cores (BENCH_r13_c8). 100 TB tables never look like that: they
+# arrive as many files / many >=128 MB row groups and Spark's default
+# split math parallelizes them. This fixture makes the LOCAL layout look
+# like the production one: each single-row-group table file above a size
+# floor is rewritten — same rows, same order, byte-identical schema
+# (asserted) — into _SPLIT_ROW_GROUPS row groups in a per-process temp
+# dir; small dimension tables are symlinked. Row-group parallelism then
+# comes from Spark's own scale-adaptive split formula
+#   maxSplitBytes = min(maxPartitionBytes,
+#                       max(openCostInBytes, totalBytes/minPartitionNum))
+# (session.py lowers openCostInBytes so the formula can reach row-group
+# granularity on 10 MB files; at production sizes the same formula lands
+# on maxPartitionBytes and behaves exactly as stock).
+#
+# NOT result caching: the twin holds the INPUT rows only (a pure layout
+# rewrite, rebuilt from the parquet inputs once per process into a
+# mkdtemp that is removed at exit — nothing persists across runs), and
+# every query still computes from parquet. Footer-introspection paths
+# (column_stats_from_footers, file_metadata) read sf_dir directly and
+# are unaffected. Disable with SPARK_GRAFT_SPLIT_LAYOUT=0 to read the
+# original files.
+_SPLIT_ROW_GROUPS = 32
+_SPLIT_MIN_BYTES = 65536  # below this a table is one task anyway
+_SPLIT_CACHE: dict[str, str] = {}
+_SPLIT_LOCK = threading.Lock()
+
+
+def split_layout_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_SPLIT_LAYOUT", "1").lower() not in (
+        "0", "false", "no", "off",
+    )
+
+
+def split_layout_dir(sf_dir: str) -> str:
+    """Return the per-process multi-row-group twin of ``sf_dir`` (built
+    lazily on first use), or ``sf_dir`` itself when the fixture is
+    disabled or nothing needs splitting."""
+    if not split_layout_enabled():
+        return sf_dir
+    with _SPLIT_LOCK:
+        cached = _SPLIT_CACHE.get(sf_dir)
+        if cached is not None and os.path.isdir(cached):
+            return cached
+        names = [
+            fn for fn in sorted(os.listdir(sf_dir))
+            if fn.endswith(".parquet")
+            and os.path.isfile(os.path.join(sf_dir, fn))
+        ] if os.path.isdir(sf_dir) else []
+        if not names:
+            _SPLIT_CACHE[sf_dir] = sf_dir
+            return sf_dir
+        twin = tempfile.mkdtemp(prefix="tapt_split_layout_")
+        atexit.register(shutil.rmtree, twin, ignore_errors=True)
+        for fn in names:
+            src = os.path.join(sf_dir, fn)
+            dst = os.path.join(twin, fn)
+            try:
+                pf = _pq.ParquetFile(src)
+                rewrite = (
+                    pf.metadata.num_row_groups == 1
+                    and os.path.getsize(src) >= _SPLIT_MIN_BYTES
+                    and pf.metadata.num_rows >= _SPLIT_ROW_GROUPS
+                )
+                if rewrite:
+                    tbl = _pq.read_table(src)
+                    # 1024-row floor: tables smaller than 32k rows get
+                    # proportionally fewer groups instead of degenerate
+                    # hundred-row ones (per-group reader state is a
+                    # fixed cost; guide §6 small-files reasoning at
+                    # row-group granularity)
+                    _pq.write_table(
+                        tbl, dst,
+                        row_group_size=max(
+                            1024, -(-tbl.num_rows // _SPLIT_ROW_GROUPS)
+                        ),
+                    )
+                    # hard guarantee: a rewrite that changes the logical
+                    # schema must never reach a query — fall back to the
+                    # original file instead
+                    if not _pq.read_schema(src).equals(
+                        _pq.read_schema(dst)
+                    ):
+                        os.remove(dst)
+                        os.symlink(src, dst)
+                else:
+                    os.symlink(src, dst)
+            except Exception:
+                # unreadable/corrupt candidate: keep the original path
+                # visible so the query fails (or succeeds) exactly as it
+                # would have without the fixture
+                if os.path.lexists(dst):
+                    os.remove(dst)
+                os.symlink(src, dst)
+        _SPLIT_CACHE[sf_dir] = twin
+        return twin
 
 
 @lru_cache(maxsize=None)
@@ -71,7 +177,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     but it means caller-built sessions doing local-timezone timestamp
     work after a load will see UTC semantics from then on.
     """
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    # r14: data reads go through the split-layout twin (same rows, same
+    # schema, multi-row-group — see split_layout_dir above); footer
+    # probes elsewhere keep reading sf_dir originals.
+    path = os.path.join(split_layout_dir(sf_dir), f"{name}.parquet")
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         # must work with ANY caller-provided session (the driver builds its
