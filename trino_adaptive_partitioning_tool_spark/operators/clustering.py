@@ -70,6 +70,19 @@ def _dot_long(a: Column, b: Column) -> Column:
     )
 
 
+def _long_array_lit(values: list[int]) -> Column:
+    """Long-array literal in ONE Py4J call (r14, guide §1.2 driver
+    overhead): the element-wise `F.array(*[F.lit(x).cast("long")...])`
+    construction costs ~2 driver round trips PER ELEMENT — at dim=64,
+    k=8 and one rebuild per Lloyd pass that is thousands of round trips
+    of pure driver latency per fit (measured: the dominant share of the
+    5-10s cold fits). One `F.expr` over `array(..L, ..)` parses to the
+    identical folded Literal array."""
+    return F.expr(
+        "array(" + ",".join(f"{int(x)}L" for x in values) + ")"
+    )
+
+
 def _round_centroid(s: int, n: int) -> int:
     """Half-away-from-zero integer rounding of s/n. Mirrors the oracle's
     CASE WHEN s >= 0 THEN (2*s + n) // (2*n) ELSE -((2*(-s) + n) // (2*n))
@@ -96,7 +109,7 @@ def assign_clusters(
     qq = _dot_long(v, v)
     entries = []
     for j, c in enumerate(centroids):
-        c_lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        c_lit = _long_array_lit(c)
         cc = int(sum(x * x for x in c))
         d2 = qq - 2 * _dot_long(v, c_lit) + F.lit(cc).cast("long")
         entries.append(
@@ -544,7 +557,7 @@ def greedy_init(
         qq = _dot_long(v, v)
         legs = []
         for c in seeds:
-            c_lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            c_lit = _long_array_lit(c)
             cc = int(sum(x * x for x in c))
             legs.append(
                 qq - 2 * _dot_long(v, c_lit) + F.lit(cc).cast("long")

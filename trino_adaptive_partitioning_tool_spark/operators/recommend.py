@@ -88,6 +88,36 @@ def mined_fixture_logs(spark: SparkSession) -> DataFrame:
     return hit
 
 
+# r14: session-memoized exact/approx table profiles (see the call site
+# in run_analysis below) — the profile is log-independent, so every
+# as-of window shares one materialization per (table set, mode).
+_PROFILE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _profiled_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    table_names: list[str],
+    exact: bool,
+    percentiles: bool,
+) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        tuple(table_names),
+        exact,
+        percentiles,
+    )
+    hit = _PROFILE_CACHE.get(key)
+    if hit is None:
+        hit = _PROFILE_CACHE[key] = stats.profile_tables(
+            {t: tables.load_table(spark, sf_dir, t) for t in table_names},
+            exact=exact,
+            percentiles=percentiles,
+        ).persist()
+    return hit
+
+
 def run_analysis(
     spark: SparkSession,
     sf_dir: str,
@@ -126,20 +156,31 @@ def run_analysis(
     # wide per-table aggregations, the Python mining UDF) instead of
     # re-running them per join branch. At 100 TB the cached frames are
     # still only O(columns) rows.
-    # shared frame on the unfiltered default log; per-call mining only
-    # when the caller supplied/filtered the log (the mined tokens then
-    # genuinely differ)
+    # shared frame on the unfiltered default log; a TIME-FILTERED
+    # default log reuses it through a semi-join (the miner is per-row
+    # pure and query_id is the log's key, so mine(filter(logs)) ==
+    # semi-filter(mine(logs)) — this turns the spec-history query's
+    # per-generation Arrow mining stages into one shared pass);
+    # per-call mining only when the caller supplied its OWN log
     if logs_df is None and time_filter is None:
         mined_logs = mined_fixture_logs(spark)
+    elif logs_df is None:
+        mined_logs = mined_fixture_logs(spark).join(
+            logs.select("query_id"), "query_id", "semi"
+        )
     else:
         mined_logs = mining.mine_query_log(logs).cache()
     candidates, table_names = view_columns_df(spark, sf_dir, views)
 
-    profiled = stats.profile_tables(
-        {t: tables.load_table(spark, sf_dir, t) for t in table_names},
-        exact=exact_stats,
-        percentiles=profile_percentiles,
-    ).cache()
+    # r14 (r13 verdict #7): table profiles are a pure function of the
+    # TABLES — they do not depend on the log window or the views filter
+    # beyond the table set — yet every as-of invocation (the
+    # spec-history query runs three) re-ran the exact-NDV aggregation
+    # per generation. Session-memoized per (table set, exact,
+    # percentiles); persisted (dimension-sized: one row per column).
+    profiled = _profiled_tables(
+        spark, sf_dir, table_names, exact_stats, profile_percentiles
+    )
 
     # usage and the composite scores are also dimension-sized (one row
     # per column/signal) and sit under several consumers each (scoring,
